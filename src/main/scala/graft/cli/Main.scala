@@ -1,0 +1,82 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.gen.SequenceGen
+import graft.gen.SequenceGen.Knobs
+import graft.jobs.ValidationJob
+import graft.drift.Drift
+
+/**
+ * spark-submit entry point — the single-run replacement for the reference's
+ * E1→E3 Lambda choreography (SURVEY.md §3, §7.3 step 10).
+ *
+ * Commands:
+ *   gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] [unknownRate] [driftSrc:shift]
+ *     writes input/ manifest/ baseline/ under outDir (seeded, deterministic)
+ *   validate <inputDir> <manifestDir> <outDir> [baselineDir]
+ *     runs the rule set, writes violations/ verdicts/ checkpoint/, prints a
+ *     one-line JSON run report
+ */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .appName("graft-validate")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      args.toList match {
+        case "gen" :: outDir :: n :: rest =>
+          val seed = rest.headOption.map(_.toLong).getOrElse(42L)
+          val bad = rest.lift(1).map(_.toDouble).getOrElse(0.0)
+          val dup = rest.lift(2).map(_.toDouble).getOrElse(0.0)
+          val unk = rest.lift(3).map(_.toDouble).getOrElse(0.0)
+          val (driftSrcs, shift) = rest.lift(4) match {
+            case Some(s) if s.contains(":") =>
+              val Array(src, sh) = s.split(":")
+              (Seq(src), sh.toInt)
+            case _ => (Nil, 0)
+          }
+          val knobs = Knobs(bad, dup, unk, driftSrcs, shift)
+          SequenceGen.sequences(spark, n.toLong, seed, knobs)
+            .write.mode("overwrite").partitionBy("source")
+            .parquet(s"$outDir/input")
+          SequenceGen.manifest(spark, n.toLong, seed)
+            .write.mode("overwrite").parquet(s"$outDir/manifest")
+          // baseline histograms from a CLEAN generation at the same seed
+          Drift.histograms(
+              SequenceGen.sequences(spark, n.toLong, seed).toDF(),
+              SequenceGen.vocabSize, s"gen-$seed-$n")
+            .write.mode("overwrite").parquet(s"$outDir/baseline")
+          println(s"""{"generated":$n,"outDir":"$outDir","seed":$seed}""")
+
+        case "validate" :: input :: manifest :: outDir :: rest =>
+          val report = ValidationJob.run(spark, ValidationJob.Config(
+            inputPath = input,
+            manifestPath = manifest,
+            outDir = outDir,
+            baselinePath = rest.headOption))
+          println(
+            s"""{"snapshot_id":"${report.snapshotId}",""" +
+              s""""ruleset_hash":"${report.rulesetHash}",""" +
+              s""""validated_partitions":${report.validatedPartitions.size},""" +
+              s""""skipped_partitions":${report.skippedPartitions.size},""" +
+              s""""rows_validated":${report.rowsValidated},""" +
+              s""""violations":${report.violations},""" +
+              s""""wall_ms":${report.wallMs}}""")
+
+        case _ =>
+          System.err.println(
+            "usage: gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] " +
+              "[unknownRate] [driftSrc:shift] | " +
+              "validate <inputDir> <manifestDir> <outDir> [baselineDir]")
+          sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,311 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model._
+import graft.drift.Drift
+
+/**
+ * The evaluation core: one validation pass over the sequences fact table
+ * produces the violations table and per-(partition, rule) verdicts —
+ * compressing the reference's E1+E3 lifecycle (manifest validation →
+ * results ingestion → verdict roll-up, SURVEY.md §3) into a single Spark
+ * plan per rule family.
+ *
+ * Scale design (local[32] now, 1000 executors later):
+ *  - Row rules: ONE narrow scan, all predicates fused into a single
+ *    codegen'd projection; zero shuffles before the sink.
+ *  - Uniqueness: two-stage — a cheap partial-aggregated count pass finds
+ *    duplicate keys (tiny set); evidence (collect of ALL group members,
+ *    as the reference reports all duplicate locations,
+ *    manifest_processor.py:293-305) is gathered only for rows that join the
+ *    duplicate-key set, so no unbounded collect_list over clean data.
+ *  - Referential integrity: DISTINCT-first on the fact side, broadcast
+ *    manifest — the shuffle is over |distinct sources|, not |rows|.
+ *  - Stats/verdicts: low-cardinality groupBy(source) with constant-size
+ *    aggregation state — map-side partial aggregation absorbs hot-source
+ *    skew (the 40%-cardiac partition) without salting; salting is reserved
+ *    for large-state aggregations (see Dedup.saltedMembers).
+ */
+object RuleEngine {
+
+  final case class ValidationResult(
+      violations: Dataset[Violation],
+      verdicts: Dataset[Verdict])
+
+  /** Columns the engine exposes from the broadcast manifest join, usable in
+    * RowRule expressions. */
+  private val manifestCols =
+    Seq("m_expected_docs", "m_min_tok", "m_max_tok")
+
+  def emptyViolations(spark: SparkSession): Dataset[Violation] = {
+    import spark.implicits._
+    spark.emptyDataset[Violation]
+  }
+
+  /** Evaluate the full rule set. `baseline` powers drift rules (skipped when
+    * absent — first run of a fresh table records the baseline instead). */
+  def validate(
+      seqs: Dataset[Sequence],
+      manifest: Dataset[ManifestEntry],
+      rules: RuleSet,
+      baseline: Option[Dataset[BaselineBin]] = None,
+      vocab: Int = graft.gen.SequenceGen.vocabSize): ValidationResult = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+
+    val enriched = withManifest(seqs.toDF(), manifest)
+
+    val parts: Seq[Dataset[Violation]] =
+      Seq(rowViolations(enriched, rules.rowRules)) ++
+        rules.uniqueRules.map(r => uniqueViolations(seqs.toDF(), r)) ++
+        rules.refRules.map(r => refViolations(seqs.toDF(), manifest, r)) ++
+        rules.driftRules.flatMap(r =>
+          baseline.map(b => driftViolations(seqs.toDF(), b, r, vocab)))
+
+    val violations = parts.reduce(_ unionByName _)
+
+    val verdicts =
+      rollUpVerdicts(seqs.toDF(), manifest, rules, violations)
+
+    ValidationResult(violations, verdicts)
+  }
+
+  /** Broadcast left join of the manifest dimension (J4/J5 analog —
+    * per-file manifest lookups, validation_manager.py:156-193 — expressed
+    * as ONE broadcast hash join instead of per-row point lookups). */
+  def withManifest(seqs: DataFrame, manifest: Dataset[ManifestEntry]): DataFrame = {
+    val m = broadcast(
+      manifest.toDF()
+        .select(
+          col("source").as("m_source"),
+          col("expected_docs").as("m_expected_docs"),
+          col("min_tok").as("m_min_tok"),
+          col("max_tok").as("m_max_tok")))
+    seqs.join(m, seqs("source") === m("m_source"), "left").drop("m_source")
+  }
+
+  /** All row rules in ONE pass: per row, build an array of violation
+    * structs (null for passing rules), drop nulls, explode. Rows with no
+    * violations vanish in the explode — the common case scans and emits
+    * nothing. Plays the role of a generator/UDTF (SURVEY.md §2.9) using
+    * only codegen'd built-ins. */
+  def rowViolations(enriched: DataFrame, rowRules: Seq[RowRule]): Dataset[Violation] = {
+    val spark = enriched.sparkSession
+    import spark.implicits._
+    if (rowRules.isEmpty) return emptyViolations(spark)
+    val vioStructs: Seq[Column] = rowRules.map { r =>
+      when(
+        !coalesce(r.valid, lit(false)),
+        struct(
+          lit(r.id).as("rule_id"),
+          r.observed.cast(StringType).as("observed"),
+          lit(r.severity).as("severity")))
+    }
+    enriched
+      .select(
+        col("doc_id"),
+        col("source"),
+        filter(array(vioStructs: _*), v => v.isNotNull).as("vios"))
+      .select(col("doc_id"), col("source"), explode(col("vios")).as("v"))
+      .select(
+        col("doc_id"),
+        col("v.rule_id").as("rule_id"),
+        col("v.observed").as("observed"),
+        col("source"),
+        col("v.severity").as("severity"))
+      .as[Violation]
+  }
+
+  /** Two-stage duplicate detection (J6/A4/A5 semantics). Stage 1 is a
+    * partial-aggregated count (bytes of state per key); stage 2 touches
+    * only duplicate members. Evidence per member row lists all group
+    * members, like the reference's all-locations duplicate report. */
+  def uniqueViolations(seqs: DataFrame, rule: UniqueRule): Dataset[Violation] = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    val k = rule.key
+    val dupKeys = seqs
+      .groupBy(col(k))
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+    // Duplicate sets are tiny relative to the table; the join against the
+    // fact table is a semi-style inner join that AQE will broadcast when
+    // small. Evidence aggregation only sees duplicate members.
+    val members = seqs
+      .join(dupKeys, Seq(k))
+      .groupBy(col(k), col("dup_count"))
+      .agg(
+        sort_array(collect_list(col("source"))).as("member_sources"))
+
+    members
+      .select(
+        col(k).cast(StringType).as("doc_id"),
+        lit(rule.id).as("rule_id"),
+        to_json(struct(
+          col("dup_count"),
+          col("member_sources"))).as("observed"),
+        // attribute the violation to every member partition
+        explode(array_distinct(col("member_sources"))).as("source"),
+        lit(rule.severity).as("severity"))
+      .as[Violation]
+  }
+
+  /** Referential integrity + completeness reconciliation, both directions
+    * (J1/J2 + A7):
+    *  - source in data but not in manifest → WARNING per source (extra
+    *    files warn-only, submission_data.py:189-207), with row count.
+    *  - manifest expected_docs ≠ actual count → ERROR when actual <
+    *    expected (declared-but-missing hard FAIL, submission_data.py:133-137),
+    *    WARNING when actual > expected.
+    * The fact side is aggregated to per-source counts FIRST (partial agg,
+    * |sources| rows), then full-outer joined with the broadcast-size
+    * manifest. */
+  def refViolations(
+      seqs: DataFrame,
+      manifest: Dataset[ManifestEntry],
+      rule: RefIntegrityRule): Dataset[Violation] = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    val actual = seqs.groupBy(col("source")).agg(count(lit(1)).as("actual_docs"))
+    val m = manifest.toDF().select(
+      col("source").as("m_source"),
+      col("expected_docs"))
+    val joined = actual.join(m, actual("source") === m("m_source"), "full_outer")
+
+    val srcOut = coalesce(col("source"), col("m_source"))
+    joined
+      .select(
+        lit(null).cast(StringType).as("doc_id"),
+        lit(rule.id).as("rule_id"),
+        to_json(struct(
+          coalesce(col("actual_docs"), lit(0L)).as("actual_docs"),
+          col("expected_docs"))).as("observed"),
+        srcOut.as("source"),
+        when(col("m_source").isNull, lit(Severity.Warning)) // undeclared src
+          .when(coalesce(col("actual_docs"), lit(0L)) < col("expected_docs"),
+            lit(Severity.Error)) // missing docs
+          .when(col("actual_docs") > col("expected_docs"),
+            lit(Severity.Warning)) // surplus docs
+          .otherwise(lit(null).cast(StringType)).as("severity"))
+      .filter(col("severity").isNotNull)
+      .as[Violation]
+  }
+
+  /** Drift rule evaluation: distributed histograms (constant-size state per
+    * source), statistics on the collected bins (≤ a few hundred doubles per
+    * source — driver-side by design, documented approximation contract in
+    * [[Drift]]). Emits a partition-level violation per drifted source. */
+  def driftViolations(
+      seqs: DataFrame,
+      baseline: Dataset[BaselineBin],
+      rule: DriftRule,
+      vocab: Int): Dataset[Violation] = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    val nBins = if (rule.kind == "ntok_hist") Drift.ntokBins else Drift.tokenBins
+    val curDf =
+      if (rule.kind == "ntok_hist") Drift.ntokHist(seqs)
+      else Drift.tokenHist(seqs, vocab)
+
+    val cur = curDf.collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      }
+    val base = baseline
+      .filter(col("kind") === rule.kind)
+      .collect()
+      .groupBy(_.source)
+      .map { case (s, rows) => s -> rows.map(b => b.bin -> b.count).toMap }
+
+    val results = cur.flatMap { case (src, hist) =>
+      base.get(src).map { bh =>
+        val res =
+          if (rule.test == "ks") Drift.ksTest(hist, bh, nBins, rule.alpha)
+          else Drift.chi2Test(hist, bh, nBins, rule.alpha)
+        (src, res)
+      }
+    }
+
+    val rows = results.collect {
+      case (src, res) if res.rejected =>
+        Violation(
+          doc_id = null,
+          rule_id = rule.id,
+          observed =
+            s"""{"test":"${rule.test}","statistic":${res.statistic},""" +
+              s""""threshold":${res.threshold},"n":${res.n},"m":${res.m}}""",
+          source = src,
+          severity = rule.severity)
+    }.toSeq
+    spark.createDataset(rows)
+  }
+
+  /** Verdict roll-up (A9): for every (source, rule) in the domain —
+    * sources seen in data ∪ manifest, × all rule ids — status is FAIL if
+    * any error-severity violation exists, PASS_WITH_WARNINGS if only
+    * warnings, else PASS. Mirrors "submission passes iff no STATUS row ≠
+    * PASS" (reference batch.py:191-229). Domain and counts are both tiny
+    * (|sources| × |rules|), so this is a broadcast-scale join. */
+  def rollUpVerdicts(
+      seqs: DataFrame,
+      manifest: Dataset[ManifestEntry],
+      rules: RuleSet,
+      violations: Dataset[Violation]): Dataset[Verdict] = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+
+    val srcs = seqs.select(col("source")).distinct()
+      .unionByName(manifest.toDF().select(col("source")))
+      .distinct()
+    val ruleIds = rules.ruleIds.toDS().toDF("rule_id")
+    val domain = srcs.crossJoin(ruleIds)
+
+    val counts = violations.toDF()
+      .groupBy(col("source"), col("rule_id"))
+      .agg(
+        sum(when(col("severity") === Severity.Error, 1L).otherwise(0L))
+          .as("n_error"),
+        sum(when(col("severity") === Severity.Warning, 1L).otherwise(0L))
+          .as("n_warning"))
+
+    domain
+      .join(counts, Seq("source", "rule_id"), "left")
+      .na.fill(0L, Seq("n_error", "n_warning"))
+      .select(
+        col("source"),
+        col("rule_id"),
+        when(col("n_error") > 0, lit(Status.Fail))
+          .when(col("n_warning") > 0, lit(Status.PassWithWarnings))
+          .otherwise(lit(Status.Pass)).as("status"),
+        when(col("n_error") > 0, lit(Severity.Error))
+          .when(col("n_warning") > 0, lit(Severity.Warning))
+          .otherwise(lit(null).cast(StringType)).as("severity"),
+        to_json(struct(col("n_error"), col("n_warning"))).as("metrics"))
+      .as[Verdict]
+  }
+
+  /** Per-partition column statistics (StatsRule payload): one
+    * constant-state groupBy(source) pass — min/max/avg n_tok,
+    * null fractions, approx-distinct doc_id (HLL++), token id range.
+    * Returned as a metrics DataFrame consumed by jobs for verdict metrics
+    * (reference analog: bucket/manifest summary reports,
+    * scripts/reports/bucket_summary/main.py:27-95). */
+  def partitionStats(seqs: DataFrame): DataFrame =
+    seqs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_ntok"),
+        max(col("n_tok")).as("max_ntok"),
+        avg(col("n_tok")).as("avg_ntok"),
+        sum(col("n_tok").cast("long")).as("total_tokens"),
+        (sum(when(col("doc_id").isNull, 1L).otherwise(0L)) / count(lit(1)))
+          .as("null_frac_doc_id"),
+        approx_count_distinct(col("doc_id")).as("approx_distinct_doc_id"),
+        min(array_min(col("tokens"))).as("min_token_id"),
+        max(array_max(col("tokens"))).as("max_token_id"))
+}

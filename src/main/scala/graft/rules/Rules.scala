@@ -1,0 +1,152 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.model.Severity
+
+/**
+ * Declarative rule specifications — the engine's replacement for the
+ * reference's imperative per-check Python (reference:
+ * lambdas/layers/util/util/submission_data.py:89-250 and
+ * lambdas/functions/manifest_processor/manifest_processor.py:240-454).
+ *
+ * Row rules compile directly to Catalyst expressions (codegen'd, evaluated
+ * in ONE scan of the fact table, no UDFs); table rules are evaluated by
+ * dedicated distributed passes in [[RuleEngine]].
+ */
+sealed trait RuleSpec {
+  def id: String
+  def severity: String
+
+  /** Stable description used for rule-set hashing (checkpoint lineage). */
+  def descriptor: String
+}
+
+/** Per-row predicate; a violation is emitted when `valid` is false.
+  * `observed` is the evidence payload (stringified). Rules may reference
+  * broadcast-manifest columns `m_expected_docs`, `m_min_tok`, `m_max_tok`
+  * (the engine left-joins the manifest dimension before evaluation). */
+final case class RowRule(
+    id: String,
+    severity: String,
+    valid: Column,
+    observed: Column)
+    extends RuleSpec {
+  def descriptor: String = s"$id|$severity|${valid.toString}"
+}
+
+/** Key-uniqueness rule (analog of checksum/etag uniqueness, reference
+  * submission_data.py:98-110 + manifest_processor.py:283-305). Evidence
+  * lists ALL members of each duplicate group, as the reference reports all
+  * duplicate locations. */
+final case class UniqueRule(id: String, severity: String, key: String)
+    extends RuleSpec {
+  def descriptor: String = s"$id|$severity|unique($key)"
+}
+
+/** Referential integrity of `col` against the broadcast manifest dimension:
+  * values present in the data but absent from the manifest are
+  * warning-severity (reference treats extra files as warn-only,
+  * submission_data.py:189-207); manifest entries with expected_docs > actual
+  * are error-severity (declared-but-missing is a hard FAIL,
+  * submission_data.py:133-137). */
+final case class RefIntegrityRule(id: String, severity: String)
+    extends RuleSpec {
+  def descriptor: String = s"$id|$severity|ref_integrity(source)"
+}
+
+/** Per-partition column statistics (min/max/null-fraction/approx-distinct);
+  * metrics-only — contributes verdict metrics, fails only if the partition
+  * is empty. Analog of the summary reports
+  * (scripts/reports/bucket_summary/main.py:27-95). */
+final case class StatsRule(id: String, severity: String) extends RuleSpec {
+  def descriptor: String = s"$id|$severity|stats"
+}
+
+/** Two-sample distribution drift vs a persisted baseline histogram.
+  * kind in {ntok_hist, token_hist}; test in {ks, chi2}. */
+final case class DriftRule(
+    id: String,
+    severity: String,
+    kind: String,
+    test: String,
+    alpha: Double = 0.01)
+    extends RuleSpec {
+  def descriptor: String = s"$id|$severity|drift($kind,$test,$alpha)"
+}
+
+final case class RuleSet(rules: Seq[RuleSpec]) {
+  def rowRules: Seq[RowRule] = rules.collect { case r: RowRule => r }
+  def uniqueRules: Seq[UniqueRule] = rules.collect { case r: UniqueRule => r }
+  def refRules: Seq[RefIntegrityRule] = rules.collect {
+    case r: RefIntegrityRule => r
+  }
+  def statsRules: Seq[StatsRule] = rules.collect { case r: StatsRule => r }
+  def driftRules: Seq[DriftRule] = rules.collect { case r: DriftRule => r }
+
+  def ruleIds: Seq[String] = rules.map(_.id)
+
+  /** Stable content hash of the rule set — part of checkpoint lineage:
+    * changing any rule invalidates prior checkpoints (mirrors the
+    * reference's re-validation reset, validation_manager.py:224-253). */
+  def rulesetHash: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = md.digest(
+      rules.map(_.descriptor).sorted.mkString("\n").getBytes("UTF-8"))
+    bytes.map(b => f"$b%02x").mkString
+  }
+}
+
+object Rules {
+
+  val RSchema = "R_SCHEMA"
+  val RConsistentNtok = "R_CONSISTENT_NTOK"
+  val RTokenRange = "R_TOKEN_RANGE"
+  val RUniqueDocId = "R_UNIQUE_DOC_ID"
+  val RRefIntegrity = "R_REF_INTEGRITY_SOURCE"
+  val RStats = "R_STATS"
+  val RDriftNtokKs = "R_DRIFT_NTOK_KS"
+  val RDriftTokenChi2 = "R_DRIFT_TOKENHIST_CHI2"
+
+  /** doc_id format — analog of the study-id regex gate
+    * `^A[0-9]{7,8}$` (reference submission_data.py:18-22, 210-229). */
+  val docIdPattern = "^D[0-9]{12}$"
+
+  /** The standard rule set matching SURVEY.md §7.1. */
+  def standard: RuleSet = RuleSet(Seq(
+    RowRule(
+      RSchema,
+      Severity.Error,
+      valid = col("doc_id").isNotNull && col("doc_id").rlike(docIdPattern) &&
+        col("tokens").isNotNull,
+      observed = to_json(struct(col("doc_id").as("doc_id")))),
+    RowRule(
+      RConsistentNtok,
+      Severity.Error,
+      valid = col("n_tok") === size(col("tokens")),
+      observed = to_json(struct(
+        col("n_tok").as("declared"),
+        size(col("tokens")).as("actual")))),
+    RowRule(
+      RTokenRange,
+      Severity.Error,
+      // manifest m_min_tok/m_max_tok; vacuously valid when source unknown
+      // (that case is the RI rule's job) or the array is empty.
+      valid = col("m_min_tok").isNull || size(col("tokens")) === 0 ||
+        (array_min(col("tokens")) >= col("m_min_tok") &&
+          array_max(col("tokens")) <= col("m_max_tok")),
+      observed = to_json(struct(
+        array_min(col("tokens")).as("min_tok"),
+        array_max(col("tokens")).as("max_tok")))),
+    UniqueRule(RUniqueDocId, Severity.Error, "doc_id"),
+    RefIntegrityRule(RRefIntegrity, Severity.Error),
+    StatsRule(RStats, Severity.Error),
+    DriftRule(RDriftNtokKs, Severity.Error, "ntok_hist", "ks"),
+    DriftRule(RDriftTokenChi2, Severity.Error, "token_hist", "chi2")
+  ))
+
+  /** Row-rules-only subset (no manifest / baseline needed). */
+  def rowOnly: RuleSet = RuleSet(standard.rules.collect {
+    case r: RowRule if r.id != RTokenRange => r
+  })
+}

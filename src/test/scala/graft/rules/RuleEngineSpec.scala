@@ -1,0 +1,136 @@
+package graft.rules
+
+import graft.SparkSpec
+import graft.gen.SequenceGen
+import graft.gen.SequenceGen.Knobs
+import graft.model._
+
+class RuleEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 2000L
+
+  test("clean data produces zero violations and all-PASS verdicts") {
+    val seqs = SequenceGen.sequences(spark, N)
+    val manifest = SequenceGen.manifest(spark, N)
+    val res = RuleEngine.validate(seqs, manifest, Rules.standard)
+    assert(res.violations.count() === 0)
+    val statuses = res.verdicts.collect()
+    assert(statuses.nonEmpty)
+    assert(statuses.forall(_.status == Status.Pass),
+      statuses.filterNot(_.status == Status.Pass).mkString(", "))
+    // one verdict per (source, rule)
+    assert(statuses.length ===
+      SequenceGen.sources.size * Rules.standard.ruleIds.size)
+  }
+
+  test("generator is deterministic and token arrays round-trip (row invariant)") {
+    val a = SequenceGen.sequences(spark, 500).collect().sortBy(_.doc_id)
+    val b = SequenceGen.sequences(spark, 500, numPartitions = 7)
+      .collect().sortBy(_.doc_id)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.doc_id === y.doc_id)
+      assert(x.tokens.sameElements(y.tokens), s"tokens differ for ${x.doc_id}")
+      assert(x.n_tok === y.n_tok && x.source === y.source)
+    }
+  }
+
+  test("R_CONSISTENT_NTOK flags exactly the seeded bad-ntok rows") {
+    val knobs = Knobs(badNtokRate = 0.05)
+    val seqs = SequenceGen.sequences(spark, N, knobs = knobs)
+    val manifest = SequenceGen.manifest(spark, N)
+    val expectedBad = seqs.collect().filter(s => s.n_tok != s.tokens.length)
+      .map(_.doc_id).toSet
+    assert(expectedBad.nonEmpty)
+
+    val res = RuleEngine.validate(seqs, manifest, Rules.standard)
+    val flagged = res.violations
+      .filter($"rule_id" === Rules.RConsistentNtok)
+      .collect()
+    assert(flagged.map(_.doc_id).toSet === expectedBad)
+    assert(flagged.forall(_.severity == Severity.Error))
+
+    // affected sources FAIL on this rule; clean sources PASS
+    val badSources = seqs.collect()
+      .filter(s => s.n_tok != s.tokens.length).map(_.source).toSet
+    val verdicts = res.verdicts
+      .filter($"rule_id" === Rules.RConsistentNtok).collect()
+    verdicts.foreach { v =>
+      if (badSources(v.source)) assert(v.status == Status.Fail, v)
+      else assert(v.status == Status.Pass, v)
+    }
+  }
+
+  test("R_UNIQUE_DOC_ID reports every duplicate group with all members") {
+    val knobs = Knobs(dupDocIdRate = 0.02)
+    val seqs = SequenceGen.sequences(spark, N, knobs = knobs)
+    val manifest = SequenceGen.manifest(spark, N)
+    val dupIds = seqs.collect().groupBy(_.doc_id)
+      .filter(_._2.length > 1).keySet
+    assert(dupIds.nonEmpty)
+
+    val vios = RuleEngine.validate(seqs, manifest, Rules.standard)
+      .violations.filter($"rule_id" === Rules.RUniqueDocId).collect()
+    assert(vios.map(_.doc_id).toSet === dupIds)
+    // observed payload lists all member sources
+    vios.foreach { v =>
+      assert(v.observed.contains("\"dup_count\":"))
+      assert(v.observed.contains("member_sources"))
+    }
+  }
+
+  test("R_REF_INTEGRITY: unknown source warns, missing docs fail") {
+    val knobs = Knobs(unknownSourceRate = 0.03)
+    val seqs = SequenceGen.sequences(spark, N, knobs = knobs)
+    // manifest counts derive from CLEAN generation, so sources that lost
+    // rows to "mystery" now under-deliver => error; mystery => warning.
+    val manifest = SequenceGen.manifest(spark, N)
+    val res = RuleEngine.validate(seqs, manifest, Rules.standard)
+    val vios = res.violations
+      .filter($"rule_id" === Rules.RRefIntegrity).collect()
+    val bySource = vios.groupBy(_.source)
+    assert(bySource.contains(SequenceGen.unknownSource))
+    assert(bySource(SequenceGen.unknownSource).forall(_.severity == Severity.Warning))
+    val errorSources = vios.filter(_.severity == Severity.Error).map(_.source)
+    assert(errorSources.nonEmpty) // under-delivering real sources
+    assert(!errorSources.contains(SequenceGen.unknownSource))
+  }
+
+  test("R_SCHEMA flags malformed doc_ids") {
+    val bad = Seq(
+      Sequence("not-an-id", Array(1, 2, 3), 3, "cardiac"),
+      Sequence("D1234", Array(1), 1, "cardiac")) // too few digits
+    val seqs = SequenceGen.sequences(spark, 100).union(bad.toDS())
+    val manifest = SequenceGen.manifest(spark, 100)
+    val vios = RuleEngine.validate(seqs, manifest, Rules.standard)
+      .violations.filter($"rule_id" === Rules.RSchema).collect()
+    assert(vios.map(_.doc_id).toSet === Set("not-an-id", "D1234"))
+  }
+
+  test("R_TOKEN_RANGE flags tokens outside the manifest-declared range") {
+    val seqs = SequenceGen.sequences(spark, 200)
+    val manifest = SequenceGen.sources
+      .map(s => ManifestEntry(s, 0L, 0, 10)) // absurdly tight range
+      .toDS()
+    // expected_docs=0 actual>0 triggers RI warnings, ignore those here
+    val vios = RuleEngine.validate(seqs, manifest, Rules.standard)
+      .violations.filter($"rule_id" === Rules.RTokenRange)
+    assert(vios.count() > 0)
+  }
+
+  test("partitionStats produces sane per-source statistics") {
+    val seqs = SequenceGen.sequences(spark, 1000)
+    val stats = RuleEngine.partitionStats(seqs.toDF()).collect()
+    assert(stats.length === SequenceGen.sources.size)
+    stats.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n > 0)
+      assert(r.getAs[Int]("min_ntok") >= SequenceGen.minLen)
+      assert(r.getAs[Int]("max_token_id") < SequenceGen.vocabSize)
+      assert(r.getAs[Double]("null_frac_doc_id") === 0.0)
+    }
+    val total = stats.map(_.getAs[Long]("n_docs")).sum
+    assert(total === 1000L)
+  }
+}
