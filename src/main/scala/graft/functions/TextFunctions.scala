@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Portable text primitives for the training-data pipeline operators
+ * (dedup, language-ID, quality scoring, fingerprinting). Everything is a
+ * codegen'd Catalyst expression chain — NO UDFs — and every hash is plain
+ * integer arithmetic (polynomial rolling hash mod 1e9+7), so an external
+ * SQL engine (the DuckDB oracle) can reproduce results bit-for-bit. That is
+ * deliberate: content hashes that depend on engine-internal murmur seeds
+ * can't be cross-checked.
+ */
+object TextFunctions {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace tokenization (single-space corpora). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Polynomial rolling hash over characters: fold(h*31 + ascii(c)) mod p.
+    * Matches DuckDB `list_reduce(list_prepend(0, [ascii(c) ...]), ...)`. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      split(s, ""),
+      lit(0L),
+      (h, c) => pmod(h * lit(31L) + ascii(c), lit(HashMod)))
+
+  /** n-word shingles of a word array (overlapping, space-joined; empty when
+    * the text has fewer than n words — matches the oracle's comprehension
+    * bounds). */
+  def shingles(wordArr: Column, n: Int): Column =
+    when(size(wordArr) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(wordArr) - n),
+        i => concat_ws(" ", slice(wordArr, i + 1, lit(n)))))
+
+  /** Distinct shingle hashes of a text (the MinHash universe). */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(words(text), n), s => polyHash(s)))
+
+  /** MinHash signature: for i in [0,k), min over shingle hashes h of
+    * (a_i*h + b_i) mod p with a_i = 2i+1, b_i = 1000003*i + 12345. */
+  def minhashSignature(shingleHashArr: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i =>
+        array_min(transform(
+          shingleHashArr,
+          h => pmod(h * (i * 2 + 1) + (i * lit(1000003L) + lit(12345L)),
+            lit(HashMod)))))
+
+  /** Word hashes of a text (compute once, feed to [[simhashFromHashes]]). */
+  def wordHashes(text: Column): Column =
+    transform(words(text), w => polyHash(w))
+
+  /** SimHash over precomputed word hashes, `bits` wide: bit j set iff the
+    * sum over words of (+1 if bit j of hash else -1) is positive. */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    val bitCols = (0 until bits).map { j =>
+      val votes = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) =>
+          acc + when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  def simhash(text: Column, bits: Int): Column =
+    simhashFromHashes(wordHashes(text), bits)
+
+  /** Exact word-count and distinct-word (type) count. */
+  def tokenCount(text: Column): Column = size(words(text))
+  def typeCount(text: Column): Column = size(array_distinct(words(text)))
+
+  /** English-ish stopword list used by the language-ID heuristic. Fixed
+    * and mirrored in the oracle SQL. */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "in", "and", "is", "it", "that")
+
+  /** Fraction of tokens that are stopwords (single exact division). */
+  def stopwordRatio(text: Column): Column = {
+    val w = words(text)
+    size(filter(w, x => x.isin(enStopwords.map(v => v: Any): _*)))
+      .cast("double") / size(w)
+  }
+
+  /** Content fingerprint: polynomial hash over the whole text. */
+  def fingerprint(text: Column): Column = polyHash(text)
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Numeric contract: dot products are computed as an ORDERED left fold over
+ * double-promoted elements (`aggregate(zip_with(...))`), so the result is
+ * bit-deterministic and reproducible by the DuckDB oracle's `list_reduce`.
+ *
+ * Scale paths:
+ *  - [[bruteForceTopK]]: probe × corpus broadcast join — right for a small
+ *    probe set against a large corpus (corpus stays partitioned; probes are
+ *    broadcast). All-pairs over the full corpus is intentionally NOT
+ *    offered as a default.
+ *  - [[lshBuckets]] / [[lshTopK]]: random-hyperplane signs (deterministic
+ *    hyperplanes derived from a seed) bucket the corpus; candidates are
+ *    same-bucket only — the 100 TB path, trading recall for a
+ *    |bucket|-bounded join.
+ */
+object SimilaritySearch {
+
+  /** Ordered-fold cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, p) => acc + p)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Top-k neighbors (by cosine, descending; ties broken by ascending
+    * neighbor id) for each probe row. Probe side is broadcast. */
+  def bruteForceTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .select(
+        col("probe_id"), col("neighbor_id"),
+        cosine(col("pv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (seed, plane j,
+    * dim i): in {-1, +1} — a sign-random projection (Charikar-style
+    * SRP-LSH) with no stored model. Knuth multiplicative hash on plain
+    * integer arithmetic so the oracle engine reproduces buckets exactly. */
+  private def planeSign(seed: Long, j: Int, i: Column): Column =
+    when(
+      shiftright((i + 1) * lit(2654435761L) + lit((j + 1) * 40503L + seed),
+        16) % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** SRP-LSH bucket id: `planes`-bit signature of sign(v · r_j). */
+  def srpBucket(vec: Column, planes: Int, seed: Long = 42L): Column = {
+    val bits = (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeSign(seed, j, i)),
+        lit(0.0), (acc, p) => acc + p)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Corpus annotated with its SRP-LSH bucket. */
+  def lshBuckets(corpus: DataFrame, vecCol: String, planes: Int,
+      seed: Long = 42L): DataFrame =
+    corpus.withColumn("bucket", srpBucket(col(vecCol), planes, seed))
+
+  /** Approximate top-k: probes only scan their own SRP bucket. Recall is
+    * traded for a shuffle bounded by bucket size (2^planes buckets). */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 4, seed: Long = 42L): DataFrame = {
+    val c = lshBuckets(corpus, vecCol, planes, seed)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+    val p = lshBuckets(probes, vecCol, planes, seed)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"), col("bucket"))
+    val scored = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= minCos, candidates
+    * restricted to same SRP bucket (the scale path for embedding dedup). */
+  def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, planes: Int = 0, seed: Long = 42L): DataFrame = {
+    val base =
+      if (planes > 0) lshBuckets(corpus, vecCol, planes, seed)
+      else corpus.withColumn("bucket", lit(0L))
+    val l = base.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val r = base.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

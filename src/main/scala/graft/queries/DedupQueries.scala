@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/**
+ * Deduplication operators as driver-checkable queries over `documents`.
+ * The MinHash/SimHash machinery uses portable polynomial hashing
+ * ([[graft.functions.TextFunctions]]), so even the LSH internals have full
+ * DuckDB oracles — the oracle replicates signature, banding and pairing
+ * arithmetic exactly.
+ */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup via content hash: every member of a duplicate group
+    "dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val groups = Dedup.exactDupGroups(d, "doc_id", "text")
+        .select(col("content_md5"), col("n_dups"))
+      d.select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .join(groups, Seq("content_md5"))
+        .select("doc_id", "content_md5", "n_dups")
+    }),
+
+    // MinHash signatures (first 50 docs): the LSH building block
+    "dedup_minhash_sig" -> ((s, dir) => {
+      Dedup.minhashSignatures(
+          docs(s, dir).filter(col("doc_id") < 50), "doc_id", "text", 16)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "sig")))
+    }),
+
+    // MinHash-LSH near-dup pairs (16 hashes, 4 bands, est sim >= 0.5)
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        k = 16, bands = 4, minEstSim = 0.5)
+    }),
+
+    // SimHash values (16-bit)
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashes(docs(s, dir), "doc_id", "text", bits = 16)
+    }),
+
+    // SimHash near-dup pairs (hamming <= 3, half-band blocking)
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
+        bits = 16, maxHamming = 3)
+    }),
+
+    // exact n-gram Jaccard pairs >= 0.3 via inverted-index join
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.3)
+    })
+  )
+
+  // --- oracle fragments (mirror TextFunctions exactly) ---
+  private val polyHashLambda =
+    "s -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "[CAST(ascii(c) AS BIGINT) for c in string_split(s,'')]), " +
+      "(a,b)->(a*31+b)%1000000007)"
+
+  /** doc_id -> distinct 3-gram shingle hashes, as a CTE. */
+  private val shingleHashCte =
+    s"""sh AS (
+       SELECT doc_id,
+              list_distinct(list_transform(
+                CASE WHEN len(string_split(text,' ')) < 3 THEN []
+                     ELSE [w[i]||' '||w[i+1]||' '||w[i+2]
+                           for i in range(1, len(w)-1)] END,
+                $polyHashLambda)) AS hs
+       FROM (SELECT doc_id, text, string_split(text,' ') AS w
+             FROM documents))"""
+
+  /** 16-hash MinHash signature from hs. */
+  private val sigExpr =
+    """list_transform(range(16), i ->
+       list_min(list_transform(hs, h ->
+         (h*(2*i+1)+(1000003*i+12345))%1000000007)))"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH g AS (SELECT md5(text) AS content_md5,
+                    COUNT(*) AS n_dups
+             FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+         SELECT d.doc_id, g.content_md5, g.n_dups
+         FROM documents d JOIN g ON md5(d.text) = g.content_md5""",
+    "dedup_minhash_sig" ->
+      s"""WITH $shingleHashCte,
+          sigs AS (SELECT doc_id, $sigExpr AS sig FROM sh WHERE doc_id < 50)
+          SELECT doc_id, CAST(i AS INT) AS i,
+                 list_extract(sig, i+1) AS sig
+          FROM sigs, (SELECT unnest(range(16)) AS i)""",
+    "dedup_minhash_pairs" ->
+      s"""WITH $shingleHashCte,
+          sigs AS (SELECT doc_id, $sigExpr AS sig FROM sh),
+          bands AS (
+            SELECT doc_id, sig, CAST(b AS INT) AS band_idx,
+                   array_to_string(list_slice(sig, b*4+1, b*4+4), '_') AS band_key
+            FROM sigs, (SELECT unnest(range(4)) AS b)),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   l.sig AS sig_a, r.sig AS sig_b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id)
+          SELECT id_a, id_b,
+                 CAST(len(list_filter(range(16),
+                   i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
+                   AS DOUBLE)/16 AS est_sim
+          FROM cand
+          WHERE CAST(len(list_filter(range(16),
+                   i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
+                   AS DOUBLE)/16 >= 0.5""",
+    "dedup_simhash" ->
+      s"""WITH wh AS (
+            SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(w,'')]), (a,b)->(a*31+b)%1000000007) AS h
+            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                  FROM documents)),
+          bits AS (
+            SELECT doc_id, j,
+                   CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1
+                                      THEN 1 ELSE -1 END) > 0
+                        THEN CAST(1 AS BIGINT) << j ELSE 0 END AS v
+            FROM wh, (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j)
+          SELECT doc_id, CAST(SUM(v) AS BIGINT) AS simhash
+          FROM bits GROUP BY 1""",
+    "dedup_simhash_pairs" ->
+      s"""WITH wh AS (
+            SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(w,'')]), (a,b)->(a*31+b)%1000000007) AS h
+            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                  FROM documents)),
+          bits AS (
+            SELECT doc_id, j,
+                   CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1
+                                      THEN 1 ELSE -1 END) > 0
+                        THEN CAST(1 AS BIGINT) << j ELSE 0 END AS v
+            FROM wh, (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+          shs AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS simhash
+                  FROM bits GROUP BY 1),
+          keyed AS (SELECT doc_id, simhash, simhash % 256 AS lo,
+                           simhash >> 8 AS hi FROM shs),
+          cand AS (
+            SELECT l.doc_id id_a, r.doc_id id_b,
+                   l.simhash sh_a, r.simhash sh_b
+            FROM keyed l JOIN keyed r ON l.lo = r.lo AND l.doc_id < r.doc_id
+            UNION
+            SELECT l.doc_id, r.doc_id, l.simhash, r.simhash
+            FROM keyed l JOIN keyed r ON l.hi = r.hi AND l.doc_id < r.doc_id)
+          SELECT id_a, id_b,
+                 CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
+    "dedup_jaccard_pairs" ->
+      """WITH ds AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) < 3 THEN []
+                  ELSE [w[i]||' '||w[i+1]||' '||w[i+2]
+                        for i in range(1, len(w)-1)] END)) AS shingle
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ds GROUP BY 1),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
+           FROM ds l JOIN ds r ON l.shingle = r.shingle
+            AND l.doc_id < r.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                CAST(n_inter AS DOUBLE)/(a.n_shingles + b.n_shingles - n_inter)
+                  AS jaccard
+         FROM inter
+         JOIN sizes a ON a.doc_id = id_a
+         JOIN sizes b ON b.doc_id = id_b
+         WHERE CAST(n_inter AS DOUBLE)/(a.n_shingles + b.n_shingles - n_inter)
+               >= 0.3"""
+  )
+}

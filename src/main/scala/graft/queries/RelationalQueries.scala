@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * SURVEY.md §2 operator inventory expressed over the driver's testdata
+ * tables, each with a DuckDB oracle (SparkEntry.oracleSql). Numeric outputs
+ * follow the determinism contract: sums over doubles go through exact
+ * DECIMAL accumulation, then cast to double — identical bits in both
+ * engines regardless of partial-aggregation order.
+ */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2: grouped aggregation with decimal-exact money math
+    // (reference analog: per-filetype count/size sums,
+    // scripts/reports/bucket_summary/main.py:130-157)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A3: distinct aggregation (unique study-id counts,
+    // manifest_summary/main.py:140-147)
+    "a3_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // J1: anti join — declared-but-missing (submission_data.py:133-137)
+    "j1_anti" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"))
+      o.join(l, Seq("o_orderkey"), "left_anti").select("o_orderkey")
+    }),
+
+    // J3: semi join — matched set (submission_data.py:143-165)
+    "j3_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi").select("c_custkey")
+    }),
+
+    // J4: broadcast dimension equi-join + grouped rollup
+    // (per-file manifest lookup, validation_manager.py:156-169)
+    "j4_dim_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // J7: full-outer diff with presence indicator
+    // (old2new_store_consitency_check.py:295-338)
+    "j7_full_outer_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .distinct().withColumn("in_cust", lit(1))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .distinct().withColumn("in_ord", lit(1))
+      c.join(o, Seq("custkey"), "full_outer")
+        .select(
+          col("custkey"),
+          coalesce(col("in_cust"), lit(0)).as("in_cust"),
+          coalesce(col("in_ord"), lit(0)).as("in_ord"))
+    }),
+
+    // J8: compensated anti join — missing, unless forgiven by a derived
+    // condition (manifest.orig compensation, batch.py:285-337)
+    "j8_compensated_anti" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val signup = e.filter(col("event_type") === "error" && col("value") > 300)
+        .select("user_id").distinct()
+      val purchase = e.filter(col("event_type") === "purchase" && col("value") > 300)
+        .select("user_id").distinct()
+      val heavyViewers = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(count(lit(1)).as("nv"))
+        .filter(col("nv") >= 25).select("user_id")
+      signup
+        .join(purchase, Seq("user_id"), "left_anti")
+        .join(heavyViewers, Seq("user_id"), "left_anti")
+    }),
+
+    // J9-ish: completeness anti join from the dimension side
+    // (batch.py:232-282)
+    "j9_completeness_anti" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("n_nationkey")).distinct()
+      n.join(c, Seq("n_nationkey"), "left_anti")
+        .select("n_nationkey", "n_name")
+    }),
+
+    // A5: keep-first dedup via window (find_and_delete_duplicates.py:76-124)
+    "a5_dedup_keepfirst" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      d.select(col("doc_id"), col("text"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("text"))).as("grp"))
+        .filter(col("rn") === 1 && col("grp") > 1)
+        .select(col("doc_id"), col("grp"))
+    }),
+
+    // A6: duplicate-membership filter (find_and_delete_duplicates.py:78-82)
+    "a6_dup_membership" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = Window.partitionBy(col("text"))
+      d.select(col("doc_id"), count(lit(1)).over(w).as("grp"))
+        .filter(col("grp") > 1)
+    }),
+
+    // A9: verdict roll-up — partition passes iff zero violating rows
+    // (batch.py:191-229)
+    "a9_verdict_rollup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          sum(when(col("n_chars") < lit(50), 1L).otherwise(0L)).as("n_bad"),
+          count(lit(1)).as("n_docs"))
+        .select(
+          col("source"),
+          when(col("n_bad") > 0, lit("FAIL")).otherwise(lit("PASS"))
+            .as("status"),
+          col("n_bad"), col("n_docs"))
+    }),
+
+    // O-ops: deterministic top-k with tie-break
+    "o_topk_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+        .orderBy(col("total_value").desc, col("user_id").asc)
+        .limit(10)
+    }),
+
+    // Window: first-3-per-key (O1/A5 ordering machinery)
+    "w_first_per_key" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+
+    // F3: classifier when/otherwise chain (agha.py:94-126)
+    "f3_classifier" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          when(col("n_chars") < 100, lit("short"))
+            .when(col("n_chars") < 300, lit("medium"))
+            .otherwise(lit("long")).as("size_class"))
+        .groupBy("size_class").agg(count(lit(1)).as("n"))
+    }),
+
+    // F5: regex field validation (submission_data.py:18-22, 210-229)
+    "f5_regex_valid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          sum(when(col("text").rlike("^[a-z ]+$"), 1L).otherwise(0L))
+            .as("n_valid"),
+          count(lit(1)).as("n"))
+    }),
+
+    // §2.7 scalar functions: json extraction, path construction, basename
+    "f_scalar_path" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_id") < 100)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          concat(col("event_type"), lit("/"), col("user_id"),
+            lit("/"), col("event_id"), lit(".json")).as("path"))
+        .select(
+          col("event_id"), col("k"),
+          regexp_extract(col("path"), "([^/]+)$", 1).as("basename"),
+          regexp_extract(col("path"), "^([^/]+)/", 1).as("topdir"))
+    }),
+
+    // §2.6 set ops: except
+    "set_except" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "error" && col("value") > 200)
+        .select("user_id").distinct()
+        .except(
+          e.filter(col("event_type") === "purchase" && col("value") > 200)
+            .select("user_id").distinct())
+    }),
+
+    // Streaming-analog: tumbling 1h window counts (batch equivalent of the
+    // Structured Streaming ingestion, SURVEY.md §2.8)
+    "st_tumbling_counts" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    }),
+
+    // Sessionization: 30-min-gap sessions per user (stateful-stream analog,
+    // mapGroupsWithState semantics in batch form)
+    "st_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("ts"),
+          lag(col("ts"), 1).over(w).as("prev_ts"))
+        .select(col("user_id"),
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+            1L).otherwise(0L).as("new_session"))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "a3_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1""",
+    "j1_anti" ->
+      """SELECT o_orderkey FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""",
+    "j3_semi" ->
+      """SELECT c_custkey FROM customer c WHERE EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "j4_dim_join" ->
+      """SELECT p_brand,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
+    "j7_full_outer_diff" ->
+      """SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+         CASE WHEN c.custkey IS NULL THEN 0 ELSE 1 END AS in_cust,
+         CASE WHEN o.custkey IS NULL THEN 0 ELSE 1 END AS in_ord
+         FROM (SELECT DISTINCT c_custkey AS custkey FROM customer) c
+         FULL OUTER JOIN (SELECT DISTINCT o_custkey AS custkey FROM orders) o
+         USING (custkey)""",
+    "j8_compensated_anti" ->
+      """WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type='error' AND value > 300),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type='purchase' AND value > 300),
+         hv AS (SELECT user_id FROM events WHERE event_type='view'
+                GROUP BY 1 HAVING COUNT(*) >= 25)
+         SELECT user_id FROM s
+         WHERE user_id NOT IN (SELECT user_id FROM p)
+           AND user_id NOT IN (SELECT user_id FROM hv)""",
+    "j9_completeness_anti" ->
+      """SELECT n_nationkey, n_name FROM nation n WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)""",
+    "a5_dedup_keepfirst" ->
+      """SELECT doc_id, grp FROM (
+           SELECT doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY text) AS grp
+           FROM documents) WHERE rn = 1 AND grp > 1""",
+    "a6_dup_membership" ->
+      """SELECT doc_id, grp FROM (
+           SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS grp
+           FROM documents) WHERE grp > 1""",
+    "a9_verdict_rollup" ->
+      """SELECT source,
+         CASE WHEN SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) > 0
+              THEN 'FAIL' ELSE 'PASS' END AS status,
+         CAST(SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         COUNT(*) AS n_docs
+         FROM documents GROUP BY source""",
+    "o_topk_users" ->
+      """SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1
+         ORDER BY total_value DESC, user_id ASC LIMIT 10""",
+    "w_first_per_key" ->
+      """SELECT user_id, event_id, rn FROM (
+           SELECT user_id, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn <= 3""",
+    "f3_classifier" ->
+      """SELECT CASE WHEN n_chars < 100 THEN 'short'
+                     WHEN n_chars < 300 THEN 'medium'
+                     ELSE 'long' END AS size_class, COUNT(*) AS n
+         FROM documents GROUP BY 1""",
+    "f5_regex_valid" ->
+      """SELECT lang,
+         CAST(SUM(CASE WHEN regexp_matches(text, '^[a-z ]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         COUNT(*) AS n
+         FROM documents GROUP BY 1""",
+    "f_scalar_path" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+         regexp_extract(event_type || '/' || user_id || '/' || event_id || '.json', '([^/]+)$', 1) AS basename,
+         regexp_extract(event_type || '/' || user_id || '/' || event_id || '.json', '^([^/]+)/', 1) AS topdir
+         FROM events WHERE event_id < 100""",
+    "set_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type='error' AND value > 200
+         EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type='purchase' AND value > 200""",
+    "st_tumbling_counts" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         FROM events GROUP BY 1,2""",
+    "st_sessionize" ->
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM (
+           SELECT user_id,
+                  CASE WHEN prev_ts IS NULL
+                            OR epoch(ts) - epoch(prev_ts) > 1800
+                       THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id, ts,
+                        LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_ts
+                 FROM events)) GROUP BY 1"""
+  )
+}

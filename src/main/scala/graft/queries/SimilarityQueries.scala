@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, SimilaritySearch}
+
+/**
+ * Similarity-search operators over the `embeddings` table. Dot products are
+ * ordered double folds, and SRP hyperplanes are plain integer hashes, so
+ * the DuckDB oracle reproduces scores and buckets bit-for-bit.
+ */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-5 for the first 10 probe vectors
+    "ann_topk_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.bruteForceTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+
+    // SRP-LSH bucket assignment (4 hyperplanes -> 16 buckets)
+    "ann_lsh_buckets" -> ((s, dir) => {
+      SimilaritySearch.lshBuckets(emb(s, dir), "embedding", planes = 4)
+        .select(col("vec_id"), col("bucket"))
+    }),
+
+    // LSH-restricted approximate top-3 for the first 10 probes
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.lshTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, planes = 4)
+    }),
+
+    // embedding near-dup pairs: cosine >= 0.4, exact all-pairs path
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      SimilaritySearch.embeddingDupPairs(
+        emb(s, dir), "vec_id", "embedding", minCos = 0.4)
+    }),
+
+    // multimodal feature extraction through the batched codec stage
+    // (FakeCodec — deterministic; NO oracle: mapPartitions is the one
+    // non-SQL-expressible stage, driver records rows-only)
+    "mm_features" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+        .toDF()
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          element_at(col("features"), 1).as("f0"))
+    })
+  )
+
+  // ordered-fold dot product over double-promoted elements
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) " +
+      s"for i in range(1, len($a)+1)]), (x,y)->x+y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  // SRP bucket: bit j set iff sum_i v[i]*sign(seed,j,i) > 0, with
+  // sign = +1 iff ((i+1)*2654435761 + (j+1)*40503 + 42) >> 16 is even
+  // (i is the 0-based dim, j the 0-based plane; mirrors planeSign).
+  private val bucketSql =
+    """(SELECT CAST(SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+       FROM (SELECT j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [CAST(embedding[i+1] AS DOUBLE) *
+                (CASE WHEN ((CAST(i+1 AS BIGINT)*2654435761 +
+                             (j+1)*40503 + 42) >> 16) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END)
+                for i in range(0, len(embedding))]), (x,y)->x+y) AS pr
+             FROM (SELECT unnest(range(4)) AS j)))"""
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk_cosine" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+               FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+               FROM embeddings),
+          scored AS (
+            SELECT probe_id, neighbor_id, ${cosSql("pv", "cv")} AS cos
+            FROM p, c WHERE probe_id <> neighbor_id),
+          ranked AS (
+            SELECT probe_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+          FROM ranked WHERE rank <= 5""",
+    "ann_lsh_buckets" ->
+      s"""SELECT vec_id, $bucketSql AS bucket FROM embeddings""",
+    "ann_lsh_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+                     FROM embeddings),
+          p AS (SELECT vec_id AS probe_id, embedding AS pv, bucket
+                FROM b WHERE vec_id < 10),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+          scored AS (
+            SELECT probe_id, neighbor_id, ${cosSql("pv", "cv")} AS cos
+            FROM p JOIN c USING (bucket)
+            WHERE probe_id <> neighbor_id),
+          ranked AS (
+            SELECT probe_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+          FROM ranked WHERE rank <= 3""",
+    "dedup_embedding_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND ${cosSql("a.embedding", "b.embedding")} >= 0.4"""
+  )
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Multimodal
+
+/**
+ * Text-analysis operators over the `documents` table: token counting,
+ * quality scoring, language-ID heuristic, content fingerprinting, plus the
+ * multimodal metadata path. All hashes are portable integer arithmetic
+ * (see [[graft.functions.TextFunctions]]), so every query here has a full
+ * DuckDB oracle.
+ */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // oracle fragment: polynomial char hash, mirrored from TextFunctions
+  private def sqlPolyHash(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ascii(c) AS BIGINT) for c in string_split($expr,'')]), " +
+      s"(a,b)->(a*31+b)%1000000007)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace tokens + distinct types
+    "text_tokcount" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_words"),
+        typeCount(col("text")).cast("long").as("n_types"))
+    }),
+
+    // quality scoring: length stats, type-token ratio, mean word length
+    "text_quality" -> ((s, dir) => {
+      val w = words(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        (size(array_distinct(w)).cast("double") / size(w)).as("ttr"),
+        ((col("n_chars") - size(w) + 1).cast("double") / size(w))
+          .as("avg_word_len"),
+        when(col("n_chars") >= 100 && size(w) >= 20, lit("good"))
+          .otherwise(lit("low")).as("quality_class"))
+    }),
+
+    // language-ID heuristic: stopword hit-ratio (n-gram heuristics reduce
+    // to fixed token-set membership on this whitespace corpus)
+    "text_langid" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        col("lang"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        when(stopwordRatio(col("text")) > 0.03, lit("en_like"))
+          .otherwise(lit("other")).as("pred"))
+    }),
+
+    // document fingerprint: rolling polynomial hash of the full text
+    "text_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+    }),
+
+    // multimodal metadata path: opaque binary payload + typed metadata
+    // (decode itself is the stubbed FakeCodec; this query checks the
+    // oracle-able part: byte length and mime routing)
+    "mm_binary_meta" -> ((s, dir) => {
+      Multimodal.mediaFromDocuments(docs(s, dir))
+        .select(
+          col("media_id"),
+          col("mime"),
+          length(col("payload")).cast("long").as("n_bytes"))
+    })
+  )
+
+  private val stopList =
+    enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokcount" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_types
+         FROM documents""",
+    "text_quality" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+           / len(string_split(text,' ')) AS ttr,
+         CAST(n_chars - len(string_split(text,' ')) + 1 AS DOUBLE)
+           / len(string_split(text,' ')) AS avg_word_len,
+         CASE WHEN n_chars >= 100 AND len(string_split(text,' ')) >= 20
+              THEN 'good' ELSE 'low' END AS quality_class
+         FROM documents""",
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+          CAST(len(list_filter(string_split(text,' '),
+            x -> list_contains($stopList, x))) AS DOUBLE)
+            / len(string_split(text,' ')) AS stop_ratio,
+          CASE WHEN CAST(len(list_filter(string_split(text,' '),
+            x -> list_contains($stopList, x))) AS DOUBLE)
+            / len(string_split(text,' ')) > 0.03
+            THEN 'en_like' ELSE 'other' END AS pred
+          FROM documents""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${sqlPolyHash("text")} AS fp FROM documents""",
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents"""
+  )
+}
