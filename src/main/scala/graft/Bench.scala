@@ -1,24 +1,78 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.bench.ScalingBench
+
+/** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR, plus the
+  * BASELINE.md scaling protocol (identical rules-complete job at local[8]
+  * vs local[32]); prints ONE JSON line. */
 object Bench {
+
+  /** Representative subset spanning scan/join/agg/window/dedup/similarity
+    * machinery — kept fast enough for a per-round run at sf0.1. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "j1_anti", "j4_dim_join", "j7_full_outer_diff",
+    "a9_verdict_rollup", "o_topk_users", "w_first_per_key",
+    "st_sessionize", "f5_regex_valid",
+    "text_quality", "text_fingerprint",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_jaccard_pairs",
+    "ann_topk_cosine", "ann_lsh_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // JVM/codegen warm-up outside the measured window
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows)")
+        name -> sec
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // BASELINE.md scaling protocol (skippable for quick local iterations)
+    val scaling =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) None
+      else {
+        val rows = sys.env.get("SPARK_GRAFT_BENCH_ROWS")
+          .map(_.toLong).getOrElse(4000000L)
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-bench-scaling").toString
+        val r = ScalingBench.run(work, rows)
+        val out = java.nio.file.Paths.get("BENCH")
+        java.nio.file.Files.createDirectories(out)
+        java.nio.file.Files.writeString(
+          out.resolve("BASELINE.md"), ScalingBench.report(r))
+        Some(r)
+      }
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val scalingJson = scaling.map { r =>
+      s""","scaling":{"rows":${r.rows},""" +
+        s""""throughput_n":${r.n.rowsPerSec.round},""" +
+        s""""throughput_4n":${r.n4.rowsPerSec.round},""" +
+        s""""efficiency":${f"${r.efficiency}%.3f"}}"""
+    }.getOrElse("")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+        s""""queries":$qs,"sf":"$sfDir"$scalingJson}""")
   }
 }

@@ -40,8 +40,16 @@ object ValidationJob {
   def run(spark: SparkSession, cfg: Config): RunReport = {
     import spark.implicits._
     val t0 = System.nanoTime()
+    var tLast = t0
+    val phaseLog = sys.env.get("GRAFT_PHASE_LOG").contains("1")
+    def phase(name: String): Unit = if (phaseLog) {
+      val now = System.nanoTime()
+      System.err.println(f"[phase] $name%-22s ${(now - tLast) / 1e6}%9.1f ms")
+      tLast = now
+    }
 
     val snapshotId = TableIO.snapshotId(spark, cfg.inputPath)
+    phase("snapshot_id")
     val rulesetHash = cfg.rules.rulesetHash
 
     val all = spark.read.parquet(cfg.inputPath).as[Sequence]
@@ -54,40 +62,60 @@ object ValidationJob {
     // so Catalyst prunes their files from the scan entirely.
     val done = Checkpoint.completedPartitions(
       spark, checkpointPath(cfg.outDir), snapshotId, rulesetHash)
-    val allParts = all.select("source").distinct().as[String].collect().toSeq.sorted
+    val allParts = TableIO.partitionValues(spark, cfg.inputPath, "source")
+      .getOrElse(
+        all.select("source").distinct().as[String].collect().toSeq.sorted)
     val todo = allParts.filterNot(done)
+    phase("checkpoint+parts")
 
     if (todo.isEmpty) {
       return RunReport(snapshotId, rulesetHash, Nil, allParts, 0L, 0L,
         (System.nanoTime() - t0) / 1000000)
     }
 
-    val seqs =
+    val seqs0 =
       if (done.isEmpty) all
       else all.filter(col("source").isin(todo.map(x => x: Any): _*))
 
+    // Cache the fact table across the rule-family passes (row rules,
+    // uniqueness, RI, two drift histograms each rescan it). Materialize
+    // up front so every pass runs at full parallelism against in-memory
+    // partitions instead of re-decoding parquet.
+    val seqs = seqs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsValidated = seqs.count()
+    phase("cache_materialize")
+
     val result = RuleEngine.validate(seqs, manifest, cfg.rules, baseline, cfg.vocab)
+    phase("validate_drift_eager")
 
     // Restrict verdict/violation output to partitions being validated (the
     // RI full-outer join can surface manifest-only sources; those belong to
     // this run only if not already checkpointed).
     val vio = result.violations.filter(col("source").isin(todo.map(x => x: Any): _*) ||
       !col("source").isin(allParts.map(x => x: Any): _*))
-    val ver = result.verdicts.filter(col("source").isin(todo.map(x => x: Any): _*) ||
-      !col("source").isin(allParts.map(x => x: Any): _*))
 
     TableIO.writePartitioned(vio.toDF(), violationsPath(cfg.outDir))
-    TableIO.writePartitioned(ver.toDF(), verdictsPath(cfg.outDir))
+    phase("write_violations")
 
-    // Roll up one checkpoint entry per validated partition; written last.
-    // Read back with explicit schemas: a clean run writes ZERO violation
-    // files, and schema inference on an empty dir would fail.
+    // Roll up verdicts from the WRITTEN violations (cheap pruned re-read)
+    // rather than recomputing the whole violation pipeline a second time.
+    // Explicit schemas: a clean run writes ZERO violation files and schema
+    // inference on an empty dir would fail.
     val vioSchema = org.apache.spark.sql.Encoders.product[Violation].schema
     val verSchema = org.apache.spark.sql.Encoders.product[Verdict].schema
+    val writtenVio = spark.read.schema(vioSchema)
+      .parquet(violationsPath(cfg.outDir)).as[Violation]
+
+    val verdicts = graft.rules.RuleEngine
+      .rollUpVerdicts(seqs.toDF(), manifest, cfg.rules, writtenVio)
+    val ver = verdicts.filter(col("source").isin(todo.map(x => x: Any): _*) ||
+      !col("source").isin(allParts.map(x => x: Any): _*))
+
+    TableIO.writePartitioned(ver.toDF(), verdictsPath(cfg.outDir))
+    phase("write_verdicts")
+
     val written = spark.read.schema(verSchema).parquet(verdictsPath(cfg.outDir))
-    val rowsValidated = seqs.count()
-    val vioCount = spark.read.schema(vioSchema)
-      .parquet(violationsPath(cfg.outDir))
+    val vioCount = writtenVio
       .filter(col("source").isin(todo.map(x => x: Any): _*)).count()
     val wallMs = (System.nanoTime() - t0) / 1000000
 
@@ -119,7 +147,9 @@ object ValidationJob {
 
     Checkpoint.append(
       spark.createDataset(perPartStatus), checkpointPath(cfg.outDir))
+    phase("checkpoint_write")
 
+    seqs.unpersist(blocking = false)
     RunReport(snapshotId, rulesetHash, todo, done.toSeq.sorted,
       rowsValidated, vioCount, wallMs)
   }

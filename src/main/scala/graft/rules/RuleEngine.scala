@@ -103,12 +103,15 @@ object RuleEngine {
           r.observed.cast(StringType).as("observed"),
           lit(r.severity).as("severity")))
     }
+    // explode the fixed-width rule array and drop nulls AFTER the
+    // generator: both operators stay inside whole-stage codegen, unlike a
+    // higher-order filter() over the array (interpreted per element).
     enriched
       .select(
         col("doc_id"),
         col("source"),
-        filter(array(vioStructs: _*), v => v.isNotNull).as("vios"))
-      .select(col("doc_id"), col("source"), explode(col("vios")).as("v"))
+        explode(array(vioStructs: _*)).as("v"))
+      .filter(col("v").isNotNull)
       .select(
         col("doc_id"),
         col("v.rule_id").as("rule_id"),
@@ -118,29 +121,56 @@ object RuleEngine {
       .as[Violation]
   }
 
-  /** Two-stage duplicate detection (J6/A4/A5 semantics). Stage 1 is a
-    * partial-aggregated count (bytes of state per key); stage 2 touches
-    * only duplicate members. Evidence per member row lists all group
-    * members, like the reference's all-locations duplicate report. */
+  /** Salt count for the two-stage duplicate-evidence aggregation and cap
+    * on the number of member locations recorded per duplicate group. */
+  val DupSalts = 16
+  val DupEvidenceCap = 100
+
+  /** Two-stage SALTED duplicate detection (J6/A4/A5 semantics; the
+    * north-rule "salted repartition + sort-merge dedup").
+    *
+    * Stage 1 groups by (key, salt) — a hot key duplicated millions of
+    * times (the adversarial case at 10^12 rows) spreads over [[DupSalts]]
+    * reducers, each producing a bounded partial: a count plus at most
+    * [[DupEvidenceCap]] sample member locations. Stage 2 merges the <=
+    * DupSalts partials per key, so no reducer ever materializes an
+    * unbounded member list. Counts stay EXACT; the member-location
+    * evidence is capped (the reference reports all duplicate locations,
+    * manifest_processor.py:293-305 — complete up to the cap, which any
+    * real duplicate group at validation scale fits). */
   def uniqueViolations(seqs: DataFrame, rule: UniqueRule): Dataset[Violation] = {
     val spark = seqs.sparkSession
     import spark.implicits._
     val k = rule.key
+
+    // Pass 1: exact counts — constant state per key, map-side partial
+    // aggregation absorbs volume; only duplicate keys survive (a tiny set
+    // relative to the table in the 99.99%-unique regime).
     val dupKeys = seqs
       .groupBy(col(k))
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
-    // Duplicate sets are tiny relative to the table; the join against the
-    // fact table is a semi-style inner join that AQE will broadcast when
-    // small. Evidence aggregation only sees duplicate members.
-    val members = seqs
-      .join(dupKeys, Seq(k))
+    // Pass 2: evidence for duplicate MEMBERS only. Salted two-stage so a
+    // hot key duplicated millions of times spreads over DupSalts reducers,
+    // each emitting a bounded partial; the merge sees <= DupSalts capped
+    // lists per key — no reducer materializes an unbounded member list.
+    val salt = pmod(xxhash64(col("source"), col("n_tok")), lit(DupSalts.toLong))
+    val members = seqs.join(dupKeys, Seq(k))
+
+    val partials = members
+      .groupBy(col(k), col("dup_count"), salt.as("salt"))
+      .agg(
+        slice(sort_array(collect_list(col("source"))), 1, DupEvidenceCap)
+          .as("srcs"))
+
+    val groups = partials
       .groupBy(col(k), col("dup_count"))
       .agg(
-        sort_array(collect_list(col("source"))).as("member_sources"))
+        slice(sort_array(flatten(collect_list(col("srcs")))), 1,
+          DupEvidenceCap).as("member_sources"))
 
-    members
+    groups
       .select(
         col(k).cast(StringType).as("doc_id"),
         lit(rule.id).as("rule_id"),

@@ -16,16 +16,53 @@ object TableIO {
   /** Write partitioned by `source` with DYNAMIC partition overwrite — the
     * Spark-native form of the reference's delete-then-rewrite idempotent
     * refresh (reference manifest_processor.py:465-491): re-running a
-    * partition replaces exactly that partition's files, nothing else. */
-  def writePartitioned(df: DataFrame, path: String, partitionCol: String = "source"): Unit =
-    df.write
+    * partition replaces exactly that partition's files, nothing else.
+    *
+    * Rows are CLUSTERED by the partition column (plus `saltFiles`-way salt
+    * when one partition's output is large enough to want multiple writers)
+    * before the write: without this, every upstream task writes a sliver
+    * into every partition dir — thousands of tiny files whose commit is a
+    * DRIVER-SERIAL rename loop. With it, file count = |partitions| x
+    * saltFiles regardless of upstream parallelism. */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCol: String = "source",
+      saltFiles: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val clustered =
+      if (saltFiles <= 1) df.repartition(n, col(partitionCol))
+      else df.repartition(n, col(partitionCol),
+        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFiles.toLong)))
+    clustered.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+  }
 
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Partition values of a hive-layout table from DIRECTORY NAMES — a
+    * metadata read (the Iceberg-manifest analog), replacing a full-table
+    * DISTINCT scan. Returns None when the table isn't partitioned by
+    * `column` (caller falls back to a distinct query). */
+  def partitionValues(
+      spark: SparkSession, path: String, column: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val prefix = column + "="
+    val dirs = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+    if (dirs.isEmpty) None
+    else Some(dirs.map(d =>
+      java.net.URLDecoder.decode(d.stripPrefix(prefix), "UTF-8")).sorted)
+  }
 
   /** Stable snapshot identity for a table path: hash of the sorted data
     * file (name, length) listing — deterministic for identical data,

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import graft.model.{ManifestEntry, Sequence, Violation}
+import graft.rules.{RuleEngine, RuleSet, Rules}
+
+/**
+ * Structured-Streaming ingestion path — the Spark-native form of the
+ * reference's event-driven record-at-a-time pipeline (reference:
+ * s3_event_router.py:80-135 routing, s3_event_recorder.py:80-179
+ * incremental upsert; SURVEY.md §2.8). New sequence files landing under a
+ * directory are validated incrementally; violations append to a streaming
+ * sink. Batch and streaming share the SAME rule compilation: row rules are
+ * stateless expressions, so they apply unchanged to a streaming Dataset;
+ * cross-row rules (uniqueness, drift) remain batch/foreachBatch concerns —
+ * exactly the reference's split between per-file checks and
+ * submission-level roll-ups.
+ */
+object StreamingValidation {
+
+  /** Open the landing directory as a stream of sequences. */
+  def readSequenceStream(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int = 16): Dataset[Sequence] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Sequence].schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .as[Sequence]
+  }
+
+  /** Row-rule violations as a streaming Dataset (stateless — append mode). */
+  def violationStream(
+      seqs: Dataset[Sequence],
+      manifest: Dataset[ManifestEntry],
+      rules: RuleSet = Rules.standard): Dataset[Violation] = {
+    val enriched = RuleEngine.withManifest(seqs.toDF(), manifest)
+    RuleEngine.rowViolations(enriched, rules.rowRules)
+  }
+
+  /** Start the incremental validation query: violations append to
+    * `outDir/violations_stream` as parquet with a checkpoint (exactly-once
+    * file-sink semantics replace the reference's delete-then-rewrite
+    * idempotence). */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      manifest: Dataset[ManifestEntry],
+      outDir: String,
+      rules: RuleSet = Rules.standard): StreamingQuery = {
+    val vio = violationStream(
+      readSequenceStream(spark, inputDir), manifest, rules)
+    vio.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", s"$outDir/violations_stream")
+      .option("checkpointLocation", s"$outDir/stream_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Windowed per-source violation-rate monitor over an event-time column
+    * (watermarked tumbling windows — the streaming aggregation surface). */
+  def violationRate(
+      events: DataFrame, // (source, event_time, is_violation)
+      windowLen: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_violation"), 1L).otherwise(0L)).as("n_violations"))
+      .select(
+        col("window.start").as("window_start"),
+        col("source"), col("n"), col("n_violations"))
+}

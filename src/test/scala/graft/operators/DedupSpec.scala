@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "spark catalyst optimizes declarative query plans nicely"),
+    (5L, "completely different words here about storage formats")
+  ).toDF("doc_id", "text")
+
+  test("polyHash matches the reference fold (hello -> 99162322)") {
+    val got = spark.range(1)
+      .select(TextFunctions.polyHash(lit("hello")).as("h"))
+      .collect().head.getLong(0)
+    assert(got === 99162322L) // == "hello".hashCode since < 1e9+7
+  }
+
+  test("shingles: fewer than n words yields empty array") {
+    val got = spark.range(1).select(
+      TextFunctions.shingles(split(lit("a b"), " "), 3).as("s"),
+      TextFunctions.shingles(split(lit("a b c d"), " "), 3).as("s2"))
+      .collect().head
+    assert(got.getSeq[String](0).isEmpty)
+    assert(got.getSeq[String](1) === Seq("a b c", "b c d"))
+  }
+
+  test("exact dedup finds exactly the duplicated text group") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("n_dups") === 2L)
+    assert(groups.head.getAs[Seq[Long]]("members") === Seq(1L, 2L))
+  }
+
+  test("identical texts have identical minhash signatures; est_sim 1.0") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(4L))
+
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 16, bands = 4, minEstSim = 0.9).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 1.0))
+  }
+
+  test("jaccard pairs: exact dup = 1.0, near dup high, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.exists(p => p._1._2 == 5L || p._1._1 == 5L))
+  }
+
+  test("simhash: identical texts collide; near dup within small hamming") {
+    val sh = Dedup.simhashes(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)
+  }
+
+  test("LSH bucket cap drops degenerate buckets") {
+    // 20 identical docs -> one giant bucket; cap 5 must yield zero pairs
+    val many = (1L to 20L).map(i => (i, "same same same text here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(many, "doc_id", "text",
+      k = 16, bands = 4, minEstSim = 0.0, maxBucketSize = 5)
+    assert(capped.count() === 0)
+    val uncapped = Dedup.minhashLshPairs(many, "doc_id", "text",
+      k = 16, bands = 4, minEstSim = 0.0)
+    assert(uncapped.count() === 190) // 20 choose 2
+  }
+}

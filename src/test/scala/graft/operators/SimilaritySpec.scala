@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2D toy vectors with obvious geometry
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)), // closest to 0
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(0.1f, 0.9f)), // closest to 2
+    (4L, Array(-1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    val r = spark.range(1).select(
+      SimilaritySearch.cosine(
+        typedLit(Seq(1.0f, 0.0f)), typedLit(Seq(0.0f, 2.0f))).as("orth"),
+      SimilaritySearch.cosine(
+        typedLit(Seq(1.0f, 2.0f)), typedLit(Seq(1.0f, 2.0f))).as("same"),
+      SimilaritySearch.cosine(
+        typedLit(Seq(1.0f, 0.0f)), typedLit(Seq(-1.0f, 0.0f))).as("opp"))
+      .collect().head
+    assert(r.getDouble(0) === 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val top = SimilaritySearch.bruteForceTopK(
+      vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .collect().sortBy(_.getInt(1))
+    assert(top.map(_.getLong(2)).toSeq === Seq(1L, 3L))
+  }
+
+  test("LSH buckets are deterministic and similar vectors co-bucket") {
+    val b1 = SimilaritySearch.lshBuckets(vecs, "embedding", 4)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = SimilaritySearch.lshBuckets(vecs, "embedding", 4)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2)
+    assert(b1(0L) === b1(1L)) // near-identical direction -> same signs
+    assert(b1(0L) !== b1(4L)) // opposite vector flips every sign
+  }
+
+  test("embeddingDupPairs finds the high-cosine pairs only") {
+    val pairs = SimilaritySearch.embeddingDupPairs(
+      vecs, "vec_id", "embedding", minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("lshTopK returns neighbors from the probe's bucket only") {
+    val res = SimilaritySearch.lshTopK(
+      vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, planes = 4)
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getLong(0) == 0L))
+    assert(res.exists(_.getLong(2) == 1L)) // co-bucketed near-dup found
+  }
+}

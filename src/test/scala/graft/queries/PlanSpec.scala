@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.model.{ManifestEntry, Sequence}
+import graft.rules.{RuleEngine, Rules}
+
+/** Physical-plan assertions: the plans we rely on at scale must actually
+  * materialize — filters reach the parquet scan, dimension joins broadcast,
+  * the row-rule pass stays inside whole-stage codegen. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter is pushed down to the parquet scan (f_scalar_path)") {
+    val plan = executedPlan("f_scalar_path")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("LessThan(event_id,100)"), plan.take(2000))
+  }
+
+  test("scan is column-pruned (a9 reads only source and n_chars)") {
+    val plan = executedPlan("a9_verdict_rollup")
+    assert(plan.contains("ReadSchema"), plan.take(2000))
+    assert(!plan.contains("text"),
+      "verdict roll-up must not read the text column\n" + plan.take(2000))
+  }
+
+  test("dimension join broadcasts (j4_dim_join)") {
+    val plan = executedPlan("j4_dim_join")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("manifest join in the rule engine broadcasts") {
+    val seqs = graft.gen.SequenceGen.sequences(spark, 100)
+    val manifest = graft.gen.SequenceGen.manifest(spark, 100)
+    val enriched = RuleEngine.withManifest(seqs.toDF(), manifest)
+    enriched.collect()
+    val plan = enriched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("row-rule pass contains no interpreted higher-order filter") {
+    val seqs = graft.gen.SequenceGen.sequences(spark, 100)
+    val manifest = graft.gen.SequenceGen.manifest(spark, 100)
+    val enriched = RuleEngine.withManifest(seqs.toDF(), manifest)
+    val vio = RuleEngine.rowViolations(enriched, Rules.standard.rowRules)
+    vio.collect()
+    val plan = vio.queryExecution.executedPlan.toString
+    assert(!plan.contains("ArrayFilter"), plan.take(2000))
+    // whole-stage codegen spans print as "*(n)" in executedPlan.toString
+    assert(plan.contains("*("), plan.take(2000))
+  }
+
+  test("anti joins execute as joins, not nested loops (j1_anti)") {
+    val plan = executedPlan("j1_anti")
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+}
