@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // columnar cache batches approach the G1 humongous-allocation threshold;
+  // a fixed 32m region keeps multi-MB batch buffers out of humongous space
+  "-XX:G1HeapRegionSize=32m",
+) ++ sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq())

@@ -53,7 +53,7 @@ object Bench {
           .map(_.toLong).getOrElse(4000000L)
         val work = java.nio.file.Files
           .createTempDirectory("graft-bench-scaling").toString
-        val r = ScalingBench.run(work, rows)
+        val r = ScalingBench.run(work, rows, maxReps = 4)
         val out = java.nio.file.Paths.get("BENCH")
         java.nio.file.Files.createDirectories(out)
         java.nio.file.Files.writeString(
@@ -69,7 +69,9 @@ object Bench {
       s""","scaling":{"rows":${r.rows},""" +
         s""""throughput_n":${r.n.rowsPerSec.round},""" +
         s""""throughput_4n":${r.n4.rowsPerSec.round},""" +
-        s""""efficiency":${f"${r.efficiency}%.3f"}}"""
+        s""""efficiency":${f"${r.efficiency}%.3f"},""" +
+        s""""host_ceiling":${f"${r.hostCeiling}%.3f"},""" +
+        s""""normalized_efficiency":${f"${r.normalizedEfficiency}%.3f"}}"""
     }.getOrElse("")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +

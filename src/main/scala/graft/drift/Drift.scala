@@ -60,6 +60,31 @@ object Drift {
 
   private def tokenHistUdaf(vocab: Int) = udaf(new TokenHistAgg(vocab))
 
+  /** Fixed-width n_tok histogram aggregator (same shape as TokenHistAgg but
+    * over the scalar n_tok) — lets the n_tok histogram ride the SAME
+    * groupBy(source) pass as stats and the token histogram. */
+  class NtokHistAgg
+      extends Aggregator[Int, Array[Long], Array[Long]] with Serializable {
+    def zero: Array[Long] = new Array[Long](ntokBins)
+    def reduce(buf: Array[Long], nTok: Int): Array[Long] = {
+      val b = math.min(nTok / ntokBinWidth, ntokBins - 1)
+      if (b >= 0) buf(b) += 1L
+      buf
+    }
+    def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < ntokBins) { a(i) += c(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = bufferEncoder
+  }
+
+  def ntokHistUdafCol = udaf(new NtokHistAgg)
+  def tokenHistUdafCol(vocab: Int) = tokenHistUdaf(vocab)
+
   /** Per-source n_tok histogram: (source, bin, count). Pure built-ins —
     * the bin id is a codegen'd expression, one shuffle on (source, bin),
     * partial aggregation map-side. */

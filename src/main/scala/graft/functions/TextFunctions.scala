@@ -20,8 +20,15 @@ object TextFunctions {
   def words(text: Column): Column = split(text, " ")
 
   /** Polynomial rolling hash over characters: fold(h*31 + ascii(c)) mod p.
-    * Matches DuckDB `list_reduce(list_prepend(0, [ascii(c) ...]), ...)`. */
-  def polyHash(s: Column): Column =
+    * Matches DuckDB `list_reduce(list_prepend(0, [ascii(c) ...]), ...)`.
+    * Evaluated by the native codegen'd [[PolyHash]] expression; the
+    * expression-only fold ([[polyHashHof]]) is kept as the executable
+    * specification and cross-checked in tests. */
+  def polyHash(s: Column): Column = PolyHash(s)
+
+  /** Reference formulation via higher-order fold (slow: allocates 1-char
+    * strings and interprets a lambda per character). */
+  def polyHashHof(s: Column): Column =
     aggregate(
       split(s, ""),
       lit(0L),

@@ -22,7 +22,12 @@ object ValidationJob {
       outDir: String,
       baselinePath: Option[String] = None,
       rules: RuleSet = Rules.standard,
-      vocab: Int = graft.gen.SequenceGen.vocabSize)
+      vocab: Int = graft.gen.SequenceGen.vocabSize,
+      /** Cache the fact table across the rule-family passes. Right for
+        * inputs that fit cluster memory; at the 100 TB design point each
+        * pass re-scans the columnar store instead (the passes are
+        * independent full scans either way — SURVEY.md §7). */
+      cache: Boolean = true)
 
   final case class RunReport(
       snapshotId: String,
@@ -77,22 +82,27 @@ object ValidationJob {
       if (done.isEmpty) all
       else all.filter(col("source").isin(todo.map(x => x: Any): _*))
 
-    // Cache the fact table across the rule-family passes (row rules,
-    // uniqueness, RI, two drift histograms each rescan it). Materialize
-    // up front so every pass runs at full parallelism against in-memory
-    // partitions instead of re-decoding parquet.
-    val seqs = seqs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rowsValidated = seqs.count()
-    phase("cache_materialize")
+    // The three rule-family passes rescan the fact table: cached columnar
+    // when cfg.cache (inputs that fit memory), direct parquet re-scans
+    // otherwise (the 100 TB shape; GRAFT_NO_CACHE=1 also forces it).
+    val useCache = cfg.cache && !sys.env.get("GRAFT_NO_CACHE").contains("1")
+    val seqs =
+      if (useCache)
+        seqs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else seqs0
+    phase("cache_setup")
 
-    val result = RuleEngine.validate(seqs, manifest, cfg.rules, baseline, cfg.vocab)
-    phase("validate_drift_eager")
+    val enginePlan = RuleEngine.plan(seqs, manifest, cfg.rules, baseline, cfg.vocab)
+    // exact per-source counts come free from the aggregation pass
+    val rowsValidated = enginePlan.rowCount.getOrElse(seqs.count())
+    phase("plan_agg_pass")
 
-    // Restrict verdict/violation output to partitions being validated (the
-    // RI full-outer join can surface manifest-only sources; those belong to
-    // this run only if not already checkpointed).
-    val vio = result.violations.filter(col("source").isin(todo.map(x => x: Any): _*) ||
-      !col("source").isin(allParts.map(x => x: Any): _*))
+    // Restrict verdict/violation output to partitions being validated
+    // (manifest-only sources surface through RI; those belong to this run
+    // only if not already checkpointed).
+    val vio = enginePlan.violations
+      .filter(col("source").isin(todo.map(x => x: Any): _*) ||
+        !col("source").isin(allParts.map(x => x: Any): _*))
 
     TableIO.writePartitioned(vio.toDF(), violationsPath(cfg.outDir))
     phase("write_violations")
@@ -106,10 +116,11 @@ object ValidationJob {
     val writtenVio = spark.read.schema(vioSchema)
       .parquet(violationsPath(cfg.outDir)).as[Violation]
 
-    val verdicts = graft.rules.RuleEngine
-      .rollUpVerdicts(seqs.toDF(), manifest, cfg.rules, writtenVio)
-    val ver = verdicts.filter(col("source").isin(todo.map(x => x: Any): _*) ||
-      !col("source").isin(allParts.map(x => x: Any): _*))
+    val doneSources = done.toSet
+    val runSources = enginePlan.sources.filterNot(doneSources)
+    val verdicts = RuleEngine.rollUpVerdicts(
+      spark, runSources, cfg.rules, writtenVio, enginePlan.stats)
+    val ver = verdicts
 
     TableIO.writePartitioned(ver.toDF(), verdictsPath(cfg.outDir))
     phase("write_verdicts")
@@ -149,7 +160,7 @@ object ValidationJob {
       spark.createDataset(perPartStatus), checkpointPath(cfg.outDir))
     phase("checkpoint_write")
 
-    seqs.unpersist(blocking = false)
+    if (useCache) seqs.unpersist(blocking = false)
     RunReport(snapshotId, rulesetHash, todo, done.toSeq.sorted,
       rowsValidated, vioCount, wallMs)
   }

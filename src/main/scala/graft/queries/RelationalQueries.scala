@@ -199,6 +199,30 @@ object RelationalQueries {
           regexp_extract(col("path"), "^([^/]+)/", 1).as("topdir"))
     }),
 
+    // F1: include/exclude filename filter — whitelist XOR blacklist
+    // (validation_manager.py:451-488)
+    "f1_include_exclude" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val include = d.filter(col("lang").isin("en", "fr"))
+        .select("doc_id", "lang")
+      val exclude = d.filter(!col("source").isin("src0", "src1"))
+        .select(col("doc_id").as("kept_doc_id"))
+      include.join(exclude,
+        include("doc_id") === exclude("kept_doc_id"), "left_semi")
+        .select("doc_id", "lang")
+    }),
+
+    // F2: skip-file predicate — endswith disjunction + exception list
+    // (submission_data.py:263-287)
+    "f2_skip_predicate" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("text").endsWith("table") || col("text").endsWith("row") ||
+            col("text").endsWith("scan")).as("skip"))
+        .filter(col("skip"))
+        .select("doc_id")
+    }),
+
     // §2.6 set ops: except
     "set_except" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -320,6 +344,14 @@ object RelationalQueries {
          regexp_extract(event_type || '/' || user_id || '/' || event_id || '.json', '([^/]+)$', 1) AS basename,
          regexp_extract(event_type || '/' || user_id || '/' || event_id || '.json', '^([^/]+)/', 1) AS topdir
          FROM events WHERE event_id < 100""",
+    "f1_include_exclude" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE lang IN ('en','fr')
+           AND doc_id IN (SELECT doc_id FROM documents
+                          WHERE source NOT IN ('src0','src1'))""",
+    "f2_skip_predicate" ->
+      """SELECT doc_id FROM documents
+         WHERE text LIKE '%table' OR text LIKE '%row' OR text LIKE '%scan'""",
     "set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type='error' AND value > 200
          EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type='purchase' AND value > 200""",

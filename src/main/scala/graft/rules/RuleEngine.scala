@@ -44,6 +44,123 @@ object RuleEngine {
     spark.emptyDataset[Violation]
   }
 
+  /** Everything the single per-source aggregation pass yields: column
+    * stats, both drift histograms, exact row counts. A handful of rows
+    * (|sources|), so downstream RI / drift / stats-metric work is
+    * driver-side arithmetic, not more table scans. */
+  final case class SourceAggregate(
+      source: String,
+      nDocs: Long,
+      minNtok: Int,
+      maxNtok: Int,
+      avgNtok: Double,
+      totalTokens: Long,
+      nullFracDocId: Double,
+      approxDistinctDocId: Long,
+      minTokenId: Int,
+      maxTokenId: Int,
+      ntokHist: Array[Long],
+      tokenHist: Array[Long])
+
+  /** THE aggregation pass: one groupBy(source) job computing stats + both
+    * histograms with constant per-source state — map-side partial
+    * aggregation absorbs the hot-source skew; one scan serves the stats
+    * rule, both drift rules, AND the completeness side of referential
+    * integrity (SURVEY.md A1-A3, A7, R_STATS, R_DRIFT_*). */
+  def aggregateBySource(seqs: DataFrame, vocab: Int): Seq[SourceAggregate] =
+    seqs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_ntok"),
+        max(col("n_tok")).as("max_ntok"),
+        avg(col("n_tok")).as("avg_ntok"),
+        sum(col("n_tok").cast("long")).as("total_tokens"),
+        (sum(when(col("doc_id").isNull, 1L).otherwise(0L)) / count(lit(1)))
+          .as("null_frac_doc_id"),
+        approx_count_distinct(col("doc_id")).as("approx_distinct_doc_id"),
+        min(array_min(col("tokens"))).as("min_token_id"),
+        max(array_max(col("tokens"))).as("max_token_id"),
+        graft.drift.HistAggregate.ntokHist(col("n_tok"), Drift.ntokBins,
+          Drift.ntokBinWidth).as("ntok_hist"),
+        graft.drift.HistAggregate.tokenHist(col("tokens"), Drift.tokenBins,
+          vocab).as("token_hist"))
+      .collect()
+      .map(r => SourceAggregate(
+        r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"),
+        r.getAs[Int]("min_ntok"),
+        r.getAs[Int]("max_ntok"),
+        r.getAs[Double]("avg_ntok"),
+        r.getAs[Long]("total_tokens"),
+        r.getAs[Double]("null_frac_doc_id"),
+        r.getAs[Long]("approx_distinct_doc_id"),
+        r.getAs[Int]("min_token_id"),
+        r.getAs[Int]("max_token_id"),
+        r.getAs[Seq[Long]]("ntok_hist").toArray,
+        r.getAs[Seq[Long]]("token_hist").toArray))
+      .toSeq
+
+  /** The compiled evaluation: the (lazy) violations dataset plus the
+    * driver-side facts needed for verdict roll-up without another scan. */
+  final case class EnginePlan(
+      violations: Dataset[Violation],
+      sources: Seq[String],
+      stats: Option[(String, Map[String, String])],
+      rowCount: Option[Long])
+
+  /** Build the evaluation plan. Exactly THREE distributed passes over the
+    * fact table — the fused row-rule scan, the per-key uniqueness
+    * aggregation, and the per-source stats/histogram aggregation (run
+    * eagerly here) — plus driver-side arithmetic on the collected
+    * per-source aggregates for RI, drift, and stats metrics. */
+  def plan(
+      seqs: Dataset[Sequence],
+      manifest: Dataset[ManifestEntry],
+      rules: RuleSet,
+      baseline: Option[Dataset[BaselineBin]] = None,
+      vocab: Int = graft.gen.SequenceGen.vocabSize): EnginePlan = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+
+    val enriched = withManifest(seqs.toDF(), manifest)
+
+    val needAgg = rules.statsRules.nonEmpty || rules.refRules.nonEmpty ||
+      rules.driftRules.nonEmpty
+    val aggs: Seq[SourceAggregate] =
+      if (needAgg) aggregateBySource(seqs.toDF(), vocab) else Nil
+    val manifestRows: Seq[ManifestEntry] = manifest.collect().toSeq
+    val baselineRows: Seq[BaselineBin] =
+      if (rules.driftRules.nonEmpty)
+        baseline.map(_.collect().toSeq).getOrElse(Nil)
+      else Nil
+
+    val driverVios: Seq[Violation] =
+      rules.refRules.flatMap(r => refViolationsFromAgg(aggs, manifestRows, r)) ++
+        rules.driftRules.flatMap(r =>
+          if (baselineRows.isEmpty) Nil
+          else driftViolationsFromAgg(aggs, baselineRows, r))
+
+    val parts: Seq[Dataset[Violation]] =
+      Seq(rowViolations(enriched, rules.rowRules)) ++
+        rules.uniqueRules.map(r => uniqueViolations(seqs.toDF(), r)) ++
+        (if (driverVios.nonEmpty || needAgg)
+          Seq(spark.createDataset(driverVios)) else Nil)
+
+    val sources0 =
+      if (needAgg) (aggs.map(_.source) ++ manifestRows.map(_.source))
+      else
+        seqs.select(col("source")).distinct().as[String].collect().toSeq ++
+          manifestRows.map(_.source)
+
+    EnginePlan(
+      violations = parts.reduce(_ unionByName _),
+      sources = sources0.distinct.sorted,
+      stats = rules.statsRules.headOption
+        .map(r => (r.id, statsMetricsFromAgg(aggs))),
+      rowCount = if (needAgg) Some(aggs.map(_.nDocs).sum) else None)
+  }
+
   /** Evaluate the full rule set. `baseline` powers drift rules (skipped when
     * absent — first run of a fresh table records the baseline instead). */
   def validate(
@@ -52,25 +169,87 @@ object RuleEngine {
       rules: RuleSet,
       baseline: Option[Dataset[BaselineBin]] = None,
       vocab: Int = graft.gen.SequenceGen.vocabSize): ValidationResult = {
-    val spark = seqs.sparkSession
-    import spark.implicits._
-
-    val enriched = withManifest(seqs.toDF(), manifest)
-
-    val parts: Seq[Dataset[Violation]] =
-      Seq(rowViolations(enriched, rules.rowRules)) ++
-        rules.uniqueRules.map(r => uniqueViolations(seqs.toDF(), r)) ++
-        rules.refRules.map(r => refViolations(seqs.toDF(), manifest, r)) ++
-        rules.driftRules.flatMap(r =>
-          baseline.map(b => driftViolations(seqs.toDF(), b, r, vocab)))
-
-    val violations = parts.reduce(_ unionByName _)
-
-    val verdicts =
-      rollUpVerdicts(seqs.toDF(), manifest, rules, violations)
-
-    ValidationResult(violations, verdicts)
+    val p = plan(seqs, manifest, rules, baseline, vocab)
+    val verdicts = rollUpVerdicts(
+      seqs.sparkSession, p.sources, rules, p.violations, p.stats)
+    ValidationResult(p.violations, verdicts)
   }
+
+  /** RI + completeness from the collected aggregates (J1/J2 + A7 —
+    * driver-side over |sources| rows): undeclared source → warning;
+    * actual < expected → error; surplus → warning. */
+  def refViolationsFromAgg(
+      aggs: Seq[SourceAggregate],
+      manifestRows: Seq[ManifestEntry],
+      rule: RefIntegrityRule): Seq[Violation] = {
+    val expected = manifestRows.map(m => m.source -> m.expected_docs).toMap
+    val actual = aggs.map(a => a.source -> a.nDocs).toMap
+    val all = (expected.keySet ++ actual.keySet).toSeq.sorted
+    all.flatMap { src =>
+      val act = actual.getOrElse(src, 0L)
+      val exp = expected.get(src)
+      val severity = exp match {
+        case None => Some(Severity.Warning) // undeclared source
+        case Some(e) if act < e => Some(Severity.Error) // missing docs
+        case Some(e) if act > e => Some(Severity.Warning) // surplus docs
+        case _ => None
+      }
+      severity.map { sev =>
+        Violation(
+          doc_id = null,
+          rule_id = rule.id,
+          observed = s"""{"actual_docs":$act,"expected_docs":""" +
+            exp.map(_.toString).getOrElse("null") + "}",
+          source = src,
+          severity = sev)
+      }
+    }
+  }
+
+  /** Drift tests from the collected aggregates vs the collected baseline
+    * bins (driver-side on <= a few hundred bins per source). */
+  def driftViolationsFromAgg(
+      aggs: Seq[SourceAggregate],
+      baselineRows: Seq[BaselineBin],
+      rule: DriftRule): Seq[Violation] = {
+    val nBins =
+      if (rule.kind == "ntok_hist") Drift.ntokBins else Drift.tokenBins
+    val base = baselineRows.filter(_.kind == rule.kind)
+      .groupBy(_.source)
+      .map { case (s, rows) => s -> rows.map(b => b.bin -> b.count).toMap }
+    aggs.sortBy(_.source).flatMap { a =>
+      base.get(a.source).flatMap { bh =>
+        val hist = (if (rule.kind == "ntok_hist") a.ntokHist else a.tokenHist)
+          .zipWithIndex.collect { case (c, i) if c > 0 => i -> c }.toMap
+        val res =
+          if (rule.test == "ks") Drift.ksTest(hist, bh, nBins, rule.alpha)
+          else Drift.chi2Test(hist, bh, nBins, rule.alpha)
+        if (res.rejected)
+          Some(Violation(
+            doc_id = null,
+            rule_id = rule.id,
+            observed =
+              s"""{"test":"${rule.test}","statistic":${res.statistic},""" +
+                s""""threshold":${res.threshold},"n":${res.n},"m":${res.m}}""",
+            source = a.source,
+            severity = rule.severity))
+        else None
+      }
+    }
+  }
+
+  /** Per-source stats metrics JSON from the collected aggregates. */
+  def statsMetricsFromAgg(aggs: Seq[SourceAggregate]): Map[String, String] =
+    aggs.map { a =>
+      a.source ->
+        (s"""{"n_docs":${a.nDocs},"min_ntok":${a.minNtok},""" +
+          s""""max_ntok":${a.maxNtok},"avg_ntok":${a.avgNtok},""" +
+          s""""total_tokens":${a.totalTokens},""" +
+          s""""null_frac_doc_id":${a.nullFracDocId},""" +
+          s""""approx_distinct_doc_id":${a.approxDistinctDocId},""" +
+          s""""min_token_id":${a.minTokenId},""" +
+          s""""max_token_id":${a.maxTokenId}}""")
+    }.toMap
 
   /** Broadcast left join of the manifest dimension (J4/J5 analog —
     * per-file manifest lookups, validation_manager.py:156-193 — expressed
@@ -151,12 +330,16 @@ object RuleEngine {
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
-    // Pass 2: evidence for duplicate MEMBERS only. Salted two-stage so a
-    // hot key duplicated millions of times spreads over DupSalts reducers,
-    // each emitting a bounded partial; the merge sees <= DupSalts capped
-    // lists per key — no reducer materializes an unbounded member list.
+    // Pass 2: evidence for duplicate MEMBERS only. The duplicate-key set
+    // is broadcast EXPLICITLY: it is tiny by construction in the
+    // validation regime (violations, not the norm), and the static hint
+    // keeps the plan a single broadcast-hash stage instead of an
+    // AQE-discovered one. Salted two-stage so a hot key duplicated
+    // millions of times spreads over DupSalts reducers, each emitting a
+    // bounded partial; the merge sees <= DupSalts capped lists per key —
+    // no reducer materializes an unbounded member list.
     val salt = pmod(xxhash64(col("source"), col("n_tok")), lit(DupSalts.toLong))
-    val members = seqs.join(dupKeys, Seq(k))
+    val members = seqs.join(broadcast(dupKeys), Seq(k))
 
     val partials = members
       .groupBy(col(k), col("dup_count"), salt.as("salt"))
@@ -281,18 +464,18 @@ object RuleEngine {
     * PASS" (reference batch.py:191-229). Domain and counts are both tiny
     * (|sources| × |rules|), so this is a broadcast-scale join. */
   def rollUpVerdicts(
-      seqs: DataFrame,
-      manifest: Dataset[ManifestEntry],
+      spark: SparkSession,
+      sources: Seq[String],
       rules: RuleSet,
-      violations: Dataset[Violation]): Dataset[Verdict] = {
-    val spark = seqs.sparkSession
+      violations: Dataset[Violation],
+      stats: Option[(String, Map[String, String])] = None): Dataset[Verdict] = {
     import spark.implicits._
 
-    val srcs = seqs.select(col("source")).distinct()
-      .unionByName(manifest.toDF().select(col("source")))
-      .distinct()
-    val ruleIds = rules.ruleIds.toDS().toDF("rule_id")
-    val domain = srcs.crossJoin(ruleIds)
+    // the verdict domain is tiny (|sources| x |rules|) and already known
+    // driver-side — broadcast it against the aggregated violation counts
+    val domain = sources
+      .flatMap(s => rules.ruleIds.map(r => (s, r)))
+      .toDF("source", "rule_id")
 
     val counts = violations.toDF()
       .groupBy(col("source"), col("rule_id"))
@@ -302,9 +485,20 @@ object RuleEngine {
         sum(when(col("severity") === Severity.Warning, 1L).otherwise(0L))
           .as("n_warning"))
 
-    domain
+    val base = broadcast(domain)
       .join(counts, Seq("source", "rule_id"), "left")
       .na.fill(0L, Seq("n_error", "n_warning"))
+
+    // stats rules carry their per-partition statistics as verdict metrics
+    val statsExpr = stats match {
+      case Some((statsRuleId, byl)) =>
+        val m = typedLit(byl)
+        when(col("rule_id") === statsRuleId, element_at(m, col("source")))
+          .otherwise(lit(null).cast(StringType))
+      case None => lit(null).cast(StringType)
+    }
+
+    base
       .select(
         col("source"),
         col("rule_id"),
@@ -314,7 +508,8 @@ object RuleEngine {
         when(col("n_error") > 0, lit(Severity.Error))
           .when(col("n_warning") > 0, lit(Severity.Warning))
           .otherwise(lit(null).cast(StringType)).as("severity"),
-        to_json(struct(col("n_error"), col("n_warning"))).as("metrics"))
+        coalesce(statsExpr,
+          to_json(struct(col("n_error"), col("n_warning")))).as("metrics"))
       .as[Verdict]
   }
 

@@ -64,6 +64,31 @@ object TableIO {
       java.net.URLDecoder.decode(d.stripPrefix(prefix), "UTF-8")).sorted)
   }
 
+  /** Manifest TSV source (reference S1: pd.read_csv(sep='\t') +
+    * fillna("not provided") + str.strip on filename,
+    * submission_data.py:61-86): header'd TSV with declared schema, trimmed
+    * keys, explicit nulls filled. */
+  def readManifestTsv(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .schema("source STRING, expected_docs LONG, min_tok INT, max_tok INT")
+      .csv(path)
+      .withColumn("source", trim(col("source")))
+      .na.fill("not provided", Seq("source"))
+      .na.fill(0L, Seq("expected_docs"))
+  }
+
+  /** Manifest TSV regeneration sink (reference K4: rebuild manifest.txt
+    * from records, data_transfer_manager.py:316-342). */
+  def writeManifestTsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write
+      .mode(SaveMode.Overwrite)
+      .option("sep", "\t")
+      .option("header", "true")
+      .csv(path)
+
   /** Stable snapshot identity for a table path: hash of the sorted data
     * file (name, length) listing — deterministic for identical data,
     * changes when any file changes. Stands in for an Iceberg snapshot id

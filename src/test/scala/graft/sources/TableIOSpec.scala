@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.gen.SequenceGen
+import org.apache.spark.sql.functions._
+
+class TableIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("manifest TSV round-trips with trim + fill semantics") {
+    val dir = tmpDir("tsv")
+    val tsv = s"$dir/manifest_tsv"
+    SequenceGen.manifest(spark, 200).toDF()
+      .withColumn("source", concat(lit("  "), col("source"), lit(" ")))
+      .createOrReplaceTempView("m")
+    TableIO.writeManifestTsv(spark.table("m"), tsv)
+    val back = TableIO.readManifestTsv(spark, tsv)
+    val srcs = back.select("source").as[String].collect().toSet
+    assert(srcs === SequenceGen.sources.toSet) // trimmed
+    assert(back.count() === SequenceGen.sources.size)
+    assert(back.schema.fieldNames.toSeq ===
+      Seq("source", "expected_docs", "min_tok", "max_tok"))
+  }
+
+  test("partitionValues reads hive dirs; None for unpartitioned") {
+    val dir = tmpDir("pv")
+    SequenceGen.sequences(spark, 300)
+      .write.partitionBy("source").parquet(s"$dir/part")
+    SequenceGen.sequences(spark, 50).write.parquet(s"$dir/flat")
+    val vals = TableIO.partitionValues(spark, s"$dir/part", "source")
+    assert(vals.isDefined)
+    assert(vals.get.toSet.subsetOf(
+      (SequenceGen.sources :+ SequenceGen.unknownSource).toSet))
+    assert(TableIO.partitionValues(spark, s"$dir/flat", "source").isEmpty)
+    assert(TableIO.partitionValues(spark, s"$dir/nope", "source").isEmpty)
+  }
+
+  test("snapshotId is stable for identical data, changes with data") {
+    val dir = tmpDir("snap")
+    SequenceGen.sequences(spark, 100).write.parquet(s"$dir/t")
+    val s1 = TableIO.snapshotId(spark, s"$dir/t")
+    val s2 = TableIO.snapshotId(spark, s"$dir/t")
+    assert(s1 === s2)
+    Seq(graft.model.Sequence("D999", Array(1), 1, "x")).toDS()
+      .write.mode("append").parquet(s"$dir/t")
+    assert(TableIO.snapshotId(spark, s"$dir/t") !== s1)
+  }
+}
