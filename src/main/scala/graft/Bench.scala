@@ -50,7 +50,7 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) None
       else {
         val rows = sys.env.get("SPARK_GRAFT_BENCH_ROWS")
-          .map(_.toLong).getOrElse(4000000L)
+          .map(_.toLong).getOrElse(16000000L)
         val work = java.nio.file.Files
           .createTempDirectory("graft-bench-scaling").toString
         val r = ScalingBench.run(work, rows, maxReps = 4)

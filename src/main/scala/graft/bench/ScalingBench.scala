@@ -10,10 +10,10 @@ import graft.drift.Drift
  * Scaling-efficiency evidence for BASELINE.md: the identical rules-complete
  * validation job (all rule families + violations/verdicts/checkpoint
  * writes) on the identical deterministic input at two parallelism levels —
- * local[8] (N) and local[32] (4N) — reporting throughput at both plus
- * efficiency = T_4N / (4 * T_N). Session startup is excluded: only the
- * ValidationJob.run wall time is measured, and each level reports the best
- * of `reps` runs (page cache + JIT warm for both levels alike).
+ * N=local[4] and 4N=local[16] (see NCpus note) — reporting throughput at
+ * both plus efficiency = T_4N / (4 * T_N), alongside the host's own
+ * pure-CPU ceiling at the same levels. Session startup is excluded: only
+ * ValidationJob.run wall time is measured, interleaved min-of-reps.
  */
 object ScalingBench {
 
@@ -168,7 +168,7 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong)
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong))
-      .getOrElse(4000000L)
+      .getOrElse(16000000L)
     val workDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-scaling").toString)
     val reps = args.lift(2).map(_.toInt).getOrElse(2)

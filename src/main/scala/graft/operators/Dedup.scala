@@ -34,13 +34,31 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("members"))
       .filter(col("n_dups") > 1)
 
-  /** (id, minhash signature) for every doc. k = signature length. */
+  /** (id, minhash signature) for every doc. k = signature length.
+    *
+    * Computed as explode(shingle hashes) -> groupBy(id) with k MIN
+    * aggregates, assembled into the signature array. The aggregation is a
+    * hard optimizer barrier: expression-only formulations get their
+    * signature lambda re-inlined by CollapseProject into every downstream
+    * band reference — measured 64x re-evaluation of the shingle hashing at
+    * sf0.1. It is also the scalable shape (shingle set may exceed a row's
+    * comfortable working size; the shuffle is (id, hash) pairs). */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String, k: Int,
-      shingleN: Int = 3): DataFrame =
-    df.select(
+      shingleN: Int = 3): DataFrame = {
+    val hashes = df.select(
       col(idCol),
-      minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
+      explode_outer(shingleHashes(col(textCol), shingleN)).as("h"))
+    val minCols = (0 until k).map { i =>
+      min(pmod(col("h") * (i * 2 + 1) + (i * 1000003L + 12345L),
+        lit(graft.functions.TextFunctions.HashMod))).as(s"m$i")
+    }
+    hashes
+      .groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** MinHash-LSH candidate pairs with estimated Jaccard >= minEstSim.
     * Signature split into `bands` bands of k/bands rows; docs sharing any
