@@ -57,7 +57,8 @@ object Bench {
         val out = java.nio.file.Paths.get("BENCH")
         java.nio.file.Files.createDirectories(out)
         java.nio.file.Files.writeString(
-          out.resolve("BASELINE.md"), ScalingBench.report(r))
+          out.resolve("BASELINE.md"),
+          ScalingBench.report(r, Some(ScalingBench.recordHistory(r))))
         Some(r)
       }
 

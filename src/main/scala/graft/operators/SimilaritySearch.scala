@@ -97,6 +97,50 @@ object SimilaritySearch {
       .select("probe_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to their nearest of
+    * `nCentroids` coarse centroids; probes scan only their `nprobe`
+    * nearest centroid lists. Centroids here are the first `nCentroids`
+    * corpus vectors by id — a deterministic, training-free seeding (a real
+    * deployment would k-means; the assignment/probe plumbing is identical
+    * and is what matters at scale: the shuffle is bounded by list sizes,
+    * not the corpus square). Ties break toward the lower centroid id. */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+
+    def nearestCentroids(df: DataFrame, id: String, vec: String, n: Int) = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      df.crossJoin(cents)
+        .select(col(id), col(vec), col("cid"),
+          cosine(col(vec), col("cvec")).as("ccos"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+    }
+
+    val assigned = nearestCentroids(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv", 1)
+      .select(col("neighbor_id"), col("cv"), col("cid"))
+    val probeLists = nearestCentroids(
+      probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")),
+      "probe_id", "pv", nprobe)
+      .select(col("probe_id"), col("pv"), col("cid"))
+
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probeLists.join(assigned, Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= minCos, candidates
     * restricted to same SRP bucket (the scale path for embedding dedup). */
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,

@@ -36,6 +36,15 @@ object SimilarityQueries {
         k = 3, planes = 4)
     }),
 
+    // IVF-bucketed approximate top-3: nearest-of-8-centroids lists,
+    // probes scan their 2 nearest lists only
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.ivfTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nCentroids = 8, nprobe = 2)
+    }),
+
     // embedding near-dup pairs: cosine >= 0.4, exact all-pairs path
     "dedup_embedding_pairs" -> ((s, dir) => {
       SimilaritySearch.embeddingDupPairs(
@@ -103,6 +112,34 @@ object SimilarityQueries {
           scored AS (
             SELECT probe_id, neighbor_id, ${cosSql("pv", "cv")} AS cos
             FROM p JOIN c USING (bucket)
+            WHERE probe_id <> neighbor_id),
+          ranked AS (
+            SELECT probe_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+          FROM ranked WHERE rank <= 3""",
+    "ann_ivf_topk" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+                         FROM embeddings WHERE vec_id < 8),
+          assigned AS (
+            SELECT neighbor_id, cv, cid FROM (
+              SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+                                c.cid ASC) AS crank
+              FROM embeddings e, cents c) WHERE crank = 1),
+          plists AS (
+            SELECT probe_id, pv, cid FROM (
+              SELECT e.vec_id AS probe_id, e.embedding AS pv, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+                                c.cid ASC) AS crank
+              FROM embeddings e, cents c WHERE e.vec_id < 10) WHERE crank <= 2),
+          scored AS (
+            SELECT probe_id, neighbor_id, ${cosSql("pv", "cv")} AS cos
+            FROM plists JOIN assigned USING (cid)
             WHERE probe_id <> neighbor_id),
           ranked AS (
             SELECT probe_id, neighbor_id, cos,
