@@ -17,7 +17,7 @@ object Bench {
     "text_quality", "text_fingerprint",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "dedup_jaccard_pairs",
-    "ann_topk_cosine", "ann_lsh_topk")
+    "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
