@@ -189,7 +189,7 @@ object ScalingBench {
        || host pure-CPU ceiling (same levels) | ${f"${r.hostCeiling}%.3f"} | CpuScaleProbe, best-of-2 per level |
        || efficiency normalized to host ceiling | ${f"${r.normalizedEfficiency}%.3f"} | engine / host |${
         best.map { case (b, n) =>
-          s"\n| best efficiency observed (${n} runs) | ${f"$b%.3f"} | BENCH/history.jsonl |" }.getOrElse("")}
+          s"\n|| best efficiency observed (${n} runs) | ${f"$b%.3f"} | BENCH/history.jsonl |" }.getOrElse("")}
        |""".stripMargin
 
   def main(args: Array[String]): Unit = {
