@@ -67,7 +67,9 @@ object Drift {
       extends Aggregator[Int, Array[Long], Array[Long]] with Serializable {
     def zero: Array[Long] = new Array[Long](ntokBins)
     def reduce(buf: Array[Long], nTok: Int): Array[Long] = {
-      val b = math.min(nTok / ntokBinWidth, ntokBins - 1)
+      // floorDiv + drop-negatives — must match Drift.ntokHist and
+      // NtokHistAggregate exactly (ADVICE r01).
+      val b = math.min(Math.floorDiv(nTok, ntokBinWidth), ntokBins - 1)
       if (b >= 0) buf(b) += 1L
       buf
     }
@@ -95,6 +97,9 @@ object Drift {
         least(
           floor(col("n_tok") / ntokBinWidth).cast("int"),
           lit(ntokBins - 1)).as("bin"))
+      // negative n_tok is a consistency/schema violation, not a histogram
+      // member; dropped on BOTH the baseline and aggregate sides.
+      .filter(col("bin") >= 0)
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("count"))
 

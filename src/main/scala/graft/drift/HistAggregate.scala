@@ -99,7 +99,10 @@ case class NtokHistAggregate(
   override def update(b: Array[Long], row: InternalRow): Array[Long] = {
     val v = child.eval(row)
     if (v != null) {
-      val bin = math.min(v.asInstanceOf[Int] / binWidth, bins - 1)
+      // floorDiv + drop-negatives, IDENTICAL to Drift.ntokHist's
+      // floor()/filter(bin >= 0): Java truncation would bin -63 into bin 0
+      // on this side while the baseline side floors it to -1 (ADVICE r01).
+      val bin = math.min(Math.floorDiv(v.asInstanceOf[Int], binWidth), bins - 1)
       if (bin >= 0) b(bin) += 1L
     }
     b

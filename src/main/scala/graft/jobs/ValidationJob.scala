@@ -41,6 +41,7 @@ object ValidationJob {
   def violationsPath(outDir: String) = s"$outDir/violations"
   def verdictsPath(outDir: String) = s"$outDir/verdicts"
   def checkpointPath(outDir: String) = s"$outDir/checkpoint"
+  def runLogPath(outDir: String) = s"$outDir/run_log"
 
   def run(spark: SparkSession, cfg: Config): RunReport = {
     import spark.implicits._
@@ -99,67 +100,85 @@ object ValidationJob {
 
     // Restrict verdict/violation output to partitions being validated
     // (manifest-only sources surface through RI; those belong to this run
-    // only if not already checkpointed).
+    // only if not already checkpointed). The violations set is SMALL by
+    // construction (the failing slice of the data), so it is persisted:
+    // the heavy scans behind it run ONCE here, and the write, the verdict
+    // roll-up and the report count all reuse the cached rows instead of
+    // re-reading what was just written — at the prior shape those four
+    // write/re-read round-trips were the dominant serial section of the
+    // scaling bench (VERDICT r01 #1).
     val vio = enginePlan.violations
       .filter(col("source").isin(todo.map(x => x: Any): _*) ||
         !col("source").isin(allParts.map(x => x: Any): _*))
-
-    TableIO.writePartitioned(vio.toDF(), violationsPath(cfg.outDir))
-    phase("write_violations")
-
-    // Roll up verdicts from the WRITTEN violations (cheap pruned re-read)
-    // rather than recomputing the whole violation pipeline a second time.
-    // Explicit schemas: a clean run writes ZERO violation files and schema
-    // inference on an empty dir would fail.
-    val vioSchema = org.apache.spark.sql.Encoders.product[Violation].schema
-    val verSchema = org.apache.spark.sql.Encoders.product[Verdict].schema
-    val writtenVio = spark.read.schema(vioSchema)
-      .parquet(violationsPath(cfg.outDir)).as[Violation]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vioCount = vio.count() // materializes the row-rule + unique passes
+    phase("violation_passes")
 
     val doneSources = done.toSet
     val runSources = enginePlan.sources.filterNot(doneSources)
-    val verdicts = RuleEngine.rollUpVerdicts(
-      spark, runSources, cfg.rules, writtenVio, enginePlan.stats)
-    val ver = verdicts
 
-    TableIO.writePartitioned(ver.toDF(), verdictsPath(cfg.outDir))
+    // Dynamic overwrite only replaces partitions PRESENT in the output: a
+    // re-validated source that is now clean writes zero rows, so its stale
+    // violations must be dropped explicitly (ADVICE r01).
+    TableIO.deletePartitions(
+      spark, violationsPath(cfg.outDir), "source", runSources)
+    TableIO.writePartitioned(vio.toDF(), violationsPath(cfg.outDir))
+    phase("write_violations")
+
+    // Verdicts are |sources| x |rules| rows: roll up from the cached
+    // violations, collect once, and reuse the collected rows for the
+    // write, the run log, AND the checkpoint — zero re-reads.
+    val verdictRows = RuleEngine.rollUpVerdicts(
+        spark, runSources, cfg.rules, vio, enginePlan.stats,
+        enginePlan.notCompleted)
+      .collect().toSeq
+    val completedAt = java.time.Instant.now().toString
+    TableIO.writePartitioned(
+      spark.createDataset(verdictRows).toDF(), verdictsPath(cfg.outDir))
+
+    // K2 audit trail: every run appends its verdict generation to the run
+    // log (reference archive-table semantics, dynamodb.py:518-532).
+    val runId = s"${snapshotId.take(12)}-${rulesetHash.take(12)}"
+    TableIO.appendRunLog(
+      spark.createDataset(verdictRows.map(v =>
+        RunLogRecord(runId, snapshotId, rulesetHash, v.source, v.rule_id,
+          v.status, v.severity, v.metrics, completedAt))).toDF(),
+      runLogPath(cfg.outDir))
     phase("write_verdicts")
 
-    val written = spark.read.schema(verSchema).parquet(verdictsPath(cfg.outDir))
-    val vioCount = writtenVio
-      .filter(col("source").isin(todo.map(x => x: Any): _*)).count()
     val wallMs = (System.nanoTime() - t0) / 1000000
-
-    val perPartStatus = written
-      .filter(col("source").isin(todo.map(x => x: Any): _*))
-      .groupBy(col("source"))
-      .agg(
-        max(when(col("status") === Status.Fail, 2)
-          .when(col("status") === Status.PassWithWarnings, 1)
-          .otherwise(0)).as("lvl"),
-        count(lit(1)).as("n_rules"))
-      .collect()
-      .map { r =>
-        val verdict = r.getInt(1) match {
+    val todoSet = todo.toSet
+    // NOT_COMPLETED rules (e.g. drift with no baseline configured) record
+    // their status per rule but do not block the partition verdict — they
+    // would otherwise block resume forever on a permanent configuration.
+    val perPartStatus = verdictRows
+      .filter(v => todoSet(v.source))
+      .groupBy(_.source).toSeq
+      .map { case (src, vs) =>
+        val lvl = vs.map(_.status match {
+          case Status.Fail => 2
+          case Status.PassWithWarnings => 1
+          case _ => 0
+        }).max
+        val verdict = lvl match {
           case 2 => Status.Fail
           case 1 => Status.PassWithWarnings
           case _ => Status.Pass
         }
         CheckpointEntry(
-          partition = r.getString(0),
+          partition = src,
           snapshot_id = snapshotId,
           ruleset_hash = rulesetHash,
           verdict = verdict,
-          metrics =
-            s"""{"n_rules":${r.getLong(2)},"wall_ms":$wallMs}""",
-          completed_at = java.time.Instant.now().toString)
+          metrics = s"""{"n_rules":${vs.size},"wall_ms":$wallMs}""",
+          completed_at = completedAt)
       }
-      .toSeq
 
     Checkpoint.append(
       spark.createDataset(perPartStatus), checkpointPath(cfg.outDir))
     phase("checkpoint_write")
 
+    vio.unpersist(blocking = false)
     if (useCache) seqs.unpersist(blocking = false)
     RunReport(snapshotId, rulesetHash, todo, done.toSeq.sorted,
       rowsValidated, vioCount, wallMs)

@@ -68,6 +68,21 @@ case class CheckpointEntry(
     metrics: String,
     completed_at: String)
 
+/** One row of the append-only run log — the audit-trail analog of the
+  * reference's Archive* tables (every write mirrored with a timestamped
+  * sort_key + archive_log, dynamodb.py:518-532, 558-565): one generation of
+  * verdicts per run, keyed (run_id, snapshot_id, ruleset_hash). */
+case class RunLogRecord(
+    run_id: String,
+    snapshot_id: String,
+    ruleset_hash: String,
+    source: String,
+    rule_id: String,
+    status: String,
+    severity: String,
+    metrics: String,
+    completed_at: String)
+
 /** One bin of a persisted baseline histogram used by drift rules.
   * kind in {ntok_hist, token_hist}; one histogram per (source, kind). */
 case class BaselineBin(

@@ -102,12 +102,18 @@ object RuleEngine {
       .toSeq
 
   /** The compiled evaluation: the (lazy) violations dataset plus the
-    * driver-side facts needed for verdict roll-up without another scan. */
+    * driver-side facts needed for verdict roll-up without another scan.
+    * `notCompleted` lists (source, rule_id) pairs whose check could not
+    * run (e.g. a drift rule with no baseline bins for that source) — the
+    * roll-up reports them as NOT_COMPLETED instead of a silent PASS
+    * (reference analog: ManifestStatusCheckRecord's NOT_COMPLETED status,
+    * dynamodb.py:89-95). */
   final case class EnginePlan(
       violations: Dataset[Violation],
       sources: Seq[String],
       stats: Option[(String, Map[String, String])],
-      rowCount: Option[Long])
+      rowCount: Option[Long],
+      notCompleted: Set[(String, String)] = Set.empty)
 
   /** Build the evaluation plan. Exactly THREE distributed passes over the
     * fact table — the fused row-rule scan, the per-key uniqueness
@@ -141,6 +147,17 @@ object RuleEngine {
           if (baselineRows.isEmpty) Nil
           else driftViolationsFromAgg(aggs, baselineRows, r))
 
+    // A drift check that never ran must not read as PASS: every (source,
+    // drift rule) lacking baseline bins for that kind rolls up as
+    // NOT_COMPLETED (ADVICE r01; reference keeps an explicit NOT_COMPLETED
+    // submission status, dynamodb.py:89-95).
+    val notCompleted: Set[(String, String)] =
+      rules.driftRules.flatMap { r =>
+        val withBins =
+          baselineRows.filter(_.kind == r.kind).map(_.source).toSet
+        aggs.map(_.source).filterNot(withBins).map(s => (s, r.id))
+      }.toSet
+
     val parts: Seq[Dataset[Violation]] =
       Seq(rowViolations(enriched, rules.rowRules)) ++
         rules.uniqueRules.map(r => uniqueViolations(seqs.toDF(), r)) ++
@@ -158,7 +175,8 @@ object RuleEngine {
       sources = sources0.distinct.sorted,
       stats = rules.statsRules.headOption
         .map(r => (r.id, statsMetricsFromAgg(aggs))),
-      rowCount = if (needAgg) Some(aggs.map(_.nDocs).sum) else None)
+      rowCount = if (needAgg) Some(aggs.map(_.nDocs).sum) else None,
+      notCompleted = notCompleted)
   }
 
   /** Evaluate the full rule set. `baseline` powers drift rules (skipped when
@@ -171,7 +189,8 @@ object RuleEngine {
       vocab: Int = graft.gen.SequenceGen.vocabSize): ValidationResult = {
     val p = plan(seqs, manifest, rules, baseline, vocab)
     val verdicts = rollUpVerdicts(
-      seqs.sparkSession, p.sources, rules, p.violations, p.stats)
+      seqs.sparkSession, p.sources, rules, p.violations, p.stats,
+      p.notCompleted)
     ValidationResult(p.violations, verdicts)
   }
 
@@ -305,6 +324,12 @@ object RuleEngine {
   val DupSalts = 16
   val DupEvidenceCap = 100
 
+  /** Broadcast the duplicate-key set only below this size: the set being
+    * large IS the failure mode uniqueness detects, and an unconditional
+    * broadcast hint would OOM the driver exactly then. Above the threshold
+    * the join falls back to shuffle (AQE may still re-plan it). */
+  val DupKeysBroadcastMax = 2000000L
+
   /** Two-stage SALTED duplicate detection (J6/A4/A5 semantics; the
     * north-rule "salted repartition + sort-merge dedup").
     *
@@ -322,36 +347,53 @@ object RuleEngine {
     import spark.implicits._
     val k = rule.key
 
+    // Null keys are excluded here BY CONTRACT: null-uniqueness is
+    // R_SCHEMA's job (doc_id IS NOT NULL is a row rule), and a null-keyed
+    // equi-join would silently drop the groups anyway (ADVICE r01).
+    val nonNull = seqs.filter(col(k).isNotNull)
+
     // Pass 1: exact counts — constant state per key, map-side partial
     // aggregation absorbs volume; only duplicate keys survive (a tiny set
-    // relative to the table in the 99.99%-unique regime).
-    val dupKeys = seqs
+    // relative to the table in the 99.99%-unique regime). Persisted so the
+    // size gate below doesn't recompute the aggregation for the join.
+    val dupKeys = nonNull
       .groupBy(col(k))
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDupKeys = dupKeys.count()
 
-    // Pass 2: evidence for duplicate MEMBERS only. The duplicate-key set
-    // is broadcast EXPLICITLY: it is tiny by construction in the
-    // validation regime (violations, not the norm), and the static hint
-    // keeps the plan a single broadcast-hash stage instead of an
-    // AQE-discovered one. Salted two-stage so a hot key duplicated
-    // millions of times spreads over DupSalts reducers, each emitting a
-    // bounded partial; the merge sees <= DupSalts capped lists per key —
-    // no reducer materializes an unbounded member list.
-    val salt = pmod(xxhash64(col("source"), col("n_tok")), lit(DupSalts.toLong))
-    val members = seqs.join(broadcast(dupKeys), Seq(k))
+    // Pass 2: evidence for duplicate MEMBERS only. Broadcast is GATED on
+    // the counted size: tiny in the healthy regime (single hash stage, no
+    // shuffle of the fact table), but a mass-duplication accident — the
+    // very thing this rule detects — must not OOM the driver via an
+    // unconditional hint. Salted two-stage aggregation: the salt is the
+    // INPUT PARTITION id, so a key duplicated millions of times within one
+    // (source, n_tok) — where a value-derived salt collapses — still
+    // spreads over all its input partitions' reducers. Stage-1 state is
+    // collect_set(source), bounded by |distinct sources|, capped at
+    // DupEvidenceCap; counts stay exact via pass 1 (the reference reports
+    // all duplicate locations, manifest_processor.py:293-305 — here
+    // complete up to the cap over distinct locations).
+    val dupSide =
+      if (nDupKeys <= DupKeysBroadcastMax) broadcast(dupKeys) else dupKeys
+    // spark_partition_id is nondeterministic, so it must be materialized in
+    // a projection before it can be a grouping key.
+    val members = nonNull.join(dupSide, Seq(k))
+      .withColumn("salt",
+        pmod(spark_partition_id().cast("long"), lit(DupSalts.toLong)))
 
     val partials = members
-      .groupBy(col(k), col("dup_count"), salt.as("salt"))
+      .groupBy(col(k), col("dup_count"), col("salt"))
       .agg(
-        slice(sort_array(collect_list(col("source"))), 1, DupEvidenceCap)
+        slice(sort_array(collect_set(col("source"))), 1, DupEvidenceCap)
           .as("srcs"))
 
     val groups = partials
       .groupBy(col(k), col("dup_count"))
       .agg(
-        slice(sort_array(flatten(collect_list(col("srcs")))), 1,
-          DupEvidenceCap).as("member_sources"))
+        slice(array_sort(array_distinct(flatten(collect_list(col("srcs"))))),
+          1, DupEvidenceCap).as("member_sources"))
 
     groups
       .select(
@@ -361,7 +403,7 @@ object RuleEngine {
           col("dup_count"),
           col("member_sources"))).as("observed"),
         // attribute the violation to every member partition
-        explode(array_distinct(col("member_sources"))).as("source"),
+        explode(col("member_sources")).as("source"),
         lit(rule.severity).as("severity"))
       .as[Violation]
   }
@@ -468,14 +510,16 @@ object RuleEngine {
       sources: Seq[String],
       rules: RuleSet,
       violations: Dataset[Violation],
-      stats: Option[(String, Map[String, String])] = None): Dataset[Verdict] = {
+      stats: Option[(String, Map[String, String])] = None,
+      notCompleted: Set[(String, String)] = Set.empty): Dataset[Verdict] = {
     import spark.implicits._
 
     // the verdict domain is tiny (|sources| x |rules|) and already known
-    // driver-side — broadcast it against the aggregated violation counts
+    // driver-side; checks that could not run are flagged here so they roll
+    // up as NOT_COMPLETED, never as a silent PASS
     val domain = sources
-      .flatMap(s => rules.ruleIds.map(r => (s, r)))
-      .toDF("source", "rule_id")
+      .flatMap(s => rules.ruleIds.map(r => (s, r, notCompleted((s, r)))))
+      .toDF("source", "rule_id", "nc")
 
     val counts = violations.toDF()
       .groupBy(col("source"), col("rule_id"))
@@ -485,8 +529,13 @@ object RuleEngine {
         sum(when(col("severity") === Severity.Warning, 1L).otherwise(0L))
           .as("n_warning"))
 
-    val base = broadcast(domain)
-      .join(counts, Seq("source", "rule_id"), "left")
+    // Broadcast the aggregated-counts side: it is as small as the domain
+    // (<= |sources| x |rules| groups) and Spark supports building the
+    // RIGHT side of a left-outer join — broadcasting the left/probe side
+    // is unsupported and the hint would be silently dropped (the
+    // HintErrorLogger warning in every r01 bench tail).
+    val base = domain
+      .join(broadcast(counts), Seq("source", "rule_id"), "left")
       .na.fill(0L, Seq("n_error", "n_warning"))
 
     // stats rules carry their per-partition statistics as verdict metrics
@@ -502,14 +551,17 @@ object RuleEngine {
       .select(
         col("source"),
         col("rule_id"),
-        when(col("n_error") > 0, lit(Status.Fail))
+        when(col("nc"), lit(Status.NotCompleted))
+          .when(col("n_error") > 0, lit(Status.Fail))
           .when(col("n_warning") > 0, lit(Status.PassWithWarnings))
           .otherwise(lit(Status.Pass)).as("status"),
-        when(col("n_error") > 0, lit(Severity.Error))
+        when(col("nc"), lit(null).cast(StringType))
+          .when(col("n_error") > 0, lit(Severity.Error))
           .when(col("n_warning") > 0, lit(Severity.Warning))
           .otherwise(lit(null).cast(StringType)).as("severity"),
-        coalesce(statsExpr,
-          to_json(struct(col("n_error"), col("n_warning")))).as("metrics"))
+        when(col("nc"), lit("""{"reason":"no_baseline"}"""))
+          .otherwise(coalesce(statsExpr,
+            to_json(struct(col("n_error"), col("n_warning"))))).as("metrics"))
       .as[Verdict]
   }
 

@@ -45,6 +45,36 @@ object TableIO {
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Drop the hive-layout partition directories for `values` of
+    * `partitionCol` under `path`. Dynamic partition overwrite only replaces
+    * partitions PRESENT in the written data — a re-validated source that is
+    * now clean writes zero violation rows, so its stale partition files
+    * would survive and poison the next roll-up (ADVICE r01). Callers delete
+    * the partitions of every source in the run before writing. Driver-side
+    * metadata work over |values| directories (the Iceberg-delete analog). */
+  def deletePartitions(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      values: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    values.foreach { v =>
+      val enc = java.net.URLEncoder.encode(v, "UTF-8")
+      val dir = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$enc")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
+
+  /** Append-only run-log sink (reference K2: every write mirrored into an
+    * archive table with a timestamped key + archive_log,
+    * dynamodb.py:518-532, 558-565). The overwrite tables hold the CURRENT
+    * verdicts; this table accumulates one generation per run, keyed
+    * (run_id, snapshot_id, ruleset_hash), so prior runs stay auditable. */
+  def appendRunLog(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Append).parquet(path)
+
   /** Partition values of a hive-layout table from DIRECTORY NAMES — a
     * metadata read (the Iceberg-manifest analog), replacing a full-table
     * DISTINCT scan. Returns None when the table isn't partitioned by

@@ -93,6 +93,49 @@ class ValidationJobSpec extends SparkSpec {
     assert(driftVios === Set("mito"), s"got $driftVios")
   }
 
+  test("re-validation of a now-clean source clears its stale violations " +
+      "and flips the verdict to PASS (no dynamic-overwrite leftovers)") {
+    val dir = tmpDir("vjob5")
+    writeInput(dir, Knobs(badNtokRate = 0.05))
+    val cfg = ValidationJob.Config(s"$dir/input", s"$dir/manifest", s"$dir/out")
+    ValidationJob.run(spark, cfg)
+    val vio1 = spark.read.parquet(ValidationJob.violationsPath(cfg.outDir))
+      .filter($"rule_id" === "R_CONSISTENT_NTOK")
+    assert(vio1.count() > 0)
+
+    // fix the data: same layout, clean rows -> new snapshot, full re-run
+    writeInput(dir, Knobs.clean)
+    val r2 = ValidationJob.run(spark, cfg)
+    assert(r2.validatedPartitions.nonEmpty)
+    // explicit schema: a fully-clean run leaves ZERO violation files
+    val vio2 = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[Violation].schema)
+      .parquet(ValidationJob.violationsPath(cfg.outDir))
+    assert(vio2.count() === 0,
+      s"stale violations survived: ${vio2.collect().mkString(", ")}")
+    val ver = spark.read.parquet(ValidationJob.verdictsPath(cfg.outDir))
+      .filter($"rule_id" === "R_CONSISTENT_NTOK").as[Verdict].collect()
+    assert(ver.nonEmpty && ver.forall(_.status == Status.Pass))
+  }
+
+  test("run log accumulates one verdict generation per run (K2 archive)") {
+    val dir = tmpDir("vjob6")
+    writeInput(dir)
+    val cfg = ValidationJob.Config(s"$dir/input", s"$dir/manifest", s"$dir/out")
+    ValidationJob.run(spark, cfg)
+    // different rule set -> different lineage -> second generation
+    val cfg2 = cfg.copy(rules = graft.rules.Rules.rowOnly)
+    ValidationJob.run(spark, cfg2)
+
+    val log = spark.read.parquet(ValidationJob.runLogPath(cfg.outDir))
+      .as[RunLogRecord].collect()
+    val gens = log.map(r => (r.run_id, r.ruleset_hash)).distinct
+    assert(gens.length === 2, s"expected 2 generations, got ${gens.toSeq}")
+    // both generations fully preserved (append-only, never overwritten)
+    val perGen = log.groupBy(_.ruleset_hash).view.mapValues(_.length).toMap
+    assert(perGen.values.forall(_ > 0) && perGen.size === 2)
+  }
+
   test("incremental input: only new partitions are validated on resume") {
     val dir = tmpDir("vjob4")
     writeInput(dir)

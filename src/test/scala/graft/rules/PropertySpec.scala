@@ -62,6 +62,33 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("adversarial: key duplicated 1e5x within ONE (source, n_tok) — " +
+      "the case a value-derived salt collapses on — stays exact and bounded") {
+    val n = 100000
+    // identical (doc_id, n_tok, source) for every row: a re-ingestion
+    // accident; salt = input partition id spreads it over reducers.
+    val hot = spark.range(n).selectExpr(
+      "'D000000000042' AS doc_id",
+      "array(CAST(id % 7 AS INT)) AS tokens",
+      "1 AS n_tok",
+      "'cardiac' AS source")
+    val vios = RuleEngine.uniqueViolations(hot,
+      UniqueRule(Rules.RUniqueDocId, Severity.Error, "doc_id")).collect()
+    assert(vios.length === 1) // one member source => one attributed row
+    assert(vios.head.observed.contains(s""""dup_count":$n"""))
+    assert(vios.head.observed.contains(""""member_sources":["cardiac"]"""))
+  }
+
+  test("null-keyed rows are excluded from uniqueness by contract " +
+      "(null doc_id is R_SCHEMA's violation, not R_UNIQUE's)") {
+    val rows = spark.range(4).selectExpr(
+      "CAST(NULL AS STRING) AS doc_id",
+      "array(1) AS tokens", "1 AS n_tok", "'cardiac' AS source")
+    val vios = RuleEngine.uniqueViolations(rows,
+      UniqueRule(Rules.RUniqueDocId, Severity.Error, "doc_id")).collect()
+    assert(vios.isEmpty)
+  }
+
   test("property: hot-key duplicate evidence is capped but count exact") {
     val n = 3000
     val hot = (1 to n).map(i =>

@@ -10,18 +10,35 @@ class RuleEngineSpec extends SparkSpec {
 
   private val N = 2000L
 
-  test("clean data produces zero violations and all-PASS verdicts") {
+  test("clean data: zero violations; PASS everywhere, NOT_COMPLETED for " +
+      "drift rules that had no baseline to run against") {
     val seqs = SequenceGen.sequences(spark, N)
     val manifest = SequenceGen.manifest(spark, N)
     val res = RuleEngine.validate(seqs, manifest, Rules.standard)
     assert(res.violations.count() === 0)
     val statuses = res.verdicts.collect()
     assert(statuses.nonEmpty)
-    assert(statuses.forall(_.status == Status.Pass),
-      statuses.filterNot(_.status == Status.Pass).mkString(", "))
+    val driftIds = Rules.standard.driftRules.map(_.id).toSet
+    statuses.foreach { v =>
+      // a drift check that never ran must NOT read as PASS (ADVICE r01)
+      if (driftIds(v.rule_id)) assert(v.status == Status.NotCompleted, v)
+      else assert(v.status == Status.Pass, v)
+    }
     // one verdict per (source, rule)
     assert(statuses.length ===
       SequenceGen.sources.size * Rules.standard.ruleIds.size)
+  }
+
+  test("drift verdicts are PASS (not NOT_COMPLETED) when a baseline exists") {
+    val seqs = SequenceGen.sequences(spark, N)
+    val manifest = SequenceGen.manifest(spark, N)
+    val baseline = graft.drift.Drift.histograms(
+      seqs.toDF(), SequenceGen.vocabSize, "base")
+    val res = RuleEngine.validate(seqs, manifest, Rules.standard,
+      Some(baseline))
+    val statuses = res.verdicts.collect()
+    assert(statuses.forall(_.status == Status.Pass),
+      statuses.filterNot(_.status == Status.Pass).mkString(", "))
   }
 
   test("generator is deterministic and token arrays round-trip (row invariant)") {
