@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout passes through UNPREFIXED (no sbt [info]
+// decoration): Bench/Verify print one machine-readable JSON line that the
+// calling harness parses; Spark's own logs go to stderr.
+run / outputStrategy := Some(StdoutOutput)
+// Shuffle/spill on tmpfs: the calling environment may export
+// SPARK_LOCAL_DIRS (which silently overrides spark.local.dir) pointing at
+// the single shared virtio disk — that serializes shuffle I/O across all
+// cores and poisons scaling measurements. On a real cluster each executor
+// has node-local disks; tmpfs is the honest local-mode analog.
+run / envVars += ("SPARK_LOCAL_DIRS" -> "/dev/shm/graft-spark")
+Test / envVars += ("SPARK_LOCAL_DIRS" -> "/dev/shm/graft-spark")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,8 +15,10 @@ object Bench {
     "a9_verdict_rollup", "o_topk_users", "w_first_per_key",
     "st_sessionize", "f5_regex_valid",
     "text_quality", "text_fingerprint",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_jaccard_pairs",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_pairs_capped",
+    "dedup_simhash",
+    "dedup_jaccard_pairs", "dedup_jaccard_pairs_capped",
+    "j10_snapshot_equality", "s8_results_json",
     "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk")
 
   def main(args: Array[String]): Unit = {
@@ -51,9 +53,13 @@ object Bench {
       else {
         val rows = sys.env.get("SPARK_GRAFT_BENCH_ROWS")
           .map(_.toLong).getOrElse(16000000L)
-        val work = java.nio.file.Files
-          .createTempDirectory("graft-bench-scaling").toString
+        // tmpfs work dir — see ScalingBench.main (virtio disk would
+        // serialize the per-pass scans and poison the measurement)
+        val work = "/dev/shm/graft-bench-scaling"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
         val r = ScalingBench.run(work, rows, maxReps = 4)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
         val out = java.nio.file.Paths.get("BENCH")
         java.nio.file.Files.createDirectories(out)
         java.nio.file.Files.writeString(

@@ -56,11 +56,18 @@ object Main {
           println(s"""{"generated":$n,"outDir":"$outDir","seed":$seed}""")
 
         case "validate" :: input :: manifest :: outDir :: rest =>
+          // optional 5th arg: reference snapshot for the J10 cross-snapshot
+          // token-equality rule (rule set extends automatically)
+          val refSnap = rest.lift(1)
           val report = ValidationJob.run(spark, ValidationJob.Config(
             inputPath = input,
             manifestPath = manifest,
             outDir = outDir,
-            baselinePath = rest.headOption))
+            baselinePath = rest.headOption,
+            refSnapshotPath = refSnap,
+            rules =
+              if (refSnap.isDefined) graft.rules.Rules.withSnapshotEquality
+              else graft.rules.Rules.standard))
           println(
             s"""{"snapshot_id":"${report.snapshotId}",""" +
               s""""ruleset_hash":"${report.rulesetHash}",""" +
@@ -74,7 +81,8 @@ object Main {
           System.err.println(
             "usage: gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] " +
               "[unknownRate] [driftSrc:shift] | " +
-              "validate <inputDir> <manifestDir> <outDir> [baselineDir]")
+              "validate <inputDir> <manifestDir> <outDir> [baselineDir] " +
+              "[refSnapshotDir]")
           sys.exit(2)
       }
     } finally spark.stop()

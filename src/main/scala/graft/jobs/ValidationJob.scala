@@ -21,6 +21,9 @@ object ValidationJob {
       manifestPath: String,
       outDir: String,
       baselinePath: Option[String] = None,
+      /** Reference snapshot for the cross-snapshot token-equality rule
+        * (J10); the rule rolls up NOT_COMPLETED when absent. */
+      refSnapshotPath: Option[String] = None,
       rules: RuleSet = Rules.standard,
       vocab: Int = graft.gen.SequenceGen.vocabSize,
       /** Cache the fact table across the rule-family passes. Right for
@@ -93,7 +96,10 @@ object ValidationJob {
       else seqs0
     phase("cache_setup")
 
-    val enginePlan = RuleEngine.plan(seqs, manifest, cfg.rules, baseline, cfg.vocab)
+    val refSnapshot = cfg.refSnapshotPath.map(p =>
+      spark.read.parquet(p).as[Sequence])
+    val enginePlan = RuleEngine.plan(
+      seqs, manifest, cfg.rules, baseline, cfg.vocab, refSnapshot)
     // exact per-source counts come free from the aggregation pass
     val rowsValidated = enginePlan.rowCount.getOrElse(seqs.count())
     phase("plan_agg_pass")

@@ -102,58 +102,126 @@ object Dedup {
       .filter(col("est_sim") >= minEstSim)
   }
 
-  /** (id, simhash) for every doc — `bits`-wide locality-sensitive hash. */
+  /** (id, simhash) for every doc — `bits`-wide locality-sensitive hash.
+    * Legacy narrow form (bits <= ~30, limited by the polynomial hash
+    * width); the pair path uses the 64-bit band form below. */
   def simhashes(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame =
     df.select(col(idCol), simhash(col(textCol), bits).as("simhash"))
 
-  /** SimHash near-dup pairs: hamming distance <= maxHamming. Blocking: a
-    * pair must match on at least one half of the simhash (pigeonhole: any
-    * pair within hamming distance <= bits/2-1 per half shares a half when
-    * maxHamming < 2; for small maxHamming this is the classic
-    * multi-index approach), keeping the join linear in bucket sizes. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val half = bits / 2
-    val sh = simhashes(df, idCol, textCol, bits)
-      .select(col(idCol), col("simhash"),
-        (col("simhash") % (1L << half)).as("lo"),
-        shiftright(col("simhash"), half).as("hi"))
+  /** Number of simhash bands and bits per band: 4 x 16 = a 64-bit simhash
+    * in band-array form (array<long> of 4 values in [0, 65536)). The array
+    * form is deliberate — portable integer arithmetic with no int64
+    * sign-bit traps in either engine, and the blocking key is explicit. */
+  val SimhashBands = 4
+  val SimhashBandBits = 16
 
-    // two blocking passes: equal low half OR equal high half
-    // (complete for maxHamming <= half by pigeonhole when distance
-    // concentrates in one half; standard SimHash multi-index trade-off,
-    // documented as approximate for distances split across both halves)
-    def pairsOn(key: String) = {
-      val l = sh.select(col(key).as("k"), col(idCol).as("id_a"),
-        col("simhash").as("sh_a"))
-      val r = sh.select(col(key).as("k"), col(idCol).as("id_b"),
-        col("simhash").as("sh_b"))
-      l.join(r, Seq("k")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+  /** 64-bit SimHash as 4 x 16-bit bands: bit j (j in [0,64)) of a word's
+    * hash h is ((h*(2j+1) + j*1000003 + 12345) mod p) mod 2 — the same
+    * universal-hash family as the MinHash permutations, reproduced by the
+    * DuckDB oracle exactly. Computed explode -> groupBy with 64 conditional
+    * SUMs (codegen'd, one (id, h) shuffle; the aggregation barrier also
+    * prevents CollapseProject re-inlining — see minhashSignatures). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wh = df.select(
+      col(idCol), explode_outer(wordHashes(col(textCol))).as("h"))
+    val voteCols = (0 until SimhashBands * SimhashBandBits).map { j =>
+      sum(when(
+        pmod(col("h") * (2 * j + 1) + (j * 1000003L + 12345L),
+          lit(HashMod)) % 2 === 1, 1L).otherwise(-1L)).as(s"v$j")
     }
+    val votes = wh.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val bandCols = (0 until SimhashBands).map { b =>
+      (0 until SimhashBandBits).map { i =>
+        when(col(s"v${SimhashBandBits * b + i}") > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band$b")
+    }
+    votes
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol),
+        array((0 until SimhashBands).map(b => col(s"band$b")): _*).as("bands"))
+  }
 
-    pairsOn("lo").unionByName(pairsOn("hi")).distinct()
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+  /** SimHash near-dup pairs: hamming distance <= maxHamming over the
+    * 64-bit hash. Blocking on the 4 disjoint 16-bit bands is
+    * pigeonhole-COMPLETE for maxHamming <= 3 (3 differing bits can dirty
+    * at most 3 of 4 bands, so some band matches exactly) — unlike the r01
+    * two-half scheme, which silently missed 2+1 splits AND had only 256
+    * distinct block values (quadratic buckets at scale); 16-bit bands give
+    * 65536. `maxBucketSize` drops degenerate band buckets (same contract
+    * as [[minhashLshPairs]]). */
+  def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val sh = simhash64(df, idCol, textCol)
+    val banded = sh.select(
+      col(idCol), col("bands"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+
+    val capped =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        val sizes = banded.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBucketSize)
+        banded.join(sizes, Seq("band_idx", "band_key"), "left_semi")
+      }
+
+    val l = capped.select(col("band_idx"), col("band_key"),
+      col(idCol).as("id_a"), col("bands").as("b_a"))
+    val r = capped.select(col("band_idx"), col("band_key"),
+      col(idCol).as("id_b"), col("bands").as("b_b"))
+
+    val hamming = (0 until SimhashBands).map { i =>
+      bit_count(element_at(col("b_a"), i + 1)
+        .bitwiseXOR(element_at(col("b_b"), i + 1)))
+    }.reduce(_ + _)
+
+    l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("b_a"), col("b_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs >= minJaccard via inverted-index join on
-    * shared shingles (no all-pairs blowup; only docs sharing a shingle
-    * meet). */
+  /** n-gram Jaccard pairs >= minJaccard via inverted-index join on shared
+    * shingles (no all-pairs blowup; only docs sharing a shingle meet).
+    *
+    * Scale contract: the pair count is Σ_shingle df², so `maxDf` drops
+    * shingles more common than the cap from the INTERSECTION side — the
+    * corpus-stopword cartesian bomb (same spirit as minhashLshPairs'
+    * `maxBucketSize`: a shingle shared by half the corpus carries no
+    * near-dup signal). Denominators stay exact full shingle-set sizes, so
+    * a dropped shingle can only LOWER a pair's estimated Jaccard (pairs
+    * held together by ultra-common shingles fall away first). With the cap
+    * off, results are exact.
+    *
+    * Plan shape: sizes come from a pure projection (no explode); the
+    * exploded inverted index is built ONCE and explicitly hash-partitioned
+    * on shingle, so the self-join's two branches reuse a single exchange
+    * (r01 recomputed the explode three times). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val docShingles = df.select(
-      col(idCol),
-      explode(array_distinct(shingles(words(col(textCol)), shingleN)))
-        .as("shingle"))
+      shingleN: Int = 3, minJaccard: Double = 0.5,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val shingleSet = array_distinct(shingles(words(col(textCol)), shingleN))
+    val sizes = df.select(col(idCol), size(shingleSet).as("n_shingles"))
 
-    val sizes = docShingles.groupBy(idCol)
-      .agg(count(lit(1)).as("n_shingles"))
+    val docShingles = df.select(col(idCol), explode(shingleSet).as("shingle"))
 
-    val l = docShingles.select(col("shingle"), col(idCol).as("id_a"))
-    val r = docShingles.select(col("shingle"), col(idCol).as("id_b"))
+    val kept =
+      if (maxDf == Int.MaxValue) docShingles
+      else {
+        val dfs = docShingles.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+        docShingles.join(dfs, Seq("shingle"), "left_semi")
+      }
+
+    // one exchange, reused by both self-join branches
+    val idx = kept.repartition(col("shingle"))
+    val l = idx.select(col("shingle"), col(idCol).as("id_a"))
+    val r = idx.select(col("shingle"), col(idCol).as("id_b"))
     val inter = l.join(r, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")

@@ -31,21 +31,26 @@ object Multimodal {
     def decode(payload: Array[Byte], mime: String): Array[Float]
   }
 
-  /** Deterministic stand-in: features derived purely from payload bytes
-    * (rolling sums over byte windows), so tests are stable and the batch
-    * plumbing is exercised with realistic shapes. */
+  /** Deterministic stand-in: feature lane j = (sum of payload bytes at
+    * positions ≡ j mod dim) mod 1009, as a float. Integer-valued floats
+    * (< 2^24, exactly representable) by design, so the DuckDB oracle
+    * reproduces the features bit-for-bit with integer arithmetic — no
+    * cross-engine float-accumulation-order hazards. Tests stay stable and
+    * the batch plumbing is exercised with realistic shapes. */
   object FakeCodec extends MediaCodec {
     val dim = 8
     def decode(payload: Array[Byte], mime: String): Array[Float] = {
-      val out = new Array[Float](dim)
-      if (payload == null) return out
-      var i = 0
-      while (i < payload.length) {
-        out(i % dim) += (payload(i) & 0xff) / 255.0f
-        i += 1
+      val sums = new Array[Long](dim)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          sums(i % dim) += (payload(i) & 0xff)
+          i += 1
+        }
       }
+      val out = new Array[Float](dim)
       var j = 0
-      while (j < dim) { out(j) = out(j) / math.max(1, payload.length / dim); j += 1 }
+      while (j < dim) { out(j) = (sums(j) % 1009L).toFloat; j += 1 }
       out
     }
   }

@@ -102,37 +102,55 @@ object SimilaritySearch {
     * nearest centroid lists. Centroids here are the first `nCentroids`
     * corpus vectors by id — a deterministic, training-free seeding (a real
     * deployment would k-means; the assignment/probe plumbing is identical
-    * and is what matters at scale: the shuffle is bounded by list sizes,
-    * not the corpus square). Ties break toward the lower centroid id. */
+    * and is what matters at scale). Ties break toward the lower centroid
+    * id.
+    *
+    * Scale shape: the codebook is collected to the driver (it is tiny by
+    * construction — a codebook that doesn't fit the driver isn't a usable
+    * IVF codebook) and the per-row argmax is a PROJECTION against literal
+    * centroid vectors — ZERO exchanges before the probe⋈list join. The
+    * r01 formulation shuffled corpus×nCentroids rows through a crossJoin +
+    * per-row-id window to compute the same argmax. */
   def ivfTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
-    val cents = broadcast(
+    import org.apache.spark.sql.Row
+    // deterministic codebook: first nCentroids corpus vectors by id
+    val codebook: Seq[(Long, Seq[Float])] =
       corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect().toSeq
+        .map { case Row(cid: Long, cv: scala.collection.Seq[_]) =>
+          (cid, cv.map(_.asInstanceOf[Float]).toSeq)
+        }
 
-    def nearestCentroids(df: DataFrame, id: String, vec: String, n: Int) = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("ccos").desc, col("cid").asc)
-      df.crossJoin(cents)
-        .select(col(id), col(vec), col("cid"),
-          cosine(col(vec), col("cvec")).as("ccos"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-    }
+    // per-row centroid scores, sorted (cos desc, cid asc) — struct sort on
+    // (ccos, -cid) descending gives exactly that order
+    def centScores(vec: Column): Column =
+      sort_array(
+        array(codebook.map { case (cid, cv) =>
+          struct(
+            cosine(vec, typedlit(cv)).as("ccos"),
+            lit(-cid).as("negcid"))
+        }: _*),
+        asc = false)
 
-    val assigned = nearestCentroids(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "neighbor_id", "cv", 1)
-      .select(col("neighbor_id"), col("cv"), col("cid"))
-    val probeLists = nearestCentroids(
-      probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")),
-      "probe_id", "pv", nprobe)
-      .select(col("probe_id"), col("pv"), col("cid"))
+    val assigned = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      (element_at(centScores(col(vecCol)), 1)("negcid") * -1).as("cid"))
+
+    val probeLists = probes.select(
+      col(idCol).as("probe_id"),
+      col(vecCol).as("pv"),
+      explode(transform(
+        slice(centScores(col(vecCol)), 1, nprobe),
+        s => s("negcid") * -1)).as("cid"))
 
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probeLists.join(assigned, Seq("cid"))
+    // probe side broadcast: the corpus-sized assigned list never shuffles
+    broadcast(probeLists).join(assigned, Seq("cid"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosine(col("pv"), col("cv")).as("cos"))

@@ -40,21 +40,39 @@ object DedupQueries {
         k = 16, bands = 4, minEstSim = 0.5)
     }),
 
-    // SimHash values (16-bit)
-    "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashes(docs(s, dir), "doc_id", "text", bits = 16)
+    // The SCALE configuration of the same operator — hot band buckets
+    // dropped (maxBucketSize=20; the 100 TB contract) — verified against
+    // an oracle that mirrors the cap exactly.
+    "dedup_minhash_pairs_capped" -> ((s, dir) => {
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20)
     }),
 
-    // SimHash near-dup pairs (hamming <= 3, half-band blocking)
+    // 64-bit SimHash in 4 x 16-bit band form
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash64(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band")))
+    }),
+
+    // SimHash near-dup pairs (hamming <= 3): 4-band blocking is
+    // pigeonhole-COMPLETE at this radius
     "dedup_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
-        bits = 16, maxHamming = 3)
+      Dedup.simhashPairs64(docs(s, dir), "doc_id", "text", maxHamming = 3)
     }),
 
     // exact n-gram Jaccard pairs >= 0.3 via inverted-index join
     "dedup_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
         shingleN = 3, minJaccard = 0.3)
+    }),
+
+    // The SCALE configuration: shingles with document frequency > 20
+    // dropped from the intersection side (denominators stay exact) —
+    // bounds the Σdf² pair blowup; oracle mirrors the cap.
+    "dedup_jaccard_pairs_capped" -> ((s, dir) => {
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.3, maxDf = 20)
     })
   )
 
@@ -81,6 +99,26 @@ object DedupQueries {
     """list_transform(range(16), i ->
        list_min(list_transform(hs, h ->
          (h*(2*i+1)+(1000003*i+12345))%1000000007)))"""
+
+  /** 64-bit SimHash as 4 x 16-bit bands: bit j of word-hash h is
+    * ((h*(2j+1) + j*1000003 + 12345) mod p) mod 2 — mirrors
+    * Dedup.simhash64 exactly. */
+  private val simhash64BandsCte =
+    """wh AS (
+         SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(w,'')]), (a,b)->(a*31+b)%1000000007) AS h
+         FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+               FROM documents)),
+       votes AS (
+         SELECT doc_id, j,
+                SUM(CASE WHEN ((h*(2*j+1) + j*1000003 + 12345) % 1000000007)
+                              % 2 = 1 THEN 1 ELSE -1 END) AS v
+         FROM wh, (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+       bands AS (
+         SELECT doc_id, CAST(j // 16 AS INT) AS band_idx,
+                CAST(SUM(CASE WHEN v > 0
+                              THEN 1 << CAST(j % 16 AS INT)
+                              ELSE 0 END) AS BIGINT) AS band
+         FROM votes GROUP BY doc_id, j // 16)"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -116,44 +154,56 @@ object DedupQueries {
           WHERE CAST(len(list_filter(range(16),
                    i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
                    AS DOUBLE)/16 >= 0.5""",
-    "dedup_simhash" ->
-      s"""WITH wh AS (
-            SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(w,'')]), (a,b)->(a*31+b)%1000000007) AS h
-            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
-                  FROM documents)),
-          bits AS (
-            SELECT doc_id, j,
-                   CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1
-                                      THEN 1 ELSE -1 END) > 0
-                        THEN CAST(1 AS BIGINT) << j ELSE 0 END AS v
-            FROM wh, (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j)
-          SELECT doc_id, CAST(SUM(v) AS BIGINT) AS simhash
-          FROM bits GROUP BY 1""",
-    "dedup_simhash_pairs" ->
-      s"""WITH wh AS (
-            SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(w,'')]), (a,b)->(a*31+b)%1000000007) AS h
-            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
-                  FROM documents)),
-          bits AS (
-            SELECT doc_id, j,
-                   CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1
-                                      THEN 1 ELSE -1 END) > 0
-                        THEN CAST(1 AS BIGINT) << j ELSE 0 END AS v
-            FROM wh, (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
-          shs AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS simhash
-                  FROM bits GROUP BY 1),
-          keyed AS (SELECT doc_id, simhash, simhash % 256 AS lo,
-                           simhash >> 8 AS hi FROM shs),
+    "dedup_minhash_pairs_capped" ->
+      s"""WITH $shingleHashCte,
+          sigs AS (SELECT doc_id, $sigExpr AS sig FROM sh),
+          bands AS (
+            SELECT doc_id, sig, CAST(b AS INT) AS band_idx,
+                   array_to_string(list_slice(sig, b*4+1, b*4+4), '_') AS band_key
+            FROM sigs, (SELECT unnest(range(4)) AS b)),
+          kept AS (
+            SELECT b.* FROM bands b
+            JOIN (SELECT band_idx, band_key FROM bands
+                  GROUP BY 1, 2 HAVING COUNT(*) <= 20) z
+              USING (band_idx, band_key)),
           cand AS (
-            SELECT l.doc_id id_a, r.doc_id id_b,
-                   l.simhash sh_a, r.simhash sh_b
-            FROM keyed l JOIN keyed r ON l.lo = r.lo AND l.doc_id < r.doc_id
-            UNION
-            SELECT l.doc_id, r.doc_id, l.simhash, r.simhash
-            FROM keyed l JOIN keyed r ON l.hi = r.hi AND l.doc_id < r.doc_id)
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   l.sig AS sig_a, r.sig AS sig_b
+            FROM kept l JOIN kept r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id)
           SELECT id_a, id_b,
-                 CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
+                 CAST(len(list_filter(range(16),
+                   i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
+                   AS DOUBLE)/16 AS est_sim
+          FROM cand
+          WHERE CAST(len(list_filter(range(16),
+                   i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
+                   AS DOUBLE)/16 >= 0.5""",
+    "dedup_simhash" ->
+      s"""WITH $simhash64BandsCte
+          SELECT doc_id, band_idx, band FROM bands""",
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhash64BandsCte,
+          sigs AS (SELECT doc_id, list(band ORDER BY band_idx) AS bs
+                   FROM bands GROUP BY 1),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band = r.band
+             AND l.doc_id < r.doc_id)
+          SELECT id_a, id_b,
+                 CAST(bit_count(xor(a.bs[1], b.bs[1]))
+                    + bit_count(xor(a.bs[2], b.bs[2]))
+                    + bit_count(xor(a.bs[3], b.bs[3]))
+                    + bit_count(xor(a.bs[4], b.bs[4])) AS INT) AS hamming
+          FROM cand
+          JOIN sigs a ON a.doc_id = id_a
+          JOIN sigs b ON b.doc_id = id_b
+          WHERE bit_count(xor(a.bs[1], b.bs[1]))
+              + bit_count(xor(a.bs[2], b.bs[2]))
+              + bit_count(xor(a.bs[3], b.bs[3]))
+              + bit_count(xor(a.bs[4], b.bs[4])) <= 3""",
     "dedup_jaccard_pairs" ->
       """WITH ds AS (
            SELECT doc_id, unnest(list_distinct(
@@ -165,6 +215,31 @@ object DedupQueries {
          inter AS (
            SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
            FROM ds l JOIN ds r ON l.shingle = r.shingle
+            AND l.doc_id < r.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                CAST(n_inter AS DOUBLE)/(a.n_shingles + b.n_shingles - n_inter)
+                  AS jaccard
+         FROM inter
+         JOIN sizes a ON a.doc_id = id_a
+         JOIN sizes b ON b.doc_id = id_b
+         WHERE CAST(n_inter AS DOUBLE)/(a.n_shingles + b.n_shingles - n_inter)
+               >= 0.3""",
+    "dedup_jaccard_pairs_capped" ->
+      """WITH ds AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(w) < 3 THEN []
+                  ELSE [w[i]||' '||w[i+1]||' '||w[i+2]
+                        for i in range(1, len(w)-1)] END)) AS shingle
+           FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ds GROUP BY 1),
+         kept AS (
+           SELECT d.* FROM ds d
+           JOIN (SELECT shingle FROM ds
+                 GROUP BY 1 HAVING COUNT(*) <= 20) z USING (shingle)),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
+           FROM kept l JOIN kept r ON l.shingle = r.shingle
             AND l.doc_id < r.doc_id
            GROUP BY 1, 2)
          SELECT id_a, id_b,

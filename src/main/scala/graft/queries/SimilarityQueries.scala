@@ -46,14 +46,25 @@ object SimilarityQueries {
     }),
 
     // embedding near-dup pairs: cosine >= 0.4, exact all-pairs path
+    // (small-corpus extra; the verified scale path is the _lsh variant)
     "dedup_embedding_pairs" -> ((s, dir) => {
       SimilaritySearch.embeddingDupPairs(
         emb(s, dir), "vec_id", "embedding", minCos = 0.4)
     }),
 
+    // The SCALE configuration: candidates restricted to same SRP bucket
+    // (2 hyperplanes -> 4 buckets) — the |bucket|-bounded join that runs
+    // at 100 TB; oracle reproduces the bucketing bit-for-bit.
+    "dedup_embedding_pairs_lsh" -> ((s, dir) => {
+      SimilaritySearch.embeddingDupPairs(
+        emb(s, dir), "vec_id", "embedding", minCos = 0.4, planes = 2)
+    }),
+
     // multimodal feature extraction through the batched codec stage
-    // (FakeCodec — deterministic; NO oracle: mapPartitions is the one
-    // non-SQL-expressible stage, driver records rows-only)
+    // (FakeCodec emits integer-valued floats, so even the mapPartitions
+    // stage has a full DuckDB oracle; payloads are the utf-8 bytes of
+    // `text`, which is pure ASCII in the testdata — per-char ascii codes
+    // ARE the bytes on the oracle side)
     "mm_features" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
@@ -75,15 +86,17 @@ object SimilarityQueries {
   // SRP bucket: bit j set iff sum_i v[i]*sign(seed,j,i) > 0, with
   // sign = +1 iff ((i+1)*2654435761 + (j+1)*40503 + 42) >> 16 is even
   // (i is the 0-based dim, j the 0-based plane; mirrors planeSign).
-  private val bucketSql =
-    """(SELECT CAST(SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+  private def bucketSqlP(planes: Int) =
+    s"""(SELECT CAST(SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
        FROM (SELECT j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                [CAST(embedding[i+1] AS DOUBLE) *
                 (CASE WHEN ((CAST(i+1 AS BIGINT)*2654435761 +
                              (j+1)*40503 + 42) >> 16) % 2 = 0
                       THEN 1.0 ELSE -1.0 END)
                 for i in range(0, len(embedding))]), (x,y)->x+y) AS pr
-             FROM (SELECT unnest(range(4)) AS j)))"""
+             FROM (SELECT unnest(range($planes)) AS j)))"""
+
+  private val bucketSql = bucketSqlP(4)
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" ->
@@ -153,6 +166,24 @@ object SimilarityQueries {
                  ${cosSql("a.embedding", "b.embedding")} AS cos
           FROM embeddings a, embeddings b
           WHERE a.vec_id < b.vec_id
-            AND ${cosSql("a.embedding", "b.embedding")} >= 0.4"""
+            AND ${cosSql("a.embedding", "b.embedding")} >= 0.4""",
+    "dedup_embedding_pairs_lsh" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSqlP(2)} AS bucket
+                      FROM embeddings)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM bk a JOIN bk b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""",
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                     ELSE 'audio/wav' END AS mime,
+                CAST(len(c) AS INT) AS n_bytes,
+                CAST(COALESCE(list_sum(
+                  [CAST(ascii(c[i+1]) AS BIGINT)
+                   for i in range(0, len(c)) if i % 8 = 0]), 0) % 1009
+                  AS FLOAT) AS f0
+         FROM (SELECT doc_id, string_split(text,'') AS c FROM documents)"""
   )
 }

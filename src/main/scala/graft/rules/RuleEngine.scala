@@ -125,7 +125,8 @@ object RuleEngine {
       manifest: Dataset[ManifestEntry],
       rules: RuleSet,
       baseline: Option[Dataset[BaselineBin]] = None,
-      vocab: Int = graft.gen.SequenceGen.vocabSize): EnginePlan = {
+      vocab: Int = graft.gen.SequenceGen.vocabSize,
+      refSnapshot: Option[Dataset[Sequence]] = None): EnginePlan = {
     val spark = seqs.sparkSession
     import spark.implicits._
 
@@ -145,30 +146,38 @@ object RuleEngine {
       rules.refRules.flatMap(r => refViolationsFromAgg(aggs, manifestRows, r)) ++
         rules.driftRules.flatMap(r =>
           if (baselineRows.isEmpty) Nil
-          else driftViolationsFromAgg(aggs, baselineRows, r))
-
-    // A drift check that never ran must not read as PASS: every (source,
-    // drift rule) lacking baseline bins for that kind rolls up as
-    // NOT_COMPLETED (ADVICE r01; reference keeps an explicit NOT_COMPLETED
-    // submission status, dynamodb.py:89-95).
-    val notCompleted: Set[(String, String)] =
-      rules.driftRules.flatMap { r =>
-        val withBins =
-          baselineRows.filter(_.kind == r.kind).map(_.source).toSet
-        aggs.map(_.source).filterNot(withBins).map(s => (s, r.id))
-      }.toSet
-
-    val parts: Seq[Dataset[Violation]] =
-      Seq(rowViolations(enriched, rules.rowRules)) ++
-        rules.uniqueRules.map(r => uniqueViolations(seqs.toDF(), r)) ++
-        (if (driverVios.nonEmpty || needAgg)
-          Seq(spark.createDataset(driverVios)) else Nil)
+          else driftViolationsFromAgg(aggs, baselineRows, r)) ++
+        rules.manifestRules.flatMap(r => manifestViolations(manifestRows, r))
 
     val sources0 =
       if (needAgg) (aggs.map(_.source) ++ manifestRows.map(_.source))
       else
         seqs.select(col("source")).distinct().as[String].collect().toSeq ++
           manifestRows.map(_.source)
+
+    // A check that never ran must not read as PASS (ADVICE r01; reference
+    // keeps an explicit NOT_COMPLETED status, dynamodb.py:89-95): drift
+    // rules lacking baseline bins for a source, and the snapshot-equality
+    // rule when no reference snapshot is configured.
+    val notCompleted: Set[(String, String)] =
+      rules.driftRules.flatMap { r =>
+        val withBins =
+          baselineRows.filter(_.kind == r.kind).map(_.source).toSet
+        aggs.map(_.source).filterNot(withBins).map(s => (s, r.id))
+      }.toSet ++
+        (if (refSnapshot.isEmpty)
+          rules.snapshotRules
+            .flatMap(r => sources0.distinct.map(s => (s, r.id))).toSet
+        else Set.empty[(String, String)])
+
+    val parts: Seq[Dataset[Violation]] =
+      Seq(rowViolations(enriched, rules.rowRules)) ++
+        rules.uniqueRules.map(r => uniqueViolations(seqs.toDF(), r)) ++
+        refSnapshot.toSeq.flatMap(ref =>
+          rules.snapshotRules.map(r =>
+            snapshotViolations(seqs.toDF(), ref.toDF(), r))) ++
+        (if (driverVios.nonEmpty || needAgg)
+          Seq(spark.createDataset(driverVios)) else Nil)
 
     EnginePlan(
       violations = parts.reduce(_ unionByName _),
@@ -186,8 +195,9 @@ object RuleEngine {
       manifest: Dataset[ManifestEntry],
       rules: RuleSet,
       baseline: Option[Dataset[BaselineBin]] = None,
-      vocab: Int = graft.gen.SequenceGen.vocabSize): ValidationResult = {
-    val p = plan(seqs, manifest, rules, baseline, vocab)
+      vocab: Int = graft.gen.SequenceGen.vocabSize,
+      refSnapshot: Option[Dataset[Sequence]] = None): ValidationResult = {
+    val p = plan(seqs, manifest, rules, baseline, vocab, refSnapshot)
     val verdicts = rollUpVerdicts(
       seqs.sparkSession, p.sources, rules, p.violations, p.stats,
       p.notCompleted)
@@ -255,6 +265,99 @@ object RuleEngine {
         else None
       }
     }
+  }
+
+  /** Manifest-side integrity (driver-side over the collected manifest
+    * dimension; reference hard-fails the submission on a bad manifest
+    * BEFORE touching any file, submission_data.py:95-119): duplicate
+    * manifest keys (make expected_docs ambiguous — reference analog:
+    * duplicate checksums abort), negative expected_docs, min_tok >
+    * max_tok. Missing required COLUMNS abort earlier, in
+    * TableIO.readManifestTsv. */
+  def manifestViolations(
+      manifestRows: Seq[ManifestEntry],
+      rule: ManifestRule): Seq[Violation] = {
+    val dups = manifestRows.groupBy(_.source).filter(_._2.length > 1)
+    val dupVios = dups.toSeq.sortBy(_._1).map { case (src, rows) =>
+      Violation(
+        doc_id = null,
+        rule_id = rule.id,
+        observed = s"""{"duplicate_manifest_rows":${rows.length}}""",
+        source = src,
+        severity = rule.severity)
+    }
+    val fieldVios = manifestRows.sortBy(_.source).flatMap { m =>
+      val problems =
+        (if (m.expected_docs < 0)
+          Seq(s""""invalid_expected_docs":${m.expected_docs}""") else Nil) ++
+          (if (m.min_tok > m.max_tok)
+            Seq(s""""inverted_tok_range":[${m.min_tok},${m.max_tok}]""")
+          else Nil)
+      if (problems.isEmpty) None
+      else Some(Violation(
+        doc_id = null,
+        rule_id = rule.id,
+        observed = problems.mkString("{", ",", "}"),
+        source = m.source,
+        severity = rule.severity))
+    }
+    dupVios ++ fieldVios
+  }
+
+  /** Cross-snapshot token-array equality (J10; the BASELINE per-row
+    * invariant; reference move_to_new_pipeline_check.py:84-147): every doc
+    * of the reference snapshot must exist in the CURRENT snapshot with
+    * identical token hash and n_tok. Missing ⇒ violation, mismatch ⇒
+    * violation; docs only in the current snapshot are growth, not
+    * violations (the reference iterates old-store rows).
+    *
+    * Each side is aggregated to ONE row per key first (row count +
+    * commutative hash/length sums — a multiset fingerprint): with unique
+    * keys this is exactly per-row equality, and a key duplicated on either
+    * side (already an R_UNIQUE violation) compares as a multiset instead
+    * of exploding the join cross-product — a hot duplicate key stays
+    * O(its rows), not O(rows²). The join then carries one
+    * (key, count, hash, len) row per side — never the token arrays. */
+  def snapshotViolations(
+      seqs: DataFrame,
+      refSnapshot: DataFrame,
+      rule: SnapshotEqualityRule): Dataset[Violation] = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    import graft.operators.SnapshotDiff
+    val h = SnapshotDiff.tokenArrayHash(col("tokens"))
+    def perKey(df: DataFrame, pre: String) = df
+      .select(col("doc_id"), h.as("h"),
+        col("n_tok").cast("long").as("len"), col("source"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as(s"${pre}_rows"),
+        pmod(sum(col("h")), lit(graft.functions.TextFunctions.HashMod))
+          .as(s"${pre}_hash"),
+        sum(col("len")).as(s"${pre}_len"),
+        max(col("source")).as(s"${pre}_source"))
+    val o = perKey(refSnapshot, "old").withColumnRenamed("doc_id", "k")
+    val n = perKey(seqs, "new").withColumnRenamed("doc_id", "nk")
+    o.join(n, col("k") === col("nk"), "left")
+      .select(
+        col("k").as("doc_id"),
+        when(col("nk").isNull, lit(SnapshotDiff.StatusMissingInNew))
+          .when(col("old_rows") =!= col("new_rows") ||
+            col("old_hash") =!= col("new_hash") ||
+            col("old_len") =!= col("new_len"),
+            lit(SnapshotDiff.StatusMismatch))
+          .otherwise(lit(SnapshotDiff.StatusEqual)).as("status"),
+        coalesce(col("new_source"), col("old_source")).as("source"),
+        col("old_hash"), col("new_hash"), col("old_len"), col("new_len"))
+      .filter(col("status") =!= SnapshotDiff.StatusEqual)
+      .select(
+        col("doc_id").cast(StringType).as("doc_id"),
+        lit(rule.id).as("rule_id"),
+        to_json(struct(col("status"), col("old_hash"), col("new_hash"),
+          col("old_len"), col("new_len"))).as("observed"),
+        col("source"),
+        lit(rule.severity).as("severity"))
+      .as[Violation]
   }
 
   /** Per-source stats metrics JSON from the collected aggregates. */

@@ -63,6 +63,26 @@ final case class StatsRule(id: String, severity: String) extends RuleSpec {
   def descriptor: String = s"$id|$severity|stats"
 }
 
+/** Manifest-side integrity (analog of the reference's pre-flight manifest
+  * validation that hard-fails a submission before touching any file,
+  * submission_data.py:95-119): duplicate manifest keys, invalid
+  * expected_docs, inverted token ranges. Driver-side over the collected
+  * manifest dimension. */
+final case class ManifestRule(id: String, severity: String)
+    extends RuleSpec {
+  def descriptor: String = s"$id|$severity|manifest_integrity"
+}
+
+/** Row-level cross-snapshot token-array equality (J10; the BASELINE
+  * per-row invariant; reference move_to_new_pipeline_check.py:84-147):
+  * every doc of the reference snapshot must exist in the current snapshot
+  * with identical token hash and length. Requires a reference snapshot
+  * input; rolls up NOT_COMPLETED when none is configured. */
+final case class SnapshotEqualityRule(id: String, severity: String)
+    extends RuleSpec {
+  def descriptor: String = s"$id|$severity|snapshot_token_equality(doc_id)"
+}
+
 /** Two-sample distribution drift vs a persisted baseline histogram.
   * kind in {ntok_hist, token_hist}; test in {ks, chi2}. */
 final case class DriftRule(
@@ -83,6 +103,10 @@ final case class RuleSet(rules: Seq[RuleSpec]) {
   }
   def statsRules: Seq[StatsRule] = rules.collect { case r: StatsRule => r }
   def driftRules: Seq[DriftRule] = rules.collect { case r: DriftRule => r }
+  def manifestRules: Seq[ManifestRule] =
+    rules.collect { case r: ManifestRule => r }
+  def snapshotRules: Seq[SnapshotEqualityRule] =
+    rules.collect { case r: SnapshotEqualityRule => r }
 
   def ruleIds: Seq[String] = rules.map(_.id)
 
@@ -107,6 +131,8 @@ object Rules {
   val RStats = "R_STATS"
   val RDriftNtokKs = "R_DRIFT_NTOK_KS"
   val RDriftTokenChi2 = "R_DRIFT_TOKENHIST_CHI2"
+  val RManifest = "R_MANIFEST"
+  val RSnapshotEquality = "R_SNAPSHOT_TOKEN_EQUALITY"
 
   /** doc_id format — analog of the study-id regex gate
     * `^A[0-9]{7,8}$` (reference submission_data.py:18-22, 210-229). */
@@ -140,10 +166,16 @@ object Rules {
         array_max(col("tokens")).as("max_tok")))),
     UniqueRule(RUniqueDocId, Severity.Error, "doc_id"),
     RefIntegrityRule(RRefIntegrity, Severity.Error),
+    ManifestRule(RManifest, Severity.Error),
     StatsRule(RStats, Severity.Error),
     DriftRule(RDriftNtokKs, Severity.Error, "ntok_hist", "ks"),
     DriftRule(RDriftTokenChi2, Severity.Error, "token_hist", "chi2")
   ))
+
+  /** Standard rules + the cross-snapshot token-equality invariant (needs a
+    * reference snapshot input — ValidationJob.Config.refSnapshotPath). */
+  def withSnapshotEquality: RuleSet = RuleSet(standard.rules :+
+    SnapshotEqualityRule(RSnapshotEquality, Severity.Error))
 
   /** Row-rules-only subset (no manifest / baseline needed). */
   def rowOnly: RuleSet = RuleSet(standard.rules.collect {

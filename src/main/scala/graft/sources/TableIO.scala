@@ -94,18 +94,33 @@ object TableIO {
       java.net.URLDecoder.decode(d.stripPrefix(prefix), "UTF-8")).sorted)
   }
 
+  /** Required manifest columns — a manifest missing any of them is
+    * rejected before validation starts (reference abort semantics:
+    * submission_data.py:95-119 hard-fails the submission on missing
+    * required columns before touching any file). */
+  val manifestRequiredColumns: Seq[String] =
+    Seq("source", "expected_docs", "min_tok", "max_tok")
+
   /** Manifest TSV source (reference S1: pd.read_csv(sep='\t') +
     * fillna("not provided") + str.strip on filename,
     * submission_data.py:61-86): header'd TSV with declared schema, trimmed
-    * keys, explicit nulls filled. */
+    * keys, explicit nulls filled. Throws IllegalArgumentException when the
+    * header lacks a required column (the reference's pre-flight abort). */
   def readManifestTsv(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read
-      .option("sep", "\t")
-      .option("header", "true")
-      .schema("source STRING, expected_docs LONG, min_tok INT, max_tok INT")
-      .csv(path)
-      .withColumn("source", trim(col("source")))
+    val raw = spark.read
+      .option("sep", "\t").option("header", "true").csv(path)
+    val header = raw.columns.toSet
+    val missing = manifestRequiredColumns.filterNot(header)
+    require(missing.isEmpty,
+      s"manifest is missing required column(s): ${missing.mkString(", ")} " +
+        s"(found: ${header.toSeq.sorted.mkString(", ")})")
+    raw
+      .select( // by NAME — robust to column order in the file
+        trim(col("source")).as("source"),
+        col("expected_docs").cast("long").as("expected_docs"),
+        col("min_tok").cast("int").as("min_tok"),
+        col("max_tok").cast("int").as("max_tok"))
       .na.fill("not provided", Seq("source"))
       .na.fill(0L, Seq("expected_docs"))
   }

@@ -60,13 +60,66 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1._2 == 5L || p._1._1 == 5L))
   }
 
-  test("simhash: identical texts collide; near dup within small hamming") {
-    val sh = Dedup.simhashes(docs, "doc_id", "text", 16)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("simhash64: identical texts collide; near dup within small hamming") {
+    val sh = Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sh(1L) === sh(2L))
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 16, maxHamming = 3)
+    sh.values.foreach(bands =>
+      assert(bands.length === 4 && bands.forall(b => b >= 0 && b < 65536)))
+    val pairs = Dedup.simhashPairs64(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((1L, 2L)) === 0)
+  }
+
+  test("simhash64 4-band blocking is pigeonhole-complete at hamming <= 3 " +
+      "(finds every brute-force pair, incl. splits the 2-half scheme missed)") {
+    // many small perturbations of a base text -> lots of low-hamming pairs
+    // with bit diffs scattered across the 64-bit hash
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val words = base.split(" ")
+    val perturbed = (0 until 120).map { i =>
+      val w = words.updated(i % words.length, s"tok$i")
+      (i.toLong, w.mkString(" "))
+    }
+    val df = perturbed.toDF("doc_id", "text")
+
+    // brute force over the SAME 64-bit hash
+    val sh = Dedup.simhash64(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def hamming(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = hamming(sh(a), sh(b)) if h <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture produced no low-hamming pairs")
+
+    val got = Dedup.simhashPairs64(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected) // blocking-complete: nothing missed
+
+    // at least one found pair splits its diffs over >= 2 bands — the case
+    // the old lo/hi-half blocking could silently miss
+    val split = expected.exists { case (a, b) =>
+      sh(a).zip(sh(b)).count { case (x, y) => x != y } >= 2
+    }
+    assert(split, "no multi-band split pair in fixture; strengthen it")
+  }
+
+  test("jaccard df-cap drops corpus-common shingles from intersections " +
+      "but keeps denominators exact") {
+    // every doc shares one ultra-common shingle; pairs held together ONLY
+    // by it must vanish under the cap
+    val common = "zzz yyy xxx"
+    val many = (1L to 30L).map(i => (i, s"$common unique$i word$i tail$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(many, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.01)
+    assert(uncapped.count() === (30 * 29) / 2)
+    val capped = Dedup.jaccardPairs(many, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.01, maxDf = 10)
+    assert(capped.count() === 0)
   }
 
   test("LSH bucket cap drops degenerate buckets") {

@@ -62,4 +62,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("IVF centroid assignment is a pure projection: no exchange, no " +
+      "window, no cross join before the probe join") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val assignedOnly = graft.operators.SimilaritySearch
+      .ivfTopK(e, e.filter($"vec_id" < 10), "vec_id", "embedding",
+        k = 3, nCentroids = 8, nprobe = 2)
+    assignedOnly.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // operators in the FINAL plan only
+    val plan = assignedOnly.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // exactly ONE window (the final top-k per probe) and ONE broadcast
+    // join (probe lists ⋈ assigned corpus); the r01 shape had three
+    // windows and a crossJoin-driven exchange per side
+    assert("Window \\[".r.findAllIn(plan).size <= 1, plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }

@@ -136,6 +136,62 @@ class RuleEngineSpec extends SparkSpec {
     assert(vios.count() > 0)
   }
 
+  test("R_MANIFEST: duplicate manifest keys hard-fail the source; " +
+      "invalid expected_docs and inverted ranges are violations") {
+    val seqs = SequenceGen.sequences(spark, 200)
+    val manifest = (SequenceGen.manifest(spark, 200).collect().toSeq ++ Seq(
+      ManifestEntry("cardiac", 10L, 0, 100), // duplicate key for cardiac
+      ManifestEntry("badneg", -5L, 0, 100), // invalid expected_docs
+      ManifestEntry("badrange", 1L, 100, 0) // min_tok > max_tok
+    )).toDS()
+    val res = RuleEngine.validate(seqs, manifest, Rules.standard)
+    val vios = res.violations.filter($"rule_id" === Rules.RManifest).collect()
+    assert(vios.exists(v => v.source == "cardiac" &&
+      v.observed.contains("duplicate_manifest_rows")))
+    assert(vios.exists(v => v.source == "badneg" &&
+      v.observed.contains("invalid_expected_docs")))
+    assert(vios.exists(v => v.source == "badrange" &&
+      v.observed.contains("inverted_tok_range")))
+    // abort semantics: the offending source's manifest verdict is FAIL
+    val verdict = res.verdicts
+      .filter($"rule_id" === Rules.RManifest && $"source" === "cardiac")
+      .collect()
+    assert(verdict.head.status === Status.Fail)
+  }
+
+  test("R_SNAPSHOT_TOKEN_EQUALITY: missing and mutated rows are per-row " +
+      "violations; absent reference snapshot rolls up NOT_COMPLETED") {
+    val ref = Seq(
+      Sequence("D000000000001", Array(1, 2, 3), 3, "cardiac"),
+      Sequence("D000000000002", Array(4, 5), 2, "cardiac"),
+      Sequence("D000000000003", Array(7), 1, "mito")).toDS()
+    val cur = Seq(
+      Sequence("D000000000001", Array(1, 2, 3), 3, "cardiac"), // equal
+      Sequence("D000000000002", Array(4, 6), 2, "cardiac"), // hash mismatch
+      // D...3 missing_in_new; D...4 is growth (NOT a violation)
+      Sequence("D000000000004", Array(9), 1, "mito")).toDS()
+    val manifest = SequenceGen.manifest(spark, 100)
+    val rules = Rules.withSnapshotEquality
+
+    val res = RuleEngine.validate(cur, manifest, rules,
+      refSnapshot = Some(ref))
+    val vios = res.violations
+      .filter($"rule_id" === Rules.RSnapshotEquality).collect()
+    assert(vios.map(_.doc_id).toSet ===
+      Set("D000000000002", "D000000000003"))
+    assert(vios.find(_.doc_id == "D000000000002").get.observed
+      .contains("mismatch"))
+    assert(vios.find(_.doc_id == "D000000000003").get.observed
+      .contains("missing_in_new"))
+
+    // no reference snapshot -> the rule reports NOT_COMPLETED, never PASS
+    val res2 = RuleEngine.validate(cur, manifest, rules)
+    val statuses = res2.verdicts
+      .filter($"rule_id" === Rules.RSnapshotEquality).collect()
+    assert(statuses.nonEmpty &&
+      statuses.forall(_.status == Status.NotCompleted))
+  }
+
   test("partitionStats produces sane per-source statistics") {
     val seqs = SequenceGen.sequences(spark, 1000)
     val stats = RuleEngine.partitionStats(seqs.toDF()).collect()

@@ -22,6 +22,30 @@ class TableIOSpec extends SparkSpec {
       Seq("source", "expected_docs", "min_tok", "max_tok"))
   }
 
+  test("manifest TSV missing a required column aborts (reference " +
+      "pre-flight hard fail)") {
+    val dir = tmpDir("tsvbad")
+    val tsv = s"$dir/manifest_bad"
+    // header lacks expected_docs
+    Seq(("cardiac", 0, 100)).toDF("source", "min_tok", "max_tok")
+      .coalesce(1).write.option("sep", "\t").option("header", "true").csv(tsv)
+    val e = intercept[IllegalArgumentException] {
+      TableIO.readManifestTsv(spark, tsv)
+    }
+    assert(e.getMessage.contains("expected_docs"))
+  }
+
+  test("deletePartitions removes exactly the named hive partitions") {
+    val dir = tmpDir("delpart")
+    SequenceGen.sequences(spark, 300)
+      .write.partitionBy("source").parquet(s"$dir/t")
+    val before = TableIO.partitionValues(spark, s"$dir/t", "source").get
+    val victim = before.head
+    TableIO.deletePartitions(spark, s"$dir/t", "source", Seq(victim))
+    val after = TableIO.partitionValues(spark, s"$dir/t", "source").get
+    assert(after.toSet === before.toSet - victim)
+  }
+
   test("partitionValues reads hive dirs; None for unpartitioned") {
     val dir = tmpDir("pv")
     SequenceGen.sequences(spark, 300)
