@@ -209,17 +209,17 @@ object Dedup {
 
     val docShingles = df.select(col(idCol), explode(shingleSet).as("shingle"))
 
-    val kept =
-      if (maxDf == Int.MaxValue) docShingles
-      else {
-        val dfs = docShingles.groupBy("shingle")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-        docShingles.join(dfs, Seq("shingle"), "left_semi")
-      }
-
-    // one exchange, reused by both self-join branches
-    val idx = kept.repartition(col("shingle"))
+    // ONE exchange on shingle serves everything: the df cap is a window
+    // count over the same partitioning (no second explode, no extra
+    // shuffle), and both self-join branches reuse the exchange.
+    val idx0 = docShingles.repartition(col("shingle"))
+    val idx =
+      if (maxDf == Int.MaxValue) idx0
+      else idx0
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+        .filter(col("df") <= maxDf)
+        .drop("df")
     val l = idx.select(col("shingle"), col(idCol).as("id_a"))
     val r = idx.select(col("shingle"), col(idCol).as("id_b"))
     val inter = l.join(r, Seq("shingle"))

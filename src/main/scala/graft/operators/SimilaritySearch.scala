@@ -23,26 +23,43 @@ import org.apache.spark.sql.expressions.Window
  */
 object SimilaritySearch {
 
+  /** Ordered-fold dot product over double-promoted elements. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Euclidean norm of a float-array column (ordered fold). */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
   /** Ordered-fold cosine similarity between two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(
-        zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-        lit(0.0), (acc, p) => acc + p)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine from a precomputed-norm pair: dot/(na*nb) — the same IEEE op
+    * structure as [[cosine]] (hence bit-identical and oracle-reproducible),
+    * but the per-side norms are computed ONCE per row in a pre-join
+    * projection instead of once per candidate pair: 1 interpreted fold per
+    * pair instead of 3. The join/exchange between the projection and the
+    * consumer is the barrier that keeps CollapseProject from re-inlining
+    * the norm into the pair loop. */
+  private def cosineWithNorms(a: Column, b: Column,
+      na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** Top-k neighbors (by cosine, descending; ties broken by ascending
     * neighbor id) for each probe row. Probe side is broadcast. */
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      norm(col(vecCol)).as("pn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .select(
         col("probe_id"), col("neighbor_id"),
-        cosine(col("pv"), col("cv")).as("cos"))
+        cosineWithNorms(col("pv"), col("cv"), col("pn"), col("cn")).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -83,13 +100,15 @@ object SimilaritySearch {
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 4, seed: Long = 42L): DataFrame = {
     val c = lshBuckets(corpus, vecCol, planes, seed)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("bucket"), norm(col(vecCol)).as("cn"))
     val p = lshBuckets(probes, vecCol, planes, seed)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"), col("bucket"))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        col("bucket"), norm(col(vecCol)).as("pn"))
     val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosine(col("pv"), col("cv")).as("cos"))
+        cosineWithNorms(col("pv"), col("cv"), col("pn"), col("cn")).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -125,27 +144,36 @@ object SimilaritySearch {
         }
 
     // per-row centroid scores, sorted (cos desc, cid asc) — struct sort on
-    // (ccos, -cid) descending gives exactly that order
-    def centScores(vec: Column): Column =
+    // (ccos, -cid) descending gives exactly that order. The row's norm is
+    // a shared column (non-cheap + referenced |codebook| times, so
+    // CollapseProject leaves it materialized once) and each centroid's
+    // norm is a driver-side constant: 1 fold per (row, centroid) instead
+    // of 3.
+    def centScores(vec: Column, vnorm: Column): Column =
       sort_array(
         array(codebook.map { case (cid, cv) =>
+          val cnorm = math.sqrt(
+            cv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
           struct(
-            cosine(vec, typedlit(cv)).as("ccos"),
+            (dot(vec, typedlit(cv)) / (vnorm * lit(cnorm))).as("ccos"),
             lit(-cid).as("negcid"))
         }: _*),
         asc = false)
 
-    val assigned = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"),
-      (element_at(centScores(col(vecCol)), 1)("negcid") * -1).as("cid"))
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        (element_at(centScores(col("cv"), col("cn")), 1)("negcid") * -1)
+          .as("cid"))
 
-    val probeLists = probes.select(
-      col(idCol).as("probe_id"),
-      col(vecCol).as("pv"),
-      explode(transform(
-        slice(centScores(col(vecCol)), 1, nprobe),
-        s => s("negcid") * -1)).as("cid"))
+    val probeLists = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        norm(col(vecCol)).as("pn"))
+      .select(col("probe_id"), col("pv"), col("pn"),
+        explode(transform(
+          slice(centScores(col("pv"), col("pn")), 1, nprobe),
+          s => s("negcid") * -1)).as("cid"))
 
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -153,7 +181,7 @@ object SimilaritySearch {
     broadcast(probeLists).join(assigned, Seq("cid"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosine(col("pv"), col("cv")).as("cos"))
+        cosineWithNorms(col("pv"), col("cv"), col("pn"), col("cn")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "rank", "neighbor_id", "cos")
@@ -166,13 +194,19 @@ object SimilaritySearch {
     val base =
       if (planes > 0) lshBuckets(corpus, vecCol, planes, seed)
       else corpus.withColumn("bucket", lit(0L))
-    val l = base.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
-    val r = base.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"))
+    // norms once per row; the repartition is the projection barrier AND the
+    // single exchange both self-join branches reuse
+    val withNorm = base.select(col("bucket"), col(idCol),
+      col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+      .repartition(col("bucket"))
+    val l = withNorm.select(col("bucket"), col(idCol).as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val r = withNorm.select(col("bucket"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }
