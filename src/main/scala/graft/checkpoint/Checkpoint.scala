@@ -30,6 +30,41 @@ object Checkpoint {
   def append(entries: Dataset[CheckpointEntry], path: String): Unit =
     entries.write.mode(SaveMode.Append).parquet(path)
 
+  /** Run lock — the Spark-native analog of the reference's folder lock
+    * (a Deny bucket-policy on the submission prefix while it is being
+    * processed, folder_lock.py:44-164): an atomically-created marker file
+    * under the output dir. A second concurrent run on the same outDir
+    * fails to create it and aborts instead of double-writing. Stale locks
+    * (crashed runs) are reclaimed after `staleMs`. */
+  def acquireRunLock(
+      spark: SparkSession, outDir: String,
+      staleMs: Long = 6 * 3600 * 1000L): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_running")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    try {
+      // createNewFile semantics: atomic create-if-absent
+      val out = fs.create(p, false)
+      out.writeBytes(java.time.Instant.now().toString)
+      out.close()
+      true
+    } catch {
+      case _: java.io.IOException =>
+        val age = System.currentTimeMillis() -
+          fs.getFileStatus(p).getModificationTime
+        if (age > staleMs) { // reclaim a crashed run's lock
+          fs.delete(p, false)
+          acquireRunLock(spark, outDir, staleMs)
+        } else false
+    }
+  }
+
+  def releaseRunLock(spark: SparkSession, outDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_running")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** Partitions already validated for (snapshotId, rulesetHash) — the skip
     * set for a resumed run. Latest entry wins per partition. */
   def completedPartitions(

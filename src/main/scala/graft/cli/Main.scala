@@ -77,12 +77,23 @@ object Main {
               s""""violations":${report.violations},""" +
               s""""wall_ms":${report.wallMs}}""")
 
+        case "transfer" :: input :: valOut :: store :: manifestTxt :: Nil =>
+          val r = graft.jobs.TransferJob.run(spark, graft.jobs.TransferJob
+            .Config(input, valOut, store, manifestTxt))
+          val promotedJson =
+            r.promoted.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+          println(
+            s"""{"promoted":${r.promoted.size},"blocked":${r.blocked.size},""" +
+              s""""promoted_sources":$promotedJson}""")
+
         case _ =>
           System.err.println(
             "usage: gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] " +
               "[unknownRate] [driftSrc:shift] | " +
               "validate <inputDir> <manifestDir> <outDir> [baselineDir] " +
-              "[refSnapshotDir]")
+              "[refSnapshotDir] | " +
+              "transfer <inputDir> <validationOutDir> <storeDir> " +
+              "<manifestTsvDir>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -57,6 +57,13 @@ object ValidationJob {
       tLast = now
     }
 
+    // Partition lock (reference folder_lock analog): refuse to double-run
+    // on the same output dir; released in the finally below.
+    require(Checkpoint.acquireRunLock(spark, cfg.outDir),
+      s"another validation run holds the lock on ${cfg.outDir} " +
+        "(delete _running if it is stale)")
+    try {
+
     val snapshotId = TableIO.snapshotId(spark, cfg.inputPath)
     phase("snapshot_id")
     val rulesetHash = cfg.rules.rulesetHash
@@ -188,5 +195,7 @@ object ValidationJob {
     if (useCache) seqs.unpersist(blocking = false)
     RunReport(snapshotId, rulesetHash, todo, done.toSeq.sorted,
       rowsValidated, vioCount, wallMs)
+
+    } finally Checkpoint.releaseRunLock(spark, cfg.outDir)
   }
 }

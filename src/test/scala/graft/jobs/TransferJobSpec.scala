@@ -1,0 +1,87 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.gen.SequenceGen
+import graft.model._
+import graft.drift.Drift
+import graft.checkpoint.Checkpoint
+import org.apache.spark.sql.functions._
+
+/** E3 tail: verdict-gated promotion into the store + manifest.txt
+  * regeneration (reference data_transfer_manager), plus the folder-lock
+  * analog. */
+class TransferJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 1500L
+
+  test("only fully-passing sources are promoted; manifest.txt reflects " +
+      "the store; re-run is idempotent") {
+    val dir = tmpDir("transfer")
+    val clean = SequenceGen.sequences(spark, N)
+    // one poisoned source: inconsistent n_tok rows in cardiac only
+    val bad = Seq(
+      Sequence("D000000900001", Array(1, 2), 5, "cardiac"),
+      Sequence("D000000900002", Array(3), 4, "cardiac")).toDS()
+    clean.union(bad)
+      .write.mode("overwrite").partitionBy("source").parquet(s"$dir/input")
+    SequenceGen.manifest(spark, N)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+    Drift.histograms(clean.toDF(), SequenceGen.vocabSize, "b")
+      .write.mode("overwrite").parquet(s"$dir/baseline")
+
+    ValidationJob.run(spark, ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out",
+      baselinePath = Some(s"$dir/baseline")))
+
+    val cfg = TransferJob.Config(
+      s"$dir/input", s"$dir/out", s"$dir/store", s"$dir/manifest_txt")
+    val r1 = TransferJob.run(spark, cfg)
+    assert(r1.blocked.contains("cardiac"), r1.toString)
+    assert(r1.promoted.nonEmpty && !r1.promoted.contains("cardiac"))
+
+    // store holds exactly the promoted sources' rows
+    val store = spark.read.parquet(s"$dir/store")
+    val storeSrcs = store.select("source").distinct().as[String]
+      .collect().toSet
+    assert(storeSrcs === r1.promoted.toSet)
+
+    // regenerated manifest matches the store aggregate
+    val m = graft.sources.TableIO.readManifestTsv(spark, s"$dir/manifest_txt")
+    assert(m.select("source").as[String].collect().toSet === storeSrcs)
+    val exp = m.filter($"source" === r1.promoted.head)
+      .select("expected_docs").as[Long].head()
+    assert(exp ===
+      store.filter($"source" === r1.promoted.head).count())
+
+    // idempotent: re-run rewrites the same partitions, same contents
+    val before = store.orderBy("source", "doc_id").collect()
+    val r2 = TransferJob.run(spark, cfg)
+    assert(r2.promoted === r1.promoted)
+    val after = spark.read.parquet(s"$dir/store")
+      .orderBy("source", "doc_id").collect()
+    assert(after.sameElements(before))
+  }
+
+  test("run lock: a held lock blocks a second run; released lock admits") {
+    val dir = tmpDir("lock")
+    SequenceGen.sequences(spark, 100)
+      .write.mode("overwrite").partitionBy("source").parquet(s"$dir/input")
+    SequenceGen.manifest(spark, 100)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+    val cfg = ValidationJob.Config(s"$dir/input", s"$dir/manifest", s"$dir/out")
+
+    assert(Checkpoint.acquireRunLock(spark, cfg.outDir))
+    val e = intercept[IllegalArgumentException] {
+      ValidationJob.run(spark, cfg)
+    }
+    assert(e.getMessage.contains("lock"))
+    Checkpoint.releaseRunLock(spark, cfg.outDir)
+
+    val r = ValidationJob.run(spark, cfg) // acquires + releases internally
+    assert(r.validatedPartitions.nonEmpty)
+    // lock released after the run
+    assert(Checkpoint.acquireRunLock(spark, cfg.outDir))
+    Checkpoint.releaseRunLock(spark, cfg.outDir)
+  }
+}
