@@ -43,8 +43,16 @@ object TextFunctions {
         sequence(lit(0), size(wordArr) - n),
         i => concat_ws(" ", slice(wordArr, i + 1, lit(n)))))
 
-  /** Distinct shingle hashes of a text (the MinHash universe). */
-  def shingleHashes(text: Column, n: Int): Column =
+  /** Distinct shingle hashes of a text (the MinHash universe / Jaccard
+    * inverted-index key). Evaluated by the fused native codegen'd
+    * [[ShingleHashes]] expression; the expression-pipeline formulation
+    * ([[shingleHashesHof]]) is kept as the executable specification and
+    * cross-checked in tests. */
+  def shingleHashes(text: Column, n: Int): Column = ShingleHashes(text, n)
+
+  /** Specification form: per-shingle string materialization + interpreted
+    * transform (slow; tests assert bit-equality with the native expr). */
+  def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(transform(shingles(words(text), n), s => polyHash(s)))
 
   /** MinHash signature: for i in [0,k), min over shingle hashes h of

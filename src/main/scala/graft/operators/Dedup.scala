@@ -204,7 +204,12 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    val shingleSet = array_distinct(shingles(words(col(textCol)), shingleN))
+    // HASHED shingles as the index key (the fused native expression): the
+    // inverted-index shuffle carries 8-byte longs instead of shingle
+    // strings, and no shingle string is ever materialized. Jaccard over
+    // hashed shingles equals string Jaccard up to hash collisions, which
+    // the oracle reproduces identically.
+    val shingleSet = shingleHashes(col(textCol), shingleN)
     val sizes = df.select(col(idCol), size(shingleSet).as("n_shingles"))
 
     val docShingles = df.select(col(idCol), explode(shingleSet).as("shingle"))

@@ -205,12 +205,8 @@ object DedupQueries {
               + bit_count(xor(a.bs[3], b.bs[3]))
               + bit_count(xor(a.bs[4], b.bs[4])) <= 3""",
     "dedup_jaccard_pairs" ->
-      """WITH ds AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(w) < 3 THEN []
-                  ELSE [w[i]||' '||w[i+1]||' '||w[i+2]
-                        for i in range(1, len(w)-1)] END)) AS shingle
-           FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+      s"""WITH $shingleHashCte,
+         ds AS (SELECT doc_id, unnest(hs) AS shingle FROM sh),
          sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ds GROUP BY 1),
          inter AS (
            SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
@@ -226,12 +222,8 @@ object DedupQueries {
          WHERE CAST(n_inter AS DOUBLE)/(a.n_shingles + b.n_shingles - n_inter)
                >= 0.3""",
     "dedup_jaccard_pairs_capped" ->
-      """WITH ds AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(w) < 3 THEN []
-                  ELSE [w[i]||' '||w[i+1]||' '||w[i+2]
-                        for i in range(1, len(w)-1)] END)) AS shingle
-           FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+      s"""WITH $shingleHashCte,
+         ds AS (SELECT doc_id, unnest(hs) AS shingle FROM sh),
          sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ds GROUP BY 1),
          kept AS (
            SELECT d.* FROM ds d

@@ -26,6 +26,30 @@ class PolyHashSpec extends SparkSpec {
     assert(r.getLong(2) === r.getLong(3)) // BMP code points agree with ascii()
   }
 
+  test("shingle_hashes native expression matches the expression-pipeline " +
+      "specification on real data and edge cases") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val edge = Seq(
+      "",                       // no words
+      "one two",                // fewer than n
+      "a b c",                  // exactly n
+      "a b c d e",              // sliding
+      "a  b c d",               // double space -> empty word kept by split
+      "a b c a b c a b c",      // repeated shingles -> distinct collapses
+      "tail space a b c ",      // trailing space -> trailing empty word
+      "ünï cödé wörds hërë"     // BMP code points
+    ).toDF("text")
+    Seq(docs, edge).foreach { df =>
+      val diff = df.select(
+          TextFunctions.shingleHashes(col("text"), 3).as("native"),
+          TextFunctions.shingleHashesHof(col("text"), 3).as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(diff.count() === 0, df.columns.mkString)
+    }
+  }
+
   test("poly_hash registers and runs as a SQL function with codegen") {
     PolyHash.register(spark)
     val got = spark.sql("SELECT poly_hash('hello') AS h").collect().head.getLong(0)
