@@ -25,7 +25,9 @@ object ShingleHashUtil {
     *  - distinct keeps first-occurrence order (array_distinct semantics).
     * One pass over the text; the expression pipeline allocated every
     * shingle string and ran interpreted lambdas per element. */
-  def hashes(s: UTF8String, n: Int): ArrayData = {
+  def hashes(s: UTF8String, n: Int): ArrayData = hashes(s, n, true)
+
+  def hashes(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val str = s.toString
     val words = str.split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Long])
@@ -51,7 +53,9 @@ object ShingleHashUtil {
       wi += 1
     }
 
-    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (!distinct && n == 1) return new GenericArrayData(wHash)
+
+    val raw = new Array[Long](m - n + 1)
     var start = 0
     while (start <= m - n) {
       var h = wHash(start)
@@ -61,9 +65,14 @@ object ShingleHashUtil {
         h = (((h * 31L + 32L) % Mod) * wPow(j) + wHash(j)) % Mod
         k += 1
       }
-      out.add(h)
+      raw(start) = h
       start += 1
     }
+    if (!distinct) return new GenericArrayData(raw)
+
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < raw.length) { out.add(raw(i)); i += 1 }
     val arr = new Array[Long](out.size)
     val it = out.iterator()
     var oi = 0
@@ -80,18 +89,18 @@ object ShingleHashUtil {
  * to the expression-pipeline specification, which is kept in
  * [[TextFunctions.shingleHashesHof]] and cross-checked by tests.
  */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with Serializable {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashUtil.hashes(input.asInstanceOf[UTF8String], n)
+    ShingleHashUtil.hashes(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleHashUtil.hashes($c, $n)")
+      c => s"graft.functions.ShingleHashUtil.hashes($c, $n, $distinct)")
 
   override protected def withNewChildInternal(
       newChild: Expression): ShingleHashes = copy(child = newChild)
@@ -103,4 +112,11 @@ object ShingleHashes {
   def apply(c: Column, n: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       ShingleHashes(org.apache.spark.sql.GraftColumnBridge.expression(c), n))
+
+  /** ALL word hashes in order (n=1, duplicates kept) — the SimHash input,
+    * where vote multiplicity matters. */
+  def wordHashes(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ShingleHashes(org.apache.spark.sql.GraftColumnBridge.expression(c),
+        1, distinct = false))
 }

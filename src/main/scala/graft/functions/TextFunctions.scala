@@ -66,8 +66,13 @@ object TextFunctions {
           h => pmod(h * (i * 2 + 1) + (i * lit(1000003L) + lit(12345L)),
             lit(HashMod)))))
 
-  /** Word hashes of a text (compute once, feed to [[simhashFromHashes]]). */
-  def wordHashes(text: Column): Column =
+  /** Word hashes of a text (compute once, feed to [[simhashFromHashes]]).
+    * Native single-pass kernel; the transform-pipeline spec is
+    * [[wordHashesHof]], cross-checked in tests. */
+  def wordHashes(text: Column): Column = ShingleHashes.wordHashes(text)
+
+  /** Specification form of [[wordHashes]]. */
+  def wordHashesHof(text: Column): Column =
     transform(words(text), w => polyHash(w))
 
   /** SimHash over precomputed word hashes, `bits` wide: bit j set iff the

@@ -44,8 +44,11 @@ class PolyHashSpec extends SparkSpec {
     Seq(docs, edge).foreach { df =>
       val diff = df.select(
           TextFunctions.shingleHashes(col("text"), 3).as("native"),
-          TextFunctions.shingleHashesHof(col("text"), 3).as("hof"))
-        .filter(col("native") =!= col("hof"))
+          TextFunctions.shingleHashesHof(col("text"), 3).as("hof"),
+          TextFunctions.wordHashes(col("text")).as("wnative"),
+          TextFunctions.wordHashesHof(col("text")).as("whof"))
+        .filter(col("native") =!= col("hof") ||
+          col("wnative") =!= col("whof"))
       assert(diff.count() === 0, df.columns.mkString)
     }
   }

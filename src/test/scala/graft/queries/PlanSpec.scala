@@ -63,6 +63,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("jaccard self-join reuses ONE shingle exchange (the explode and " +
+      "shuffle are not recomputed per branch)") {
+    val df = graft.SparkEntry.queries("dedup_jaccard_pairs_capped")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange") ||
+      "Exchange hashpartitioning\\(shingle".r.findAllIn(plan).size <= 1,
+      plan.take(3000))
+  }
+
   test("IVF centroid assignment is a pure projection: no exchange, no " +
       "window, no cross join before the probe join") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
