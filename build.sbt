@@ -37,7 +37,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the scaling bench pushes ~6 GB/pass through one JVM; a
+  // tight heap makes GC a noise source in the measured window (host has
+  // 128 GiB)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // columnar cache batches approach the G1 humongous-allocation threshold;
   // a fixed 32m region keeps multi-MB batch buffers out of humongous space
   "-XX:G1HeapRegionSize=32m",

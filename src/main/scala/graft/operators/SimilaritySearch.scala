@@ -78,8 +78,15 @@ object SimilaritySearch {
         16) % 2 === 0,
       lit(1.0)).otherwise(lit(-1.0))
 
-  /** SRP-LSH bucket id: `planes`-bit signature of sign(v · r_j). */
-  def srpBucket(vec: Column, planes: Int, seed: Long = 42L): Column = {
+  /** SRP-LSH bucket id: `planes`-bit signature of sign(v · r_j).
+    * Evaluated by the native codegen'd [[graft.functions.SrpBucket]]
+    * kernel; [[srpBucketHof]] is the executable expression-pipeline
+    * specification, cross-checked in tests. */
+  def srpBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
+    graft.functions.SrpBucket(vec, planes, seed)
+
+  /** Specification form: `planes` interpreted folds per row. */
+  def srpBucketHof(vec: Column, planes: Int, seed: Long = 42L): Column = {
     val bits = (0 until planes).map { j =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

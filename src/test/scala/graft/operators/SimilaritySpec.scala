@@ -48,6 +48,19 @@ class SimilaritySpec extends SparkSpec {
     assert(b1(0L) !== b1(4L)) // opposite vector flips every sign
   }
 
+  test("native srp_bucket matches the expression-pipeline specification " +
+      "on real embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Seq(2, 4, 7).foreach { planes =>
+      val diff = emb.select(
+          SimilaritySearch.srpBucket(col("embedding"), planes).as("native"),
+          SimilaritySearch.srpBucketHof(col("embedding"), planes).as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(diff.count() === 0, s"planes=$planes")
+    }
+  }
+
   test("embeddingDupPairs finds the high-cosine pairs only") {
     val pairs = SimilaritySearch.embeddingDupPairs(
       vecs, "vec_id", "embedding", minCos = 0.9)
