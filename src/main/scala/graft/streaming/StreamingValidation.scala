@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.model.{ManifestEntry, Sequence, Violation}
 import graft.rules.{RuleEngine, RuleSet, Rules}
 
@@ -59,6 +59,76 @@ object StreamingValidation {
       .option("checkpointLocation", s"$outDir/stream_checkpoint")
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** One ingestion event for the stateful sessionizer. */
+  final case class SessionEvent(
+      source: String, event_time: java.sql.Timestamp, is_violation: Boolean)
+
+  /** Open-session state kept per source between micro-batches. */
+  final case class SessionState(
+      nEvents: Long, nViolations: Long, startMs: Long, lastMs: Long)
+
+  /** A closed submission session. */
+  final case class SessionSummary(
+      source: String, n_events: Long, n_violations: Long,
+      start_ms: Long, end_ms: Long)
+
+  /** CUSTOM-STATE streaming operator (flatMapGroupsWithState with
+    * event-time timeout): per-source activity sessions — consecutive
+    * events within `gapMs` belong to one session; a session closes (and
+    * its summary is emitted) when the watermark passes its end + gap.
+    * This is the Spark-native form of the reference's per-submission
+    * state machine: a submission's RUNNING state resolves when its result
+    * events go quiet and the roll-up fires
+    * (batch_notification.py:62-124 — completeness check runs when the
+    * result stream for a submission stops arriving). */
+  def sessionSummaries(
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+
+    def close(source: String, s: SessionState) =
+      SessionSummary(source, s.nEvents, s.nViolations, s.startMs, s.lastMs)
+
+    events
+      .withWatermark("event_time", watermark)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (source: String, it: Iterator[SessionEvent],
+            state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(source, s))
+          } else {
+            // order within the batch; state carries order across batches
+            val evs = it.toArray.sortBy(_.event_time.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.event_time.getTime
+              val v = if (e.is_violation) 1L else 0L
+              cur = cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  Some(SessionState(s.nEvents + 1, s.nViolations + v,
+                    s.startMs, math.max(s.lastMs, t)))
+                case Some(s) => // gap exceeded inside the batch
+                  closed ::= close(source, s)
+                  Some(SessionState(1L, v, t, t))
+                case None =>
+                  Some(SessionState(1L, v, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
   }
 
   /** Windowed per-source violation-rate monitor over an event-time column

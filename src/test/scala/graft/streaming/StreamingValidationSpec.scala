@@ -43,6 +43,41 @@ class StreamingValidationSpec extends SparkSpec {
     assert(readVio().count() === n2)
   }
 
+  test("flatMapGroupsWithState sessionizer: sessions close on event-time " +
+      "timeout and carry exact violation counts") {
+    import StreamingValidation.{SessionEvent, sessionSummaries}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ev(src: String, sec: Int, v: Boolean) = SessionEvent(
+      src, new java.sql.Timestamp(1700000000000L + sec * 1000L), v)
+
+    val in = MemoryStream[SessionEvent]
+    val q = sessionSummaries(in.toDS(), gapMs = 10000L,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // one session for cardiac: 2 events 5s apart, 1 violation
+      in.addData(ev("cardiac", 0, false), ev("cardiac", 5, true))
+      q.processAllAvailable()
+      // a much later event advances the watermark past cardiac's
+      // session end + gap in the NEXT batch...
+      in.addData(ev("mito", 100, false))
+      q.processAllAvailable()
+      // ...which is triggered by one more batch
+      in.addData(ev("mito", 200, false))
+      q.processAllAvailable()
+
+      val rows = spark.table("sessions")
+        .as[StreamingValidation.SessionSummary].collect()
+      val cardiac = rows.filter(_.source == "cardiac")
+      assert(cardiac.length === 1, rows.mkString(", "))
+      assert(cardiac.head.n_events === 2 && cardiac.head.n_violations === 1)
+      assert(cardiac.head.end_ms - cardiac.head.start_ms === 5000L)
+    } finally q.stop()
+  }
+
   test("watermarked windowed violation-rate aggregation") {
     val events = Seq(
       ("cardiac", java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), true),
