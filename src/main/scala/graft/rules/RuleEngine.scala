@@ -59,6 +59,8 @@ object RuleEngine {
       approxDistinctDocId: Long,
       minTokenId: Int,
       maxTokenId: Int,
+      p50Ntok: Int,
+      p95Ntok: Int,
       ntokHist: Array[Long],
       tokenHist: Array[Long])
 
@@ -81,6 +83,8 @@ object RuleEngine {
         approx_count_distinct(col("doc_id")).as("approx_distinct_doc_id"),
         min(array_min(col("tokens"))).as("min_token_id"),
         max(array_max(col("tokens"))).as("max_token_id"),
+        percentile_approx(col("n_tok"), array(lit(0.5), lit(0.95)),
+          lit(10000)).as("ntok_pcts"),
         graft.drift.HistAggregate.ntokHist(col("n_tok"), Drift.ntokBins,
           Drift.ntokBinWidth).as("ntok_hist"),
         graft.drift.HistAggregate.tokenHist(col("tokens"), Drift.tokenBins,
@@ -97,6 +101,8 @@ object RuleEngine {
         r.getAs[Long]("approx_distinct_doc_id"),
         r.getAs[Int]("min_token_id"),
         r.getAs[Int]("max_token_id"),
+        r.getAs[Seq[Int]]("ntok_pcts").head,
+        r.getAs[Seq[Int]]("ntok_pcts").last,
         r.getAs[Seq[Long]]("ntok_hist").toArray,
         r.getAs[Seq[Long]]("token_hist").toArray))
       .toSeq
@@ -370,7 +376,8 @@ object RuleEngine {
           s""""null_frac_doc_id":${a.nullFracDocId},""" +
           s""""approx_distinct_doc_id":${a.approxDistinctDocId},""" +
           s""""min_token_id":${a.minTokenId},""" +
-          s""""max_token_id":${a.maxTokenId}}""")
+          s""""max_token_id":${a.maxTokenId},""" +
+          s""""p50_ntok":${a.p50Ntok},"p95_ntok":${a.p95Ntok}}""")
     }.toMap
 
   /** Broadcast left join of the manifest dimension (J4/J5 analog —
@@ -458,7 +465,10 @@ object RuleEngine {
     // Pass 1: exact counts — constant state per key, map-side partial
     // aggregation absorbs volume; only duplicate keys survive (a tiny set
     // relative to the table in the 99.99%-unique regime). Persisted so the
-    // size gate below doesn't recompute the aggregation for the join.
+    // size gate below doesn't recompute the aggregation for the join; the
+    // cache is duplicate keys only (KBs in the healthy regime), freed by
+    // LRU or session teardown — callers that loop over many rule sets in
+    // one session can clearCache() between runs.
     val dupKeys = nonNull
       .groupBy(col(k))
       .agg(count(lit(1)).as("dup_count"))

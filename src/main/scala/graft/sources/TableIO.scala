@@ -137,20 +137,23 @@ object TableIO {
   /** Stable snapshot identity for a table path: hash of the sorted data
     * file (name, length) listing — deterministic for identical data,
     * changes when any file changes. Stands in for an Iceberg snapshot id
-    * in checkpoint lineage. */
+    * in checkpoint lineage. Uses the filesystem's bulk recursive listing
+    * (one listing stream, no per-directory recursion); still a driver-side
+    * metadata pass — at millions of files this is the first thing an
+    * Iceberg catalog (snapshot id from table metadata, zero listing)
+    * replaces, which is exactly the TableIO slot-in point. */
   def snapshotId(spark: SparkSession, path: String): String = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walk(dir: org.apache.hadoop.fs.Path): Unit =
-      fs.listStatus(dir).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (!st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-          files += s"${st.getPath.toUri.getPath}:${st.getLen}"
-      }
-    walk(p)
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        files += s"${st.getPath.toUri.getPath}:${st.getLen}"
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(files.sorted.mkString("\n").getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
