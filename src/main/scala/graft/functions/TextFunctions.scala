@@ -96,6 +96,17 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(words(text))
   def typeCount(text: Column): Column = size(array_distinct(words(text)))
 
+  /** BPE-ish subword segmentation regex: alphanumeric runs are one token
+    * each, every other non-space character is its own token — the
+    * pre-merge token universe a byte-pair tokenizer starts from. Kept to
+    * constructs with identical semantics in Java regex and RE2 so the
+    * oracle engine reproduces counts exactly. */
+  val subwordPattern = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+  /** Subword-token count under [[subwordPattern]]. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(subwordPattern), lit(0)))
+
   /** English-ish stopword list used by the language-ID heuristic. Fixed
     * and mirrored in the oracle SQL. */
   val enStopwords: Seq[String] =

@@ -81,6 +81,77 @@ object Multimodal {
       }
   }
 
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(
+      media_id: Long, frame_idx: Int, frame_len: Int, frame_fp: Long)
+
+  /** Frame sampling (video-style): the payload is treated as a stream of
+    * fixed-size frames (`frameBytes` each; a partial tail frame is
+    * dropped); every `every`-th FULL frame is emitted with its polynomial
+    * fingerprint — the UDTF-shaped batched codec stage (a real deployment
+    * demuxes a container here; the byte-slicing stand-in keeps the
+    * Spark-side plumbing — one-to-many batched mapPartitions, typed
+    * output — real and oracle-checkable: for ASCII payloads the frame
+    * fingerprint equals poly_hash of the corresponding text slice). */
+  def sampleFrames(
+      media: DataFrame,
+      frameBytes: Int = 32,
+      every: Int = 4,
+      batchSize: Int = 64): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            if (payload == null) Iterator.empty
+            else {
+              val n = payload.length / frameBytes
+              Iterator.range(0, n).filter(_ % every == 0).map { i =>
+                val frame = java.util.Arrays.copyOfRange(
+                  payload, i * frameBytes, (i + 1) * frameBytes)
+                MediaFrame(id, i, frame.length,
+                  graft.functions.PolyHashUtil.hash(
+                    org.apache.spark.unsafe.types.UTF8String.fromBytes(frame)))
+              }
+            }
+          }
+        }
+      }
+  }
+
+  /** Deterministic 1-D nearest-neighbor payload downsample — the stub
+    * "resize" stage (a real deployment resizes decoded images here): byte
+    * i of the output is input byte floor(i·len/target). Payloads already
+    * at or under `targetBytes` pass through unchanged; the Spark-side
+    * plumbing (batched mapPartitions, binary in/out, null handling) is
+    * the real contract. */
+  def resizePayload(
+      media: DataFrame,
+      targetBytes: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, mime, p) =>
+            val out =
+              if (p == null) Array.empty[Byte]
+              else if (p.length <= targetBytes) p
+              else Array.tabulate(targetBytes)(i =>
+                p((i.toLong * p.length / targetBytes).toInt))
+            (id, mime, out)
+          }
+        }
+      }
+      .toDF("media_id", "mime", "payload")
+  }
+
   /** Demo media table synthesized from the documents table: utf-8 payload
     * bytes standing in for encoded media (deterministic, no external
     * data). */

@@ -71,6 +71,28 @@ object SimilarityQueries {
         .toDF()
         .select(col("media_id"), col("mime"), col("n_bytes"),
           element_at(col("features"), 1).as("f0"))
+    }),
+
+    // frame sampling: every 4th 32-byte frame with its fingerprint (the
+    // one-to-many batched codec stage; ASCII payloads make the frame
+    // fingerprints poly_hash of text slices — fully oracle-checked)
+    "mm_frames" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs),
+          frameBytes = 32, every = 4)
+        .toDF()
+    }),
+
+    // resize: nearest-neighbor byte downsample to 64 bytes; fingerprint
+    // of the resized payload checked against index arithmetic in SQL
+    "mm_resize" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.resizePayload(Multimodal.mediaFromDocuments(docs),
+          targetBytes = 64)
+        .select(col("media_id"), col("mime"),
+          length(col("payload")).cast("int").as("n_bytes"),
+          graft.functions.TextFunctions
+            .polyHash(decode(col("payload"), "UTF-8")).as("fp"))
     })
   )
 
@@ -184,6 +206,32 @@ object SimilarityQueries {
                   [CAST(ascii(c[i+1]) AS BIGINT)
                    for i in range(0, len(c)) if i % 8 = 0]), 0) % 1009
                   AS FLOAT) AS f0
-         FROM (SELECT doc_id, string_split(text,'') AS c FROM documents)"""
+         FROM (SELECT doc_id, string_split(text,'') AS c FROM documents)""",
+    "mm_frames" ->
+      s"""SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+                 32 AS frame_len,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(ch) AS BIGINT)
+                    for ch in string_split(substring(text, CAST(i*32+1 AS INT), 32),'')]),
+                   (a,b)->(a*31+b)%1000000007) AS frame_fp
+          FROM (SELECT doc_id, text,
+                       unnest(range(len(text)//32)) AS i FROM documents)
+          WHERE i % 4 = 0""",
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                     ELSE 'audio/wav' END AS mime,
+                CAST(LEAST(len(text), 64) AS INT) AS n_bytes,
+                CASE WHEN len(text) <= 64 THEN
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [CAST(ascii(ch) AS BIGINT) for ch in string_split(text,'')]),
+                    (a,b)->(a*31+b)%1000000007)
+                ELSE
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [CAST(ascii(text[CAST(i*len(text)//64 AS INT)+1]) AS BIGINT)
+                     for i in range(64)]),
+                    (a,b)->(a*31+b)%1000000007)
+                END AS fp
+         FROM documents"""
   )
 }

@@ -24,12 +24,14 @@ object TextQueries {
       s"(a,b)->(a*31+b)%1000000007)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // token counting: whitespace tokens + distinct types
+    // token counting: whitespace tokens, distinct types, and a BPE-ish
+    // subword-regex count (the pre-merge token universe)
     "text_tokcount" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_words"),
-        typeCount(col("text")).cast("long").as("n_types"))
+        typeCount(col("text")).cast("long").as("n_types"),
+        subwordCount(col("text")).cast("long").as("n_subwords"))
     }),
 
     // quality scoring: length stats, type-token ratio, mean word length
@@ -82,7 +84,9 @@ object TextQueries {
     "text_tokcount" ->
       """SELECT doc_id,
          CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
-         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_types
+         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_types,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
+           AS BIGINT) AS n_subwords
          FROM documents""",
     "text_quality" ->
       """SELECT doc_id,
