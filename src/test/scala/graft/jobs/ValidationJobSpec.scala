@@ -136,6 +136,34 @@ class ValidationJobSpec extends SparkSpec {
     assert(perGen.values.forall(_ > 0) && perGen.size === 2)
   }
 
+  test("cross-snapshot token-equality rule end-to-end: a doc present in " +
+      "the reference snapshot but missing now is a per-row violation") {
+    val dir = tmpDir("vjob7")
+    writeInput(dir)
+    // reference snapshot = current input + one doc the current LACKS
+    spark.read.parquet(s"$dir/input").as[Sequence]
+      .union(Seq(Sequence("D000000777777", Array(1, 2), 2, "cardiac")).toDS())
+      .write.mode("overwrite").parquet(s"$dir/refsnap")
+    val cfg = ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out",
+      refSnapshotPath = Some(s"$dir/refsnap"),
+      rules = graft.rules.Rules.withSnapshotEquality)
+    val r = ValidationJob.run(spark, cfg)
+    assert(r.violations > 0)
+    val vios = spark.read.parquet(ValidationJob.violationsPath(cfg.outDir))
+      .filter($"rule_id" === graft.rules.Rules.RSnapshotEquality)
+      .as[Violation].collect()
+    assert(vios.map(_.doc_id).toSet === Set("D000000777777"))
+    assert(vios.head.observed.contains("missing_in_new"))
+    assert(vios.head.source === "cardiac")
+    val ver = spark.read.parquet(ValidationJob.verdictsPath(cfg.outDir))
+      .filter($"rule_id" === graft.rules.Rules.RSnapshotEquality)
+      .as[Verdict].collect()
+    assert(ver.find(_.source == "cardiac").get.status === Status.Fail)
+    assert(ver.filter(_.source != "cardiac")
+      .forall(_.status === Status.Pass))
+  }
+
   test("incremental input: only new partitions are validated on resume") {
     val dir = tmpDir("vjob4")
     writeInput(dir)
