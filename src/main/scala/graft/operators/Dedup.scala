@@ -119,10 +119,20 @@ object Dedup {
   /** 64-bit SimHash as 4 x 16-bit bands: bit j (j in [0,64)) of a word's
     * hash h is ((h*(2j+1) + j*1000003 + 12345) mod p) mod 2 — the same
     * universal-hash family as the MinHash permutations, reproduced by the
-    * DuckDB oracle exactly. Computed explode -> groupBy with 64 conditional
-    * SUMs (codegen'd, one (id, h) shuffle; the aggregation barrier also
-    * prevents CollapseProject re-inlining — see minhashSignatures). */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * DuckDB oracle exactly. SimHash is a per-row function of the row's own
+    * words, so it is ONE codegen'd projection (native
+    * [[graft.functions.Simhash64Bands]] kernel — zero shuffles; the r02
+    * explode→groupBy shape paid a full (id, word-hash) shuffle for
+    * nothing). [[simhash64Agg]] keeps the aggregation formulation as a
+    * cross-checked specification. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.Simhash64Bands(col(textCol), SimhashBands,
+        SimhashBandBits).as("bands"))
+
+  /** Specification form of [[simhash64]]: explode -> groupBy with 64
+    * conditional SUMs (tests assert equality with the native kernel). */
+  def simhash64Agg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val wh = df.select(
       col(idCol), explode_outer(wordHashes(col(textCol))).as("h"))
     val voteCols = (0 until SimhashBands * SimhashBandBits).map { j =>

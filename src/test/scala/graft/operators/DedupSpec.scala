@@ -60,6 +60,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1._2 == 5L || p._1._1 == 5L))
   }
 
+  test("native simhash64 kernel equals the explode/groupBy specification " +
+      "on real documents") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val native = Dedup.simhash64(real, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val spec = Dedup.simhash64Agg(real, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === spec)
+  }
+
   test("simhash64: identical texts collide; near dup within small hamming") {
     val sh = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
