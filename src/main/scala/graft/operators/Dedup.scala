@@ -36,14 +36,23 @@ object Dedup {
 
   /** (id, minhash signature) for every doc. k = signature length.
     *
-    * Computed as explode(shingle hashes) -> groupBy(id) with k MIN
-    * aggregates, assembled into the signature array. The aggregation is a
-    * hard optimizer barrier: expression-only formulations get their
-    * signature lambda re-inlined by CollapseProject into every downstream
-    * band reference — measured 64x re-evaluation of the shingle hashing at
-    * sf0.1. It is also the scalable shape (shingle set may exceed a row's
-    * comfortable working size; the shuffle is (id, hash) pairs). */
+    * ONE codegen'd projection (native [[graft.functions.MinhashSig]]): the
+    * signature is a per-row function of the row's own shingles. The
+    * explode -> groupBy shape ([[minhashSignaturesAgg]], kept as the
+    * cross-checked specification) existed as a CollapseProject barrier —
+    * expression-pipeline formulations got the signature lambda re-inlined
+    * into every downstream band reference (measured 64x re-evaluation at
+    * sf0.1) — but paid a full (id, shingle-hash) shuffle; a native kernel
+    * needs neither. */
   def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      shingleN: Int = 3): DataFrame =
+    df.select(col(idCol),
+      graft.functions.MinhashSig(col(textCol), k, shingleN).as("sig"))
+
+  /** Specification form of [[minhashSignatures]] (explode -> groupBy with
+    * k MIN aggregates). */
+  def minhashSignaturesAgg(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       shingleN: Int = 3): DataFrame = {
     val hashes = df.select(

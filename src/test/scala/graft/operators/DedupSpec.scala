@@ -60,6 +60,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1._2 == 5L || p._1._1 == 5L))
   }
 
+  test("native minhash kernel equals the explode/groupBy specification " +
+      "on real documents and the no-shingle edge") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((100001L, "one two")).toDF("doc_id", "text")) // < 3 words
+    val native = Dedup.minhashSignatures(real, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val spec = Dedup.minhashSignaturesAgg(real, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(native === spec)
+    assert(native(100001L).forall(_ == null)) // all-null edge signature
+  }
+
   test("native simhash64 kernel equals the explode/groupBy specification " +
       "on real documents") {
     val real = spark.read
