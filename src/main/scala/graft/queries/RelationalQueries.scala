@@ -43,6 +43,17 @@ object RelationalQueries {
           countDistinct(col("l_suppkey")).as("n_supps"))
     }),
 
+    // A1 grouping-sets form: per-(source, lang) counts with ROLLUP
+    // subtotals (whole-bucket + per-flagship + per-(flagship, type)
+    // report levels in one pass, bucket_summary/main.py:130-157)
+    "a1_rollup" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
     // J1: anti join — declared-but-missing (submission_data.py:133-137)
     "j1_anti" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -271,6 +282,11 @@ object RelationalQueries {
     "a3_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
          COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1""",
+    "a1_rollup" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(GROUPING(source, lang) AS BIGINT) AS gid
+         FROM documents GROUP BY ROLLUP (source, lang)""",
     "j1_anti" ->
       """SELECT o_orderkey FROM orders o WHERE NOT EXISTS
          (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""",
