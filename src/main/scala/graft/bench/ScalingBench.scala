@@ -108,31 +108,29 @@ object ScalingBench {
   val NCpus = sys.env.get("GRAFT_SCALE_N").map(_.toInt).getOrElse(2)
   val N4Cpus = NCpus * 4
 
-  /** Interleaved adaptive min-of-reps protocol: the sandbox host shows
-    * bursty background noise (the same pure-CPU probe varies ~40% between
-    * runs, and bursts can triple a rep), so reps of the two levels
-    * ALTERNATE — a burst hits both levels alike — and each level reports
-    * its MINIMUM wall (noise only ever adds time). Reps continue until
-    * both minima have been stable for two consecutive rounds (converged to
-    * the unnoised time) or `maxReps` rounds ran. First 4N rep is JIT
-    * warm-up, excluded. */
+  /** Interleaved min-of-reps protocol: the sandbox host shows bursty
+    * background noise (the same pure-CPU probe varies ~40% between runs,
+    * and bursts can triple a rep), so reps of the two levels ALTERNATE —
+    * a burst hits both levels alike — and each level reports its MINIMUM
+    * wall (noise only ever adds time). ALL `maxReps` rounds always run:
+    * an earlier "stop when minima stop improving" heuristic terminated
+    * exactly during sustained bursts — minima stop improving because the
+    * noise grew, not because they converged. First 4N rep is JIT warm-up,
+    * excluded. */
   def run(workDir: String, rows: Long, maxReps: Int = 6): Result = {
     prepare(workDir, rows)
     oneRep(workDir, N4Cpus, "warmup")
     var bestN = Long.MaxValue
     var bestN4 = Long.MaxValue
     var rows0 = 0L
-    var stable = 0
     var i = 0
-    while (i < maxReps && (stable < 2 || i < 3)) {
+    while (i < maxReps) {
       i += 1
       val (w4, _) = oneRep(workDir, NCpus, s"$i")
       val (w16, r) = oneRep(workDir, N4Cpus, s"$i")
       rows0 = r
-      val improved = w4 < bestN || w16 < bestN4
       if (w4 < bestN) bestN = w4
       if (w16 < bestN4) bestN4 = w16
-      stable = if (improved) 0 else stable + 1
     }
     val n = Level(NCpus, rows0 * 1000.0 / bestN, bestN)
     val n4 = Level(N4Cpus, rows0 * 1000.0 / bestN4, bestN4)
