@@ -562,56 +562,6 @@ object RuleEngine {
       .as[Violation]
   }
 
-  /** Drift rule evaluation: distributed histograms (constant-size state per
-    * source), statistics on the collected bins (≤ a few hundred doubles per
-    * source — driver-side by design, documented approximation contract in
-    * [[Drift]]). Emits a partition-level violation per drifted source. */
-  def driftViolations(
-      seqs: DataFrame,
-      baseline: Dataset[BaselineBin],
-      rule: DriftRule,
-      vocab: Int): Dataset[Violation] = {
-    val spark = seqs.sparkSession
-    import spark.implicits._
-    val nBins = if (rule.kind == "ntok_hist") Drift.ntokBins else Drift.tokenBins
-    val curDf =
-      if (rule.kind == "ntok_hist") Drift.ntokHist(seqs)
-      else Drift.tokenHist(seqs, vocab)
-
-    val cur = curDf.collect()
-      .groupBy(_.getString(0))
-      .map { case (s, rows) =>
-        s -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
-      }
-    val base = baseline
-      .filter(col("kind") === rule.kind)
-      .collect()
-      .groupBy(_.source)
-      .map { case (s, rows) => s -> rows.map(b => b.bin -> b.count).toMap }
-
-    val results = cur.flatMap { case (src, hist) =>
-      base.get(src).map { bh =>
-        val res =
-          if (rule.test == "ks") Drift.ksTest(hist, bh, nBins, rule.alpha)
-          else Drift.chi2Test(hist, bh, nBins, rule.alpha)
-        (src, res)
-      }
-    }
-
-    val rows = results.collect {
-      case (src, res) if res.rejected =>
-        Violation(
-          doc_id = null,
-          rule_id = rule.id,
-          observed =
-            s"""{"test":"${rule.test}","statistic":${res.statistic},""" +
-              s""""threshold":${res.threshold},"n":${res.n},"m":${res.m}}""",
-          source = src,
-          severity = rule.severity)
-    }.toSeq
-    spark.createDataset(rows)
-  }
-
   /** Verdict roll-up (A9): for every (source, rule) in the domain —
     * sources seen in data ∪ manifest, × all rule ids — status is FAIL if
     * any error-severity violation exists, PASS_WITH_WARNINGS if only
