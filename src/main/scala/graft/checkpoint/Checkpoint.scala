@@ -38,10 +38,13 @@ object Checkpoint {
     * (crashed runs) are reclaimed after `staleMs`. */
   def acquireRunLock(
       spark: SparkSession, outDir: String,
-      staleMs: Long = 6 * 3600 * 1000L): Boolean = {
+      staleMs: Long = 6 * 3600 * 1000L,
+      attempts: Int = 5): Boolean = {
+    if (attempts <= 0) return false
     val p = new org.apache.hadoop.fs.Path(s"$outDir/_running")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
+    def retry() = acquireRunLock(spark, outDir, staleMs, attempts - 1)
     try {
       // createNewFile semantics: atomic create-if-absent
       val out = fs.create(p, false)
@@ -50,11 +53,24 @@ object Checkpoint {
       true
     } catch {
       case _: java.io.IOException =>
-        val age = System.currentTimeMillis() -
-          fs.getFileStatus(p).getModificationTime
-        if (age > staleMs) { // reclaim a crashed run's lock
-          fs.delete(p, false)
-          acquireRunLock(spark, outDir, staleMs)
+        // the lock may vanish between the failed create and the stat
+        // (another run just released/reclaimed it) — that's a retry, not
+        // an escaping IOException (ADVICE r02)
+        val age =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(p).getModificationTime
+          catch { case _: java.io.FileNotFoundException => return retry() }
+        if (age > staleMs) {
+          // Reclaim via RENAME-then-delete: rename is atomic, so of N runs
+          // observing the same stale lock exactly ONE wins the rename (and
+          // deletes the tombstone); losers fail the rename and retry —
+          // where they contend on create-if-absent against the winner's
+          // fresh lock. The delete-then-create race (both delete, each
+          // creates, B deletes A's fresh lock, both proceed) is gone.
+          val tomb = new org.apache.hadoop.fs.Path(
+            s"$outDir/_running.reclaim.${java.util.UUID.randomUUID()}")
+          if (fs.rename(p, tomb)) fs.delete(tomb, false)
+          retry()
         } else false
     }
   }

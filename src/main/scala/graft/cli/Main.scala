@@ -82,9 +82,17 @@ object Main {
             .Config(input, valOut, store, manifestTxt))
           val promotedJson =
             r.promoted.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+          // per-source block reasons (ADVICE r02): an empty promotion is
+          // always explainable from the report alone
+          val reasonsJson = r.blockReasons.toSeq.sortBy(_._1)
+            .map { case (s, rs) =>
+              "\"" + s + "\":" +
+                rs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+            }.mkString("{", ",", "}")
           println(
             s"""{"promoted":${r.promoted.size},"blocked":${r.blocked.size},""" +
-              s""""promoted_sources":$promotedJson}""")
+              s""""promoted_sources":$promotedJson,""" +
+              s""""block_reasons":$reasonsJson}""")
 
         case _ =>
           System.err.println(

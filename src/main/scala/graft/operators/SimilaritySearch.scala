@@ -195,17 +195,34 @@ object SimilaritySearch {
   }
 
   /** Embedding near-duplicate pairs: cosine >= minCos, candidates
-    * restricted to same SRP bucket (the scale path for embedding dedup). */
+    * restricted to same SRP bucket (the scale path for embedding dedup).
+    *
+    * Scale contract (VERDICT r02 #3): the same-bucket self-join is
+    * quadratic in bucket size, and a degenerate bucket — a mass-duplicated
+    * embedding puts every copy in one bucket — is unboundedly quadratic.
+    * `maxBucketSize` drops buckets above the cap BEFORE the join (same
+    * contract as [[Dedup.minhashLshPairs]]: an over-common signature
+    * carries no near-dup signal). The bucket count rides the SAME exchange
+    * the self-join reuses (a window over the bucket partitioning — no
+    * extra shuffle). */
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      minCos: Double, planes: Int = 0, seed: Long = 42L): DataFrame = {
+      minCos: Double, planes: Int = 0, seed: Long = 42L,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val base =
       if (planes > 0) lshBuckets(corpus, vecCol, planes, seed)
       else corpus.withColumn("bucket", lit(0L))
     // norms once per row; the repartition is the projection barrier AND the
     // single exchange both self-join branches reuse
-    val withNorm = base.select(col("bucket"), col(idCol),
+    val withNorm0 = base.select(col("bucket"), col(idCol),
       col(vecCol).as("v"), norm(col(vecCol)).as("n"))
       .repartition(col("bucket"))
+    val withNorm =
+      if (maxBucketSize == Int.MaxValue) withNorm0
+      else withNorm0
+        .withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("bsz") <= maxBucketSize)
+        .drop("bsz")
     val l = withNorm.select(col("bucket"), col(idCol).as("id_a"),
       col("v").as("va"), col("n").as("na"))
     val r = withNorm.select(col("bucket"), col(idCol).as("id_b"),

@@ -61,6 +61,15 @@ object DedupQueries {
       Dedup.simhashPairs64(docs(s, dir), "doc_id", "text", maxHamming = 3)
     }),
 
+    // The SCALE configuration (VERDICT r02 #2): degenerate band buckets —
+    // a mass-duplicated corpus puts every copy in the same 4 buckets —
+    // dropped at maxBucketSize=20 before the self-join; oracle mirrors
+    // the cap exactly (HAVING COUNT(*) <= 20).
+    "dedup_simhash_pairs_capped" -> ((s, dir) => {
+      Dedup.simhashPairs64(docs(s, dir), "doc_id", "text", maxHamming = 3,
+        maxBucketSize = 20)
+    }),
+
     // exact n-gram Jaccard pairs >= 0.3 via inverted-index join
     "dedup_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
@@ -190,6 +199,32 @@ object DedupQueries {
           cand AS (
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
             FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band = r.band
+             AND l.doc_id < r.doc_id)
+          SELECT id_a, id_b,
+                 CAST(bit_count(xor(a.bs[1], b.bs[1]))
+                    + bit_count(xor(a.bs[2], b.bs[2]))
+                    + bit_count(xor(a.bs[3], b.bs[3]))
+                    + bit_count(xor(a.bs[4], b.bs[4])) AS INT) AS hamming
+          FROM cand
+          JOIN sigs a ON a.doc_id = id_a
+          JOIN sigs b ON b.doc_id = id_b
+          WHERE bit_count(xor(a.bs[1], b.bs[1]))
+              + bit_count(xor(a.bs[2], b.bs[2]))
+              + bit_count(xor(a.bs[3], b.bs[3]))
+              + bit_count(xor(a.bs[4], b.bs[4])) <= 3""",
+    "dedup_simhash_pairs_capped" ->
+      s"""WITH $simhash64BandsCte,
+          sigs AS (SELECT doc_id, list(band ORDER BY band_idx) AS bs
+                   FROM bands GROUP BY 1),
+          kept AS (
+            SELECT b.* FROM bands b
+            JOIN (SELECT band_idx, band FROM bands
+                  GROUP BY 1, 2 HAVING COUNT(*) <= 20) z
+              USING (band_idx, band)),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM kept l JOIN kept r
               ON l.band_idx = r.band_idx AND l.band = r.band
              AND l.doc_id < r.doc_id)
           SELECT id_a, id_b,

@@ -52,12 +52,16 @@ object SimilarityQueries {
         emb(s, dir), "vec_id", "embedding", minCos = 0.4)
     }),
 
-    // The SCALE configuration: candidates restricted to same SRP bucket
-    // (2 hyperplanes -> 4 buckets) — the |bucket|-bounded join that runs
-    // at 100 TB; oracle reproduces the bucketing bit-for-bit.
+    // The SCALE configuration (planes=3 -> 8 buckets, hot buckets above
+    // 60 rows dropped before the self-join — the cap BINDS at this corpus
+    // size, so the verified config is the degenerate-bucket-safe one;
+    // VERDICT r02 #3): candidates restricted to same SRP bucket — the
+    // |bucket|-bounded join that runs at 100 TB; oracle reproduces the
+    // bucketing AND the cap bit-for-bit.
     "dedup_embedding_pairs_lsh" -> ((s, dir) => {
       SimilaritySearch.embeddingDupPairs(
-        emb(s, dir), "vec_id", "embedding", minCos = 0.4, planes = 2)
+        emb(s, dir), "vec_id", "embedding", minCos = 0.4, planes = 3,
+        maxBucketSize = 60)
     }),
 
     // multimodal feature extraction through the batched codec stage
@@ -190,11 +194,15 @@ object SimilarityQueries {
           WHERE a.vec_id < b.vec_id
             AND ${cosSql("a.embedding", "b.embedding")} >= 0.4""",
     "dedup_embedding_pairs_lsh" ->
-      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSqlP(2)} AS bucket
-                      FROM embeddings)
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSqlP(3)} AS bucket
+                      FROM embeddings),
+          kept AS (
+            SELECT bk.* FROM bk
+            JOIN (SELECT bucket FROM bk
+                  GROUP BY 1 HAVING COUNT(*) <= 60) z USING (bucket))
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  ${cosSql("a.embedding", "b.embedding")} AS cos
-          FROM bk a JOIN bk b
+          FROM kept a JOIN kept b
             ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""",
     "mm_features" ->

@@ -64,47 +64,101 @@ object RuleEngine {
       ntokHist: Array[Long],
       tokenHist: Array[Long])
 
-  /** THE aggregation pass: one groupBy(source) job computing stats + both
-    * histograms with constant per-source state — map-side partial
-    * aggregation absorbs the hot-source skew; one scan serves the stats
-    * rule, both drift rules, AND the completeness side of referential
-    * integrity (SURVEY.md A1-A3, A7, R_STATS, R_DRIFT_*). */
-  def aggregateBySource(seqs: DataFrame, vocab: Int): Seq[SourceAggregate] =
+  /** The aggregates that read ONLY narrow columns (source, doc_id, n_tok) —
+    * no reference to `tokens`, so a scan running just these prunes the
+    * array column entirely (~96% of the table's bytes at the bench shape). */
+  private def narrowAggExprs: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    min(col("n_tok")).as("min_ntok"),
+    max(col("n_tok")).as("max_ntok"),
+    avg(col("n_tok")).as("avg_ntok"),
+    sum(col("n_tok").cast("long")).as("total_tokens"),
+    (sum(when(col("doc_id").isNull, 1L).otherwise(0L)) / count(lit(1)))
+      .as("null_frac_doc_id"),
+    approx_count_distinct(col("doc_id")).as("approx_distinct_doc_id"),
+    percentile_approx(col("n_tok"), array(lit(0.5), lit(0.95)),
+      lit(10000)).as("ntok_pcts"),
+    graft.drift.HistAggregate.ntokHist(col("n_tok"), Drift.ntokBins,
+      Drift.ntokBinWidth).as("ntok_hist"))
+
+  /** The aggregates that must decode the `tokens` array. */
+  private def tokenAggExprs(vocab: Int): Seq[Column] = Seq(
+    min(array_min(col("tokens"))).as("min_token_id"),
+    max(array_max(col("tokens"))).as("max_token_id"),
+    graft.drift.HistAggregate.tokenHist(col("tokens"), Drift.tokenBins,
+      vocab).as("token_hist"))
+
+  /** Build a [[SourceAggregate]] from a narrow-aggregate row plus the
+    * token-derived fields (read from the same row in the classic pass,
+    * observed off the row-rule scan in the fused pass). */
+  private def aggFromRow(
+      r: org.apache.spark.sql.Row,
+      minTokenId: Int,
+      maxTokenId: Int,
+      tokenHist: Array[Long]): SourceAggregate =
+    SourceAggregate(
+      r.getAs[String]("source"),
+      r.getAs[Long]("n_docs"),
+      r.getAs[Int]("min_ntok"),
+      r.getAs[Int]("max_ntok"),
+      r.getAs[Double]("avg_ntok"),
+      r.getAs[Long]("total_tokens"),
+      r.getAs[Double]("null_frac_doc_id"),
+      r.getAs[Long]("approx_distinct_doc_id"),
+      minTokenId,
+      maxTokenId,
+      r.getAs[Seq[Int]]("ntok_pcts").head,
+      r.getAs[Seq[Int]]("ntok_pcts").last,
+      r.getAs[Seq[Long]]("ntok_hist").toArray,
+      tokenHist)
+
+  /** THE aggregation pass (classic form): one groupBy(source) job computing
+    * stats + both histograms with constant per-source state — map-side
+    * partial aggregation absorbs the hot-source skew; one scan serves the
+    * stats rule, both drift rules, AND the completeness side of referential
+    * integrity (SURVEY.md A1-A3, A7, R_STATS, R_DRIFT_*). The fused path
+    * ([[planStaged]]) computes the exact same values without the second
+    * `tokens` decode. */
+  def aggregateBySource(seqs: DataFrame, vocab: Int): Seq[SourceAggregate] = {
+    val exprs = narrowAggExprs ++ tokenAggExprs(vocab)
     seqs
       .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        min(col("n_tok")).as("min_ntok"),
-        max(col("n_tok")).as("max_ntok"),
-        avg(col("n_tok")).as("avg_ntok"),
-        sum(col("n_tok").cast("long")).as("total_tokens"),
-        (sum(when(col("doc_id").isNull, 1L).otherwise(0L)) / count(lit(1)))
-          .as("null_frac_doc_id"),
-        approx_count_distinct(col("doc_id")).as("approx_distinct_doc_id"),
-        min(array_min(col("tokens"))).as("min_token_id"),
-        max(array_max(col("tokens"))).as("max_token_id"),
-        percentile_approx(col("n_tok"), array(lit(0.5), lit(0.95)),
-          lit(10000)).as("ntok_pcts"),
-        graft.drift.HistAggregate.ntokHist(col("n_tok"), Drift.ntokBins,
-          Drift.ntokBinWidth).as("ntok_hist"),
-        graft.drift.HistAggregate.tokenHist(col("tokens"), Drift.tokenBins,
-          vocab).as("token_hist"))
+      .agg(exprs.head, exprs.tail: _*)
       .collect()
-      .map(r => SourceAggregate(
-        r.getAs[String]("source"),
-        r.getAs[Long]("n_docs"),
-        r.getAs[Int]("min_ntok"),
-        r.getAs[Int]("max_ntok"),
-        r.getAs[Double]("avg_ntok"),
-        r.getAs[Long]("total_tokens"),
-        r.getAs[Double]("null_frac_doc_id"),
-        r.getAs[Long]("approx_distinct_doc_id"),
+      .map(r => aggFromRow(r,
         r.getAs[Int]("min_token_id"),
         r.getAs[Int]("max_token_id"),
-        r.getAs[Seq[Int]]("ntok_pcts").head,
-        r.getAs[Seq[Int]]("ntok_pcts").last,
-        r.getAs[Seq[Long]]("ntok_hist").toArray,
         r.getAs[Seq[Long]]("token_hist").toArray))
+      .toSeq
+  }
+
+  /** Per-source token-array statistics observed off the row-rule scan. */
+  final case class ObservedTokenStats(
+      minTokenId: Option[Int],
+      maxTokenId: Option[Int],
+      tokenHist: Array[Long])
+
+  /** The narrow half of the aggregation pass: reads (source, doc_id, n_tok)
+    * only — Catalyst prunes `tokens` from the parquet scan — and joins the
+    * observed token stats to reconstruct the full [[SourceAggregate]] rows
+    * with values identical to [[aggregateBySource]]. */
+  def narrowAggregateBySource(
+      seqs: DataFrame,
+      tokenStats: Map[String, ObservedTokenStats]): Seq[SourceAggregate] =
+    seqs
+      .groupBy(col("source"))
+      .agg(narrowAggExprs.head, narrowAggExprs.tail: _*)
+      .collect()
+      .map { r =>
+        val src = r.getAs[String]("source")
+        val ts = tokenStats.get(src)
+        // null min/max coerce to 0 exactly like the classic getAs[Int] on a
+        // null min(array_min) value (all-empty-arrays source)
+        aggFromRow(r,
+          ts.flatMap(_.minTokenId).getOrElse(0),
+          ts.flatMap(_.maxTokenId).getOrElse(0),
+          ts.map(_.tokenHist).getOrElse(new Array[Long](Drift.tokenBins)))
+      }
       .toSeq
 
   /** The compiled evaluation: the (lazy) violations dataset plus the
@@ -142,6 +196,132 @@ object RuleEngine {
       rules.driftRules.nonEmpty
     val aggs: Seq[SourceAggregate] =
       if (needAgg) aggregateBySource(seqs.toDF(), vocab) else Nil
+    // A check that never ran must not read as PASS (ADVICE r01; reference
+    // keeps an explicit NOT_COMPLETED status, dynamodb.py:89-95): drift
+    // rules lacking baseline bins for a source, and the snapshot-equality
+    // rule when no reference snapshot is configured — see driverSide.
+    val d = driverSide(spark, seqs, aggs, manifest, rules, baseline,
+      refSnapshot, needAgg)
+
+    val parts: Seq[Dataset[Violation]] =
+      Seq(rowViolations(enriched, rules.rowRules)) ++
+        rules.uniqueRules.map(r => uniqueViolations(seqs.toDF(), r)) ++
+        refSnapshot.toSeq.flatMap(ref =>
+          rules.snapshotRules.map(r =>
+            snapshotViolations(seqs.toDF(), ref.toDF(), r))) ++
+        (if (d.driverViolations.nonEmpty || needAgg)
+          Seq(spark.createDataset(d.driverViolations)) else Nil)
+
+    EnginePlan(
+      violations = parts.reduce(_ unionByName _),
+      sources = d.sources,
+      stats = d.stats,
+      rowCount = d.rowCount,
+      notCompleted = d.notCompleted)
+  }
+
+  /** The driver-side tail of a staged plan, available only after the scan
+    * violations have been materialized (see [[planStaged]]). */
+  final case class StagedResult(
+      driverViolations: Seq[Violation],
+      sources: Seq[String],
+      stats: Option[(String, Map[String, String])],
+      rowCount: Option[Long],
+      notCompleted: Set[(String, String)])
+
+  /** A two-stage evaluation plan: `scanViolations` holds every distributed
+    * pass (row rules ∪ uniqueness ∪ snapshot equality); `finish()` — legal
+    * ONLY after an action has materialized `scanViolations` — collects the
+    * observed token stats, runs the narrow aggregation pass, and returns
+    * the driver-derived violations (RI / drift / manifest) + roll-up
+    * facts. */
+  final case class StagedPlan(
+      scanViolations: Dataset[Violation],
+      finish: () => StagedResult)
+
+  /** The FUSED evaluation plan (the 100 TB shape): semantically identical
+    * to [[plan]] but the `tokens` array column — ~96% of the table's bytes —
+    * is decoded exactly ONCE. The per-source token stats (token-id min/max +
+    * drift histogram) ride the row-rule scan via `Dataset.observe` +
+    * [[graft.drift.TokenStatsBySourceAggregate]]; the remaining per-source
+    * stats come from a scan that reads only (source, doc_id, n_tok) —
+    * Catalyst prunes the array from that parquet scan. The classic [[plan]]
+    * ran the row rules and a full groupBy(source) histogram pass as two
+    * independent full-array scans; on a memory-bandwidth-bound host that
+    * duplicated decode was the measured N→4N scaling ceiling (VERDICT r02).
+    *
+    * Contract: callers MUST run an action on `scanViolations` (e.g. the
+    * persist + count ValidationJob does anyway) before calling `finish()`,
+    * which blocks on the observed metrics otherwise. Falls back to the
+    * classic eager aggregation when there is no row-rule scan to ride. */
+  def planStaged(
+      seqs: Dataset[Sequence],
+      manifest: Dataset[ManifestEntry],
+      rules: RuleSet,
+      baseline: Option[Dataset[BaselineBin]] = None,
+      vocab: Int = graft.gen.SequenceGen.vocabSize,
+      refSnapshot: Option[Dataset[Sequence]] = None): StagedPlan = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+
+    val needAgg = rules.statsRules.nonEmpty || rules.refRules.nonEmpty ||
+      rules.driftRules.nonEmpty
+    val rideRowScan = needAgg && rules.rowRules.nonEmpty
+
+    val obs = if (rideRowScan) Some(org.apache.spark.sql.Observation()) else None
+    val enriched0 = withManifest(seqs.toDF(), manifest)
+    val enriched = obs match {
+      case Some(o) =>
+        enriched0.observe(o,
+          graft.drift.TokenStatsBySourceAggregate
+            .agg(col("source"), col("tokens"), Drift.tokenBins, vocab)
+            .as("token_stats"))
+      case None => enriched0
+    }
+
+    val scanParts: Seq[Dataset[Violation]] =
+      Seq(rowViolations(enriched, rules.rowRules)) ++
+        rules.uniqueRules.map(r => uniqueViolations(seqs.toDF(), r)) ++
+        refSnapshot.toSeq.flatMap(ref =>
+          rules.snapshotRules.map(r =>
+            snapshotViolations(seqs.toDF(), ref.toDF(), r)))
+
+    val finish = () => {
+      val aggs: Seq[SourceAggregate] =
+        if (!needAgg) Nil
+        else obs match {
+          case Some(o) =>
+            val stats = o.get("token_stats").asInstanceOf[Seq[_]]
+              .map(_.asInstanceOf[org.apache.spark.sql.Row])
+              .map { r =>
+                r.getString(0) -> ObservedTokenStats(
+                  if (r.isNullAt(1)) None else Some(r.getInt(1)),
+                  if (r.isNullAt(2)) None else Some(r.getInt(2)),
+                  r.getSeq[Long](3).toArray)
+              }.toMap
+            narrowAggregateBySource(seqs.toDF(), stats)
+          case None => aggregateBySource(seqs.toDF(), vocab)
+        }
+      driverSide(spark, seqs, aggs, manifest, rules, baseline, refSnapshot,
+        needAgg)
+    }
+
+    StagedPlan(scanParts.reduce(_ unionByName _), finish)
+  }
+
+  /** Driver-side arithmetic shared by [[plan]] and [[planStaged]]: RI /
+    * drift / manifest violations from the collected aggregates, the source
+    * domain, NOT_COMPLETED bookkeeping, stats metrics and exact row count. */
+  private def driverSide(
+      spark: SparkSession,
+      seqs: Dataset[Sequence],
+      aggs: Seq[SourceAggregate],
+      manifest: Dataset[ManifestEntry],
+      rules: RuleSet,
+      baseline: Option[Dataset[BaselineBin]],
+      refSnapshot: Option[Dataset[Sequence]],
+      needAgg: Boolean): StagedResult = {
+    import spark.implicits._
     val manifestRows: Seq[ManifestEntry] = manifest.collect().toSeq
     val baselineRows: Seq[BaselineBin] =
       if (rules.driftRules.nonEmpty)
@@ -161,10 +341,6 @@ object RuleEngine {
         seqs.select(col("source")).distinct().as[String].collect().toSeq ++
           manifestRows.map(_.source)
 
-    // A check that never ran must not read as PASS (ADVICE r01; reference
-    // keeps an explicit NOT_COMPLETED status, dynamodb.py:89-95): drift
-    // rules lacking baseline bins for a source, and the snapshot-equality
-    // rule when no reference snapshot is configured.
     val notCompleted: Set[(String, String)] =
       rules.driftRules.flatMap { r =>
         val withBins =
@@ -176,17 +352,8 @@ object RuleEngine {
             .flatMap(r => sources0.distinct.map(s => (s, r.id))).toSet
         else Set.empty[(String, String)])
 
-    val parts: Seq[Dataset[Violation]] =
-      Seq(rowViolations(enriched, rules.rowRules)) ++
-        rules.uniqueRules.map(r => uniqueViolations(seqs.toDF(), r)) ++
-        refSnapshot.toSeq.flatMap(ref =>
-          rules.snapshotRules.map(r =>
-            snapshotViolations(seqs.toDF(), ref.toDF(), r))) ++
-        (if (driverVios.nonEmpty || needAgg)
-          Seq(spark.createDataset(driverVios)) else Nil)
-
-    EnginePlan(
-      violations = parts.reduce(_ unionByName _),
+    StagedResult(
+      driverViolations = driverVios,
       sources = sources0.distinct.sorted,
       stats = rules.statsRules.headOption
         .map(r => (r.id, statsMetricsFromAgg(aggs))),

@@ -45,13 +45,45 @@ object TableIO {
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Hive-style partition-path unescape: every %xx byte-escape Spark's
+    * partition writer emits is decoded; everything else (including '+',
+    * which is LITERAL in Hive paths, unlike URL encoding) passes through.
+    * Spark escapes with uppercase %XX (ExternalCatalogUtils semantics —
+    * re-derived from the public escaping contract, not copied), so
+    * decode-side handling of %xx is the whole inverse. */
+  def unescapePathName(name: String): String = {
+    val sb = new StringBuilder(name.length)
+    var i = 0
+    while (i < name.length) {
+      val c = name.charAt(i)
+      if (c == '%' && i + 2 < name.length &&
+          isHex(name.charAt(i + 1)) && isHex(name.charAt(i + 2))) {
+        sb.append(Integer.parseInt(name.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+
   /** Drop the hive-layout partition directories for `values` of
     * `partitionCol` under `path`. Dynamic partition overwrite only replaces
     * partitions PRESENT in the written data — a re-validated source that is
     * now clean writes zero violation rows, so its stale partition files
     * would survive and poison the next roll-up (ADVICE r01). Callers delete
     * the partitions of every source in the run before writing. Driver-side
-    * metadata work over |values| directories (the Iceberg-delete analog). */
+    * metadata work over |values| directories (the Iceberg-delete analog).
+    *
+    * Matching is by LISTING the existing directories and comparing their
+    * DECODED values (ADVICE r02): constructing the directory name with URL
+    * encoding silently missed any value Spark escapes differently — e.g.
+    * the in-repo manifest fill value "not provided", whose real directory
+    * is `source=not provided`, not `source=not+provided`. */
   def deletePartitions(
       spark: SparkSession,
       path: String,
@@ -60,11 +92,16 @@ object TableIO {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    values.foreach { v =>
-      val enc = java.net.URLEncoder.encode(v, "UTF-8")
-      val dir = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$enc")
-      if (fs.exists(dir)) fs.delete(dir, true)
-    }
+    val want = values.toSet
+    val prefix = partitionCol + "="
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .filter { st =>
+        val name = st.getPath.getName
+        name.startsWith(prefix) &&
+          want(unescapePathName(name.stripPrefix(prefix)))
+      }
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Append-only run-log sink (reference K2: every write mirrored into an
@@ -91,7 +128,7 @@ object TableIO {
       .filter(_.startsWith(prefix))
     if (dirs.isEmpty) None
     else Some(dirs.map(d =>
-      java.net.URLDecoder.decode(d.stripPrefix(prefix), "UTF-8")).sorted)
+      unescapePathName(d.stripPrefix(prefix))).sorted)
   }
 
   /** Required manifest columns — a manifest missing any of them is

@@ -63,6 +63,64 @@ class TransferJobSpec extends SparkSpec {
     assert(after.sameElements(before))
   }
 
+  test("default no-baseline flow fails fast naming the NOT_COMPLETED " +
+      "rules instead of silently promoting nothing (ADVICE r02)") {
+    val dir = tmpDir("transfer-nb")
+    SequenceGen.sequences(spark, N)
+      .write.mode("overwrite").partitionBy("source").parquet(s"$dir/input")
+    SequenceGen.manifest(spark, N)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+    // the CLI default: validate without baselinePath -> both drift rules
+    // NOT_COMPLETED for every source
+    ValidationJob.run(spark, ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out"))
+
+    val e = intercept[IllegalStateException] {
+      TransferJob.run(spark, TransferJob.Config(
+        s"$dir/input", s"$dir/out", s"$dir/store", s"$dir/manifest_txt"))
+    }
+    assert(e.getMessage.contains(graft.rules.Rules.RDriftNtokKs))
+    assert(e.getMessage.contains(graft.rules.Rules.RDriftTokenChi2))
+  }
+
+  test("changed-but-unvalidated input is blocked as STALE_LINEAGE " +
+      "(VERDICT r02 #8: the gate is re-checked against current lineage)") {
+    val dir = tmpDir("transfer-stale")
+    val clean = SequenceGen.sequences(spark, N)
+    clean.write.mode("overwrite").partitionBy("source")
+      .parquet(s"$dir/input")
+    SequenceGen.manifest(spark, N)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+    Drift.histograms(clean.toDF(), SequenceGen.vocabSize, "b")
+      .write.mode("overwrite").parquet(s"$dir/baseline")
+    ValidationJob.run(spark, ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out",
+      baselinePath = Some(s"$dir/baseline")))
+
+    // input changes AFTER validation: a new (invalid!) row lands in mito
+    Seq(Sequence("D000000900009", Array(1, 2), 99, "mito")).toDS()
+      .write.mode("append").partitionBy("source").parquet(s"$dir/input")
+
+    val cfg = TransferJob.Config(
+      s"$dir/input", s"$dir/out", s"$dir/store", s"$dir/manifest_txt")
+    val r = TransferJob.run(spark, cfg)
+    // ALL sources share the table-level snapshot id, so the whole table is
+    // stale until re-validated — nothing promotes on the old verdicts
+    assert(r.promoted.isEmpty, r.toString)
+    assert(r.blockReasons.values.flatten.exists(_ == "STALE_LINEAGE"))
+
+    // re-validating the changed input (resume validates only what the new
+    // lineage requires) unblocks promotion, minus the now-failing source
+    ValidationJob.run(spark, ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out",
+      baselinePath = Some(s"$dir/baseline")))
+    val r2 = TransferJob.run(spark, cfg)
+    assert(r2.promoted.nonEmpty)
+    assert(!r2.promoted.contains("mito"))
+    assert(r2.blockReasons("mito")
+      .exists(_.startsWith(graft.model.Status.Fail)))
+  }
+
   test("run lock: a held lock blocks a second run; released lock admits") {
     val dir = tmpDir("lock")
     SequenceGen.sequences(spark, 100)

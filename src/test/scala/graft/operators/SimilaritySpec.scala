@@ -68,6 +68,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (2L, 3L)))
   }
 
+  test("embeddingDupPairs maxBucketSize bounds a degenerate bucket") {
+    // a mass-duplicated embedding: 40 copies of the same vector land in
+    // one SRP bucket — uncapped that bucket alone yields C(40,2)=780
+    // quadratic pairs; the cap drops it while distinct-direction vectors
+    // in small buckets keep pairing
+    val dup = (0 until 40).map(i => (100L + i, Array(0.6f, 0.8f)))
+    val rest = Seq(
+      (0L, Array(1.0f, 0.05f)), (1L, Array(0.98f, 0.04f)),
+      (2L, Array(-0.05f, -1.0f)), (3L, Array(-0.04f, -0.98f)))
+    val df = (dup ++ rest).toDF("vec_id", "embedding")
+
+    val uncapped = SimilaritySearch.embeddingDupPairs(
+      df, "vec_id", "embedding", minCos = 0.9, planes = 2)
+    assert(uncapped.count() >= 780L)
+
+    val capped = SimilaritySearch.embeddingDupPairs(
+      df, "vec_id", "embedding", minCos = 0.9, planes = 2,
+      maxBucketSize = 10)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no pair from the degenerate bucket survives; the healthy buckets do
+    assert(pairs.forall { case (a, b) => a < 100L && b < 100L })
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 3L)))
+  }
+
   test("lshTopK returns neighbors from the probe's bucket only") {
     val res = SimilaritySearch.lshTopK(
       vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",

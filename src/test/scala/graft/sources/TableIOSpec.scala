@@ -59,6 +59,26 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.partitionValues(spark, s"$dir/nope", "source").isEmpty)
   }
 
+  test("deletePartitions + partitionValues handle Spark-escaped values " +
+      "(space, '#', '+'; ADVICE r02: URL encoding targeted 'not+provided')") {
+    val dir = tmpDir("esc")
+    val rows = Seq(
+      ("a", "not provided"), // the manifest fill value — space stays literal
+      ("b", "x#y"),          // '#' is %23-escaped by Spark
+      ("c", "p+q"),          // '+' is LITERAL in hive paths (URL trap)
+      ("d", "plain"))
+    rows.toDF("doc_id", "source")
+      .write.partitionBy("source").parquet(s"$dir/t")
+
+    val vals = TableIO.partitionValues(spark, s"$dir/t", "source").get
+    assert(vals.toSet === rows.map(_._2).toSet) // decoded round-trip
+
+    TableIO.deletePartitions(spark, s"$dir/t", "source",
+      Seq("not provided", "x#y", "p+q"))
+    val after = TableIO.partitionValues(spark, s"$dir/t", "source").get
+    assert(after === Seq("plain"))
+  }
+
   test("snapshotId is stable for identical data, changes with data") {
     val dir = tmpDir("snap")
     SequenceGen.sequences(spark, 100).write.parquet(s"$dir/t")
