@@ -11,13 +11,16 @@ object Bench {
   /** Representative subset spanning scan/join/agg/window/dedup/similarity
     * machinery — kept fast enough for a per-round run at sf0.1. */
   val headline: Seq[String] = Seq(
-    "q1_agg", "j1_anti", "j4_dim_join", "j7_full_outer_diff",
+    "q1_agg", "j1_anti", "j2_undeclared_anti", "j4_dim_join",
+    "j5_second_dim", "j7_full_outer_diff",
+    "a7_count_reconciliation", "a8_group_evidence",
     "a9_verdict_rollup", "o_topk_users", "w_first_per_key",
     "st_sessionize", "f5_regex_valid",
     "text_quality", "text_fingerprint",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_pairs_capped",
-    "dedup_simhash",
+    "dedup_simhash", "dedup_simhash_pairs_capped",
     "dedup_jaccard_pairs", "dedup_jaccard_pairs_capped",
+    "dedup_embedding_pairs_lsh",
     "j10_snapshot_equality", "s8_results_json",
     "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk")
 

@@ -94,6 +94,21 @@ object Main {
               s""""promoted_sources":$promotedJson,""" +
               s""""block_reasons":$reasonsJson}""")
 
+        case "cleanup" :: input :: valOut :: store :: rest =>
+          // E3 tail (cleanup_manager.py:20-128): drop verifiably-promoted
+          // staging partitions + processing leftovers; blocked staging stays
+          val dry = rest.contains("--dry-run")
+          val promoted = graft.jobs.TransferJob
+            .promotableSources(spark, valOut)
+          val r = graft.jobs.CleanupJob.run(
+            spark, input, store, promoted, Some(valOut), dryRun = dry)
+          def arr(xs: Seq[String]) =
+            xs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+          println(
+            s"""{"cleaned":${arr(r.cleaned)},"kept":${arr(r.kept)},""" +
+              s""""leftovers_removed":${r.leftoversRemoved.size},""" +
+              s""""dry_run":$dry}""")
+
         case _ =>
           System.err.println(
             "usage: gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] " +
@@ -101,7 +116,8 @@ object Main {
               "validate <inputDir> <manifestDir> <outDir> [baselineDir] " +
               "[refSnapshotDir] | " +
               "transfer <inputDir> <validationOutDir> <storeDir> " +
-              "<manifestTsvDir>")
+              "<manifestTsvDir> | " +
+              "cleanup <inputDir> <validationOutDir> <storeDir> [--dry-run]")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -1,0 +1,92 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.TableIO
+
+/**
+ * Post-transfer staging cleanup — the reference's E3 tail
+ * (cleanup_manager.py:20-128): after a submission is promoted to the
+ * store, its staging copy and processing leftovers are deleted, and the
+ * processed sentinel is dropped so the prefix can be reused. Blocked
+ * submissions are NEVER cleaned — their staging data is the evidence a
+ * human investigates.
+ *
+ * Spark-native shape: "staging" = the input table's source partitions;
+ * cleanup drops exactly the partitions the TransferJob report says were
+ * promoted (they now live in the store, verified by a count check), plus
+ * processing leftovers (_temporary dirs, stale _running locks) under the
+ * validation out dir. Everything is driver-side metadata work.
+ */
+object CleanupJob {
+
+  final case class Report(
+      cleaned: Seq[String],
+      kept: Seq[String],
+      leftoversRemoved: Seq[String])
+
+  /** Remove the staging partitions of `promoted` sources from `inputPath`.
+    *
+    * Safety contract (the reference deletes staging only after the move
+    * succeeded, cleanup_manager.py:63-87): a partition is dropped ONLY if
+    * the store actually holds at least as many rows for that source as
+    * staging does — a failed or partial promotion keeps its staging copy.
+    * With `dryRun` the report lists what WOULD be cleaned, touching
+    * nothing. */
+  def run(
+      spark: SparkSession,
+      inputPath: String,
+      storeDir: String,
+      promoted: Seq[String],
+      validationOutDir: Option[String] = None,
+      dryRun: Boolean = false): Report = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val storeCounts: Map[String, Long] =
+      if (promoted.isEmpty) Map.empty
+      else spark.read.parquet(storeDir)
+        .filter(col("source").isin(promoted.map(x => x: Any): _*))
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stagingCounts: Map[String, Long] =
+      if (promoted.isEmpty) Map.empty
+      else spark.read.parquet(inputPath)
+        .filter(col("source").isin(promoted.map(x => x: Any): _*))
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val (cleanable, kept) = promoted.partition { s =>
+      storeCounts.getOrElse(s, 0L) >= stagingCounts.getOrElse(s, Long.MaxValue)
+    }
+
+    if (!dryRun && cleanable.nonEmpty)
+      TableIO.deletePartitions(spark, inputPath, "source", cleanable)
+
+    // processing leftovers: Spark _temporary dirs from crashed writes and
+    // stale _running locks (the processed-sentinel analog)
+    val leftovers = scala.collection.mutable.ArrayBuffer.empty[String]
+    validationOutDir.foreach { outDir =>
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) {
+        def sweep(p: org.apache.hadoop.fs.Path): Unit =
+          fs.listStatus(p).foreach { st =>
+            if (st.isDirectory) {
+              if (st.getPath.getName == "_temporary") {
+                leftovers += st.getPath.toString
+                if (!dryRun) fs.delete(st.getPath, true)
+              } else sweep(st.getPath)
+            }
+          }
+        sweep(root)
+        val lock = new org.apache.hadoop.fs.Path(s"$outDir/_running")
+        if (fs.exists(lock)) {
+          leftovers += lock.toString
+          if (!dryRun) fs.delete(lock, false)
+        }
+      }
+    }
+
+    Report(cleanable.sorted, kept.sorted, leftovers.toSeq.sorted)
+  }
+}

@@ -45,6 +45,7 @@ object ValidationJob {
   def verdictsPath(outDir: String) = s"$outDir/verdicts"
   def checkpointPath(outDir: String) = s"$outDir/checkpoint"
   def runLogPath(outDir: String) = s"$outDir/run_log"
+  def violationsLogPath(outDir: String) = s"$outDir/violations_log"
 
   def run(spark: SparkSession, cfg: Config): RunReport = {
     import spark.implicits._
@@ -141,9 +142,18 @@ object ValidationJob {
     // re-reading what was just written — at the prior shape those four
     // write/re-read round-trips were the dominant serial section of the
     // scaling bench (VERDICT r01 #1).
+    // Clustered BEFORE the persist: the scan produces one cache partition
+    // per input split (~hundreds), and every downstream consumer of the
+    // cache (count, both violation writes, the verdict roll-up) would pay
+    // that task count again — a per-job fixed cost that taxes the 4N
+    // scaling level 4x harder. One tiny shuffle (violations are the
+    // failing slice) buys |shuffle.partitions| cache partitions, already
+    // clustered by source for the partitioned write.
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val scanVio = staged.scanViolations
       .filter(col("source").isin(todo.map(x => x: Any): _*) ||
         !col("source").isin(allParts.map(x => x: Any): _*))
+      .repartition(nPart, col("source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materializes the row-rule (+ observed token stats), unique and
     // snapshot passes — the contract planStaged.finish() requires
@@ -177,6 +187,21 @@ object ValidationJob {
     TableIO.deletePartitions(
       spark, violationsPath(cfg.outDir), "source", runSources)
     TableIO.writePartitioned(vio.toDF(), violationsPath(cfg.outDir))
+
+    // K2 completion (VERDICT r02 #5): the dynamic overwrite above keeps the
+    // CURRENT violations queryable; the audit log below keeps EVERY
+    // generation, keyed by run lineage — the reference mirrors every
+    // record type into archive tables (dynamodb.py:518-532), violations
+    // included, not just verdicts.
+    val completedAt = java.time.Instant.now().toString
+    val runId = s"${snapshotId.take(12)}-${rulesetHash.take(12)}"
+    TableIO.appendGeneration(
+      vio.toDF()
+        .withColumn("run_id", lit(runId))
+        .withColumn("snapshot_id", lit(snapshotId))
+        .withColumn("ruleset_hash", lit(rulesetHash))
+        .withColumn("completed_at", lit(completedAt)),
+      violationsLogPath(cfg.outDir))
     phase("write_violations")
 
     // Verdicts are |sources| x |rules| rows: roll up from the cached
@@ -185,13 +210,11 @@ object ValidationJob {
     val verdictRows = RuleEngine.rollUpVerdicts(
         spark, runSources, cfg.rules, vio, fin.stats, fin.notCompleted)
       .collect().toSeq
-    val completedAt = java.time.Instant.now().toString
     TableIO.writePartitioned(
       spark.createDataset(verdictRows).toDF(), verdictsPath(cfg.outDir))
 
     // K2 audit trail: every run appends its verdict generation to the run
     // log (reference archive-table semantics, dynamodb.py:518-532).
-    val runId = s"${snapshotId.take(12)}-${rulesetHash.take(12)}"
     TableIO.appendRunLog(
       spark.createDataset(verdictRows.map(v =>
         RunLogRecord(runId, snapshotId, rulesetHash, v.source, v.rule_id,

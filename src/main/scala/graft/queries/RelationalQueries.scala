@@ -68,6 +68,36 @@ object RelationalQueries {
       c.join(o, Seq("c_custkey"), "left_semi").select("c_custkey")
     }),
 
+    // J2: undeclared-key anti join from the FACT side with row counts —
+    // data present that no dimension entry declares, reported with volume
+    // (undeclared-source warning, submission_data.py:139-141; engine form:
+    // RuleEngine.refViolationsFromAgg's None-expected branch)
+    "j2_undeclared_anti" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      t(s, dir, "orders")
+        .join(dim, Seq("o_custkey"), "left_anti")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // J5: SECOND-dimension lookup — fact enriched through two broadcast
+    // dims in one plan (file manifest + study manifest,
+    // validation_manager.py:156-193 second lookup)
+    "j5_second_dim" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("total_bal"))
+    }),
+
     // J4: broadcast dimension equi-join + grouped rollup
     // (per-file manifest lookup, validation_manager.py:156-169)
     "j4_dim_join" -> ((s, dir) => {
@@ -138,6 +168,42 @@ object RelationalQueries {
       val w = Window.partitionBy(col("text"))
       d.select(col("doc_id"), count(lit(1)).over(w).as("grp"))
         .filter(col("grp") > 1)
+    }),
+
+    // A7: count-reconciliation — expected vs actual membership per group,
+    // with an INCOMPLETE/COMPLETE status (expected_docs vs actual count,
+    // batch_notification.py:126-186; engine form: refViolationsFromAgg)
+    "a7_count_reconciliation" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val active = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      c.join(active, c("c_custkey") === active("o_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L))
+            .as("n_with_orders"))
+        .select(
+          col("c_nationkey"),
+          col("n_customers"),
+          col("n_with_orders"),
+          (col("n_customers") - col("n_with_orders")).as("n_missing"),
+          when(col("n_customers") =!= col("n_with_orders"),
+            lit("INCOMPLETE")).otherwise(lit("COMPLETE")).as("status"))
+    }),
+
+    // A8: group-to-map / capped evidence collection — per group, the
+    // FIRST-k ordered member ids plus the exact total (duplicate-location
+    // evidence capped at k, manifest_processor.py:293-305; engine form:
+    // RuleEngine.uniqueViolations' capped collect)
+    "a8_group_evidence" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          transform(
+            slice(sort_array(collect_list(struct(col("ts"),
+              col("event_id")))), 1, 5),
+            x => x("event_id")).as("first_events"),
+          count(lit(1)).as("n_events"))
     }),
 
     // A9: verdict roll-up — partition passes iff zero violating rows
@@ -293,6 +359,35 @@ object RelationalQueries {
     "j3_semi" ->
       """SELECT c_custkey FROM customer c WHERE EXISTS
          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "j2_undeclared_anti" ->
+      """SELECT o_custkey, COUNT(*) AS n_rows FROM orders
+         WHERE o_custkey NOT IN
+           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         GROUP BY 1""",
+    "j5_second_dim" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2""",
+    "a7_count_reconciliation" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+         CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_with_orders,
+         COUNT(*) - CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL THEN 1
+           ELSE 0 END) AS BIGINT) AS n_missing,
+         CASE WHEN COUNT(*) <> SUM(CASE WHEN o.o_custkey IS NOT NULL
+           THEN 1 ELSE 0 END) THEN 'INCOMPLETE' ELSE 'COMPLETE' END AS status
+         FROM customer c
+         LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+           ON c.c_custkey = o.o_custkey
+         GROUP BY 1""",
+    "a8_group_evidence" ->
+      """SELECT user_id,
+         (list(event_id ORDER BY ts, event_id))[1:5] AS first_events,
+         COUNT(*) AS n_events
+         FROM events GROUP BY 1""",
     "j4_dim_join" ->
       """SELECT p_brand,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

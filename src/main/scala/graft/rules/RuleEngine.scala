@@ -64,102 +64,36 @@ object RuleEngine {
       ntokHist: Array[Long],
       tokenHist: Array[Long])
 
-  /** The aggregates that read ONLY narrow columns (source, doc_id, n_tok) —
-    * no reference to `tokens`, so a scan running just these prunes the
-    * array column entirely (~96% of the table's bytes at the bench shape). */
-  private def narrowAggExprs: Seq[Column] = Seq(
-    count(lit(1)).as("n_docs"),
-    min(col("n_tok")).as("min_ntok"),
-    max(col("n_tok")).as("max_ntok"),
-    avg(col("n_tok")).as("avg_ntok"),
-    sum(col("n_tok").cast("long")).as("total_tokens"),
-    (sum(when(col("doc_id").isNull, 1L).otherwise(0L)) / count(lit(1)))
-      .as("null_frac_doc_id"),
-    approx_count_distinct(col("doc_id")).as("approx_distinct_doc_id"),
-    percentile_approx(col("n_tok"), array(lit(0.5), lit(0.95)),
-      lit(10000)).as("ntok_pcts"),
-    graft.drift.HistAggregate.ntokHist(col("n_tok"), Drift.ntokBins,
-      Drift.ntokBinWidth).as("ntok_hist"))
+  /** The one stats computation (see
+    * [[graft.drift.SourceStatsAggregate]]): every [[SourceAggregate]]
+    * field, per source, in a single imperative aggregate whose state is
+    * |sources| fixed-size arrays. */
+  private def sourceStatsColumn(vocab: Int): Column =
+    graft.drift.SourceStatsAggregate.agg(
+      col("source"), col("doc_id"), col("n_tok"), col("tokens"),
+      Drift.tokenBins, vocab, Drift.ntokBins, Drift.ntokBinWidth)
 
-  /** The aggregates that must decode the `tokens` array. */
-  private def tokenAggExprs(vocab: Int): Seq[Column] = Seq(
-    min(array_min(col("tokens"))).as("min_token_id"),
-    max(array_max(col("tokens"))).as("max_token_id"),
-    graft.drift.HistAggregate.tokenHist(col("tokens"), Drift.tokenBins,
-      vocab).as("token_hist"))
+  private def parseSourceStats(rows: Seq[org.apache.spark.sql.Row]): Seq[SourceAggregate] =
+    rows.map { r =>
+      SourceAggregate(
+        r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6), r.getLong(7),
+        r.getInt(8), r.getInt(9), r.getInt(10), r.getInt(11),
+        r.getSeq[Long](12).toArray, r.getSeq[Long](13).toArray)
+    }
 
-  /** Build a [[SourceAggregate]] from a narrow-aggregate row plus the
-    * token-derived fields (read from the same row in the classic pass,
-    * observed off the row-rule scan in the fused pass). */
-  private def aggFromRow(
-      r: org.apache.spark.sql.Row,
-      minTokenId: Int,
-      maxTokenId: Int,
-      tokenHist: Array[Long]): SourceAggregate =
-    SourceAggregate(
-      r.getAs[String]("source"),
-      r.getAs[Long]("n_docs"),
-      r.getAs[Int]("min_ntok"),
-      r.getAs[Int]("max_ntok"),
-      r.getAs[Double]("avg_ntok"),
-      r.getAs[Long]("total_tokens"),
-      r.getAs[Double]("null_frac_doc_id"),
-      r.getAs[Long]("approx_distinct_doc_id"),
-      minTokenId,
-      maxTokenId,
-      r.getAs[Seq[Int]]("ntok_pcts").head,
-      r.getAs[Seq[Int]]("ntok_pcts").last,
-      r.getAs[Seq[Long]]("ntok_hist").toArray,
-      tokenHist)
-
-  /** THE aggregation pass (classic form): one groupBy(source) job computing
-    * stats + both histograms with constant per-source state — map-side
-    * partial aggregation absorbs the hot-source skew; one scan serves the
-    * stats rule, both drift rules, AND the completeness side of referential
-    * integrity (SURVEY.md A1-A3, A7, R_STATS, R_DRIFT_*). The fused path
-    * ([[planStaged]]) computes the exact same values without the second
-    * `tokens` decode. */
+  /** THE aggregation pass (classic form): one GLOBAL aggregation of the
+    * per-source stats state — the by-source grouping lives inside the
+    * aggregate's hash-map state, so the shuffle carries one ~|sources|-entry
+    * partial per task instead of grouping rows by source; one scan serves
+    * the stats rule, both drift rules, AND the completeness side of
+    * referential integrity (SURVEY.md A1-A3, A7, R_STATS, R_DRIFT_*). The
+    * fused path ([[planStaged]]) computes the exact same values without any
+    * dedicated scan at all. */
   def aggregateBySource(seqs: DataFrame, vocab: Int): Seq[SourceAggregate] = {
-    val exprs = narrowAggExprs ++ tokenAggExprs(vocab)
-    seqs
-      .groupBy(col("source"))
-      .agg(exprs.head, exprs.tail: _*)
-      .collect()
-      .map(r => aggFromRow(r,
-        r.getAs[Int]("min_token_id"),
-        r.getAs[Int]("max_token_id"),
-        r.getAs[Seq[Long]]("token_hist").toArray))
-      .toSeq
+    val row = seqs.select(sourceStatsColumn(vocab).as("stats")).head()
+    parseSourceStats(row.getSeq[org.apache.spark.sql.Row](0))
   }
-
-  /** Per-source token-array statistics observed off the row-rule scan. */
-  final case class ObservedTokenStats(
-      minTokenId: Option[Int],
-      maxTokenId: Option[Int],
-      tokenHist: Array[Long])
-
-  /** The narrow half of the aggregation pass: reads (source, doc_id, n_tok)
-    * only — Catalyst prunes `tokens` from the parquet scan — and joins the
-    * observed token stats to reconstruct the full [[SourceAggregate]] rows
-    * with values identical to [[aggregateBySource]]. */
-  def narrowAggregateBySource(
-      seqs: DataFrame,
-      tokenStats: Map[String, ObservedTokenStats]): Seq[SourceAggregate] =
-    seqs
-      .groupBy(col("source"))
-      .agg(narrowAggExprs.head, narrowAggExprs.tail: _*)
-      .collect()
-      .map { r =>
-        val src = r.getAs[String]("source")
-        val ts = tokenStats.get(src)
-        // null min/max coerce to 0 exactly like the classic getAs[Int] on a
-        // null min(array_min) value (all-empty-arrays source)
-        aggFromRow(r,
-          ts.flatMap(_.minTokenId).getOrElse(0),
-          ts.flatMap(_.maxTokenId).getOrElse(0),
-          ts.map(_.tokenHist).getOrElse(new Array[Long](Drift.tokenBins)))
-      }
-      .toSeq
 
   /** The compiled evaluation: the (lazy) violations dataset plus the
     * driver-side facts needed for verdict roll-up without another scan.
@@ -240,15 +174,16 @@ object RuleEngine {
       finish: () => StagedResult)
 
   /** The FUSED evaluation plan (the 100 TB shape): semantically identical
-    * to [[plan]] but the `tokens` array column — ~96% of the table's bytes —
-    * is decoded exactly ONCE. The per-source token stats (token-id min/max +
-    * drift histogram) ride the row-rule scan via `Dataset.observe` +
-    * [[graft.drift.TokenStatsBySourceAggregate]]; the remaining per-source
-    * stats come from a scan that reads only (source, doc_id, n_tok) —
-    * Catalyst prunes the array from that parquet scan. The classic [[plan]]
-    * ran the row rules and a full groupBy(source) histogram pass as two
-    * independent full-array scans; on a memory-bandwidth-bound host that
-    * duplicated decode was the measured N→4N scaling ceiling (VERDICT r02).
+    * to [[plan]] but the ENTIRE stats pass — both drift histograms,
+    * token-id min/max, n_tok stats, exact percentiles, distinct estimate —
+    * rides the row-rule scan via `Dataset.observe` +
+    * [[graft.drift.SourceStatsAggregate]], so the `tokens` array column
+    * (~96% of the table's bytes) is decoded exactly ONCE and no dedicated
+    * stats job runs at all. The classic [[plan]] ran the row rules and a
+    * stats pass as independent full scans; on a memory-bandwidth-bound
+    * host that duplicated decode was the measured N→4N scaling ceiling
+    * (VERDICT r02), and the residual narrow stats job's fixed
+    * task-dispatch cost was the next non-scaling phase (r03 probe).
     *
     * Contract: callers MUST run an action on `scanViolations` (e.g. the
     * persist + count ValidationJob does anyway) before calling `finish()`,
@@ -272,10 +207,7 @@ object RuleEngine {
     val enriched0 = withManifest(seqs.toDF(), manifest)
     val enriched = obs match {
       case Some(o) =>
-        enriched0.observe(o,
-          graft.drift.TokenStatsBySourceAggregate
-            .agg(col("source"), col("tokens"), Drift.tokenBins, vocab)
-            .as("token_stats"))
+        enriched0.observe(o, sourceStatsColumn(vocab).as("source_stats"))
       case None => enriched0
     }
 
@@ -291,15 +223,8 @@ object RuleEngine {
         if (!needAgg) Nil
         else obs match {
           case Some(o) =>
-            val stats = o.get("token_stats").asInstanceOf[Seq[_]]
-              .map(_.asInstanceOf[org.apache.spark.sql.Row])
-              .map { r =>
-                r.getString(0) -> ObservedTokenStats(
-                  if (r.isNullAt(1)) None else Some(r.getInt(1)),
-                  if (r.isNullAt(2)) None else Some(r.getInt(2)),
-                  r.getSeq[Long](3).toArray)
-              }.toMap
-            narrowAggregateBySource(seqs.toDF(), stats)
+            parseSourceStats(o.get("source_stats").asInstanceOf[Seq[_]]
+              .map(_.asInstanceOf[org.apache.spark.sql.Row]))
           case None => aggregateBySource(seqs.toDF(), vocab)
         }
       driverSide(spark, seqs, aggs, manifest, rules, baseline, refSnapshot,
@@ -629,51 +554,64 @@ object RuleEngine {
     // equi-join would silently drop the groups anyway (ADVICE r01).
     val nonNull = seqs.filter(col(k).isNotNull)
 
-    // Pass 1: exact counts — constant state per key, map-side partial
-    // aggregation absorbs volume; only duplicate keys survive (a tiny set
-    // relative to the table in the 99.99%-unique regime). Persisted so the
-    // size gate below doesn't recompute the aggregation for the join; the
-    // cache is duplicate keys only (KBs in the healthy regime), freed by
-    // LRU or session teardown — callers that loop over many rule sets in
-    // one session can clearCache() between runs.
-    val dupKeys = nonNull
-      .groupBy(col(k))
-      .agg(count(lit(1)).as("dup_count"))
-      .filter(col("dup_count") > 1)
+    // Pass 1: CANDIDATE duplicate keys by 8-byte key hash — the widest
+    // shuffle in the engine (high-cardinality keys defeat map-side partial
+    // aggregation: ~1 partial row per input row), so it carries
+    // xxhash64(key) instead of the key itself. At the 10^12-row shape keys
+    // can be long URLs/UUIDs; 8 bytes/row is the floor. Hash collisions
+    // only ADD candidates (two distinct keys sharing a hash reach pass 2,
+    // where grouping is by the TRUE key and count>1 is re-checked exactly)
+    // — they can never create or mask a reported duplicate. Persisted so
+    // the size gate below doesn't recompute the aggregation for the join;
+    // the cache is candidate hashes only (KBs in the healthy regime).
+    val keyHash = xxhash64(col(k))
+    val dupHashes = nonNull
+      .select(keyHash.as("kh"))
+      .groupBy(col("kh"))
+      .agg(count(lit(1)).as("hash_count"))
+      .filter(col("hash_count") > 1)
+      .select("kh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDupKeys = dupKeys.count()
+    val nDupKeys = dupHashes.count()
 
-    // Pass 2: evidence for duplicate MEMBERS only. Broadcast is GATED on
-    // the counted size: tiny in the healthy regime (single hash stage, no
-    // shuffle of the fact table), but a mass-duplication accident — the
-    // very thing this rule detects — must not OOM the driver via an
-    // unconditional hint. Salted two-stage aggregation: the salt is the
-    // INPUT PARTITION id, so a key duplicated millions of times within one
-    // (source, n_tok) — where a value-derived salt collapses — still
-    // spreads over all its input partitions' reducers. Stage-1 state is
-    // collect_set(source), bounded by |distinct sources|, capped at
-    // DupEvidenceCap; counts stay exact via pass 1 (the reference reports
-    // all duplicate locations, manifest_processor.py:293-305 — here
-    // complete up to the cap over distinct locations).
+    // Pass 2: exact counts + evidence for candidate MEMBERS only, grouped
+    // by the TRUE key. Broadcast is GATED on the counted size: tiny in the
+    // healthy regime (single hash stage, no shuffle of the fact table), but
+    // a mass-duplication accident — the very thing this rule detects —
+    // must not OOM the driver via an unconditional hint. Salted two-stage
+    // aggregation: the salt is the INPUT PARTITION id, so a key duplicated
+    // millions of times within one (source, n_tok) — where a value-derived
+    // salt collapses — still spreads over all its input partitions'
+    // reducers. Stage-1 state is a bounded count + collect_set(source)
+    // capped at DupEvidenceCap; summing the per-salt counts keeps dup_count
+    // EXACT (the reference reports all duplicate locations,
+    // manifest_processor.py:293-305 — here complete up to the cap over
+    // distinct locations).
     val dupSide =
-      if (nDupKeys <= DupKeysBroadcastMax) broadcast(dupKeys) else dupKeys
+      if (nDupKeys <= DupKeysBroadcastMax) broadcast(dupHashes) else dupHashes
     // spark_partition_id is nondeterministic, so it must be materialized in
     // a projection before it can be a grouping key.
-    val members = nonNull.join(dupSide, Seq(k))
+    val members = nonNull
+      .join(dupSide, keyHash === dupSide("kh"))
       .withColumn("salt",
         pmod(spark_partition_id().cast("long"), lit(DupSalts.toLong)))
 
     val partials = members
-      .groupBy(col(k), col("dup_count"), col("salt"))
+      .groupBy(col(k), col("salt"))
       .agg(
+        count(lit(1)).as("cnt"),
         slice(sort_array(collect_set(col("source"))), 1, DupEvidenceCap)
           .as("srcs"))
 
     val groups = partials
-      .groupBy(col(k), col("dup_count"))
+      .groupBy(col(k))
       .agg(
+        sum(col("cnt")).as("dup_count"),
         slice(array_sort(array_distinct(flatten(collect_list(col("srcs"))))),
           1, DupEvidenceCap).as("member_sources"))
+      // hash-collision candidates resolve to singleton TRUE keys here —
+      // the exact count>1 filter the hash pass could not provide
+      .filter(col("dup_count") > 1)
 
     groups
       .select(

@@ -112,6 +112,13 @@ object TableIO {
   def appendRunLog(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Append).parquet(path)
 
+  /** Append one GENERATION of a potentially large record set (no
+    * coalesce — the violations slice of a bad run can be wide) to an
+    * append-only audit table. Same K2 mirror-every-write contract as
+    * [[appendRunLog]] for data-sized records. */
+  def appendGeneration(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
   /** Partition values of a hive-layout table from DIRECTORY NAMES — a
     * metadata read (the Iceberg-manifest analog), replacing a full-table
     * DISTINCT scan. Returns None when the table isn't partitioned by
@@ -184,15 +191,39 @@ object TableIO {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
-        files += s"${st.getPath.toUri.getPath}:${st.getLen}"
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      // Local-FS fast path: Hadoop's LocalFileSystem recursion stats each
+      // file through several shim layers (~2 s of pure serial driver time
+      // per run at the bench layout); java.nio walks the same tree in tens
+      // of ms. Identical (path, length) inventory either way.
+      val root = java.nio.file.Paths.get(uri.getPath)
+      if (!java.nio.file.Files.exists(root)) return emptyListingId
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        stream.forEach { q =>
+          val name = q.getFileName.toString
+          if (java.nio.file.Files.isRegularFile(q) &&
+              !name.startsWith("_") && !name.startsWith("."))
+            files += s"${q.toAbsolutePath}:${java.nio.file.Files.size(q)}"
+        }
+      } finally stream.close()
+    } else {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith("."))
+          files += s"${st.getPath.toUri.getPath}:${st.getLen}"
+      }
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(files.sorted.mkString("\n").getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
+  }
+
+  private def emptyListingId: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(Array.emptyByteArray).map(b => f"$b%02x").mkString
   }
 }

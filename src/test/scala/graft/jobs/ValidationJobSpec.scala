@@ -136,6 +136,35 @@ class ValidationJobSpec extends SparkSpec {
     assert(perGen.values.forall(_ > 0) && perGen.size === 2)
   }
 
+  test("violations audit log preserves every generation while the main " +
+      "table holds only the current one (K2 complete; VERDICT r02 #5)") {
+    val dir = tmpDir("vjob8")
+    writeInput(dir, Knobs(badNtokRate = 0.05))
+    val cfg = ValidationJob.Config(s"$dir/input", s"$dir/manifest", s"$dir/out")
+    ValidationJob.run(spark, cfg)
+    val gen1 = spark.read
+      .parquet(ValidationJob.violationsLogPath(cfg.outDir))
+    val n1 = gen1.filter($"rule_id" === "R_CONSISTENT_NTOK").count()
+    assert(n1 > 0)
+
+    // the data is fixed: the main violations table is wiped by the re-run,
+    // but the audit log must still hold run 1's evidence
+    writeInput(dir, Knobs.clean)
+    ValidationJob.run(spark, cfg)
+    val main = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[Violation].schema)
+      .parquet(ValidationJob.violationsPath(cfg.outDir))
+    assert(main.count() === 0)
+
+    val log = spark.read
+      .parquet(ValidationJob.violationsLogPath(cfg.outDir))
+    assert(log.filter($"rule_id" === "R_CONSISTENT_NTOK").count() === n1)
+    assert(log.select("run_id").distinct().count() >= 1)
+    // the log rows carry full lineage keys
+    assert(log.columns.toSet.intersect(
+      Set("run_id", "snapshot_id", "ruleset_hash", "completed_at")).size === 4)
+  }
+
   test("cross-snapshot token-equality rule end-to-end: a doc present in " +
       "the reference snapshot but missing now is a per-row violation") {
     val dir = tmpDir("vjob7")

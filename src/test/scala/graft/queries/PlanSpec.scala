@@ -86,10 +86,34 @@ class PlanSpec extends SparkSpec {
     val plan = assignedOnly.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    // exactly ONE window (the final top-k per probe) and ONE broadcast
-    // join (probe lists ⋈ assigned corpus); the r01 shape had three
-    // windows and a crossJoin-driven exchange per side
-    assert("Window \\[".r.findAllIn(plan).size <= 1, plan.take(3000))
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("top-k ranking runs as a BOUNDED partial aggregate, not a window " +
+      "(VERDICT r02 #7: no single-reducer-per-probe sort)") {
+    for (q <- Seq("ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk")) {
+      val plan = executedPlan(q).split("== Initial Plan ==").head
+      assert(!plan.contains("Window ["), s"$q still uses a window\n" +
+        plan.take(3000))
+      // the custom TypedImperativeAggregate runs as ObjectHashAggregate
+      // with a partial_topk_by_score map side
+      assert(plan.contains("topk_by_score"), s"$q\n" + plan.take(3000))
+      assert(plan.contains("partial_topk_by_score"), s"$q\n" + plan.take(3000))
+    }
+  }
+
+  test("fused engine: the stats aggregate rides the row-rule scan as " +
+      "observed metrics (one tokens decode, VERDICT r02 #1)") {
+    import graft.model.BaselineBin
+    val seqs = graft.gen.SequenceGen.sequences(spark, 500)
+    val manifest = graft.gen.SequenceGen.manifest(spark, 500)
+    val staged = RuleEngine.planStaged(seqs, manifest, Rules.standard)
+    staged.scanViolations.collect()
+    val plan = staged.scanViolations.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectMetrics"), plan.take(3000))
+    assert(plan.contains("source_stats"), plan.take(3000))
+    // the row-rule projection above the metrics node stays codegen'd
+    assert(plan.contains("*("), plan.take(3000))
+    staged.finish() // consume the observation
   }
 }

@@ -43,6 +43,53 @@ class StreamingValidationSpec extends SparkSpec {
     assert(readVio().count() === n2)
   }
 
+  test("re-uploaded partition REPLACES its violations (delete-then-" +
+      "rewrite per micro-batch; VERDICT r02 #4, reference " +
+      "s3_event_recorder delete-before-ingest semantics)") {
+    import graft.model.Sequence
+    val dir = tmpDir("restream")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+
+    def doc(i: Long) = f"D$i%012d"
+    // batch 1: mito arrives BROKEN (bad n_tok), ee arrives broken too
+    val firstUpload = Seq(
+      Sequence(doc(1), Array(1, 2, 3), 99, "mito"),
+      Sequence(doc(2), Array(1, 2), 98, "mito"),
+      Sequence(doc(3), Array(5), 97, "ee"))
+    firstUpload.toDS().write.mode("overwrite").parquet(in)
+    val manifest = SequenceGen.manifest(spark, 300)
+
+    val vioSchema = org.apache.spark.sql.Encoders.product[Violation].schema
+    def readVio() = spark.read.schema(vioSchema)
+      .parquet(s"$out/violations_stream")
+
+    val q1 = StreamingValidation.startRevalidating(spark, in, manifest, out)
+    q1.awaitTermination(60000)
+    assert(readVio().filter($"source" === "mito").count() === 2)
+    assert(readVio().filter($"source" === "ee").count() === 1)
+
+    // the CORRECTED mito partition is re-uploaded as a new file
+    Seq(
+      Sequence(doc(1), Array(1, 2, 3), 3, "mito"),
+      Sequence(doc(2), Array(1, 2), 2, "mito"))
+      .toDS().write.mode("append").parquet(in)
+    val q2 = StreamingValidation.startRevalidating(spark, in, manifest, out)
+    q2.awaitTermination(60000)
+
+    // second upload REPLACED (not appended to) mito's violations;
+    // untouched ee keeps its generation
+    assert(readVio().filter($"source" === "mito").count() === 0)
+    assert(readVio().filter($"source" === "ee").count() === 1)
+
+    // a re-upload that is still broken yields exactly ONE fresh generation
+    Seq(Sequence(doc(2), Array(1, 2), 77, "mito"))
+      .toDS().write.mode("append").parquet(in)
+    val q3 = StreamingValidation.startRevalidating(spark, in, manifest, out)
+    q3.awaitTermination(60000)
+    assert(readVio().filter($"source" === "mito").count() === 1)
+  }
+
   test("flatMapGroupsWithState sessionizer: sessions close on event-time " +
       "timeout and carry exact violation counts") {
     import StreamingValidation.{SessionEvent, sessionSummaries}
