@@ -160,10 +160,10 @@ object ValidationJob {
     val scanVioCount = scanVio.count()
     phase("violation_passes")
 
-    val fin = staged.finish() // narrow agg pass + driver-side rule families
-    // exact per-source counts come free from the aggregation pass
+    val fin = staged.finish() // observed stats + driver-side rule families
+    // exact per-source counts come free from the observed aggregates
     val rowsValidated = fin.rowCount.getOrElse(seqs.count())
-    phase("narrow_agg_pass")
+    phase("stats_finish")
 
     // driver-derived violations (RI / drift / manifest) obey the same
     // partition restriction, applied driver-side on the tiny seq

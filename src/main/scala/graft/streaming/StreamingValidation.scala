@@ -100,6 +100,29 @@ object StreamingValidation {
       .start()
   }
 
+  /** Streaming exact dedup, first-seen wins — the reference's
+    * duplicate-etag gate (manifest_processor.py:283-305) applied
+    * incrementally: a key seen in ANY earlier micro-batch is dropped,
+    * only a key's first occurrence is emitted. Explicit keyed state via
+    * flatMapGroupsWithState (one boolean per key — the custom-state
+    * incremental answer to the batch path's two-pass uniqueness). State
+    * grows with distinct keys; a production deployment bounds it with a
+    * state-TTL/timeout policy, which this operator deliberately leaves to
+    * configuration (dropping state silently re-admits duplicates). */
+  def dedupStream(seqs: Dataset[Sequence]): Dataset[Sequence] = {
+    import seqs.sparkSession.implicits._
+    seqs
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, it: Iterator[Sequence], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            it.take(1)
+          })
+  }
+
   /** One ingestion event for the stateful sessionizer. */
   final case class SessionEvent(
       source: String, event_time: java.sql.Timestamp, is_violation: Boolean)

@@ -57,6 +57,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), plan.take(2000))
   }
 
+  test("second-dimension lookup broadcasts BOTH dims (j5_second_dim)") {
+    val plan = executedPlan("j5_second_dim").split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("anti joins execute as joins, not nested loops (j1_anti)") {
     val plan = executedPlan("j1_anti")
     assert(plan.contains("LeftAnti"), plan.take(2000))

@@ -125,6 +125,29 @@ class StreamingValidationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stateful dedup: first occurrence wins across " +
+      "micro-batches, duplicates are dropped") {
+    import graft.model.Sequence
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def s(id: String, src: String) = Sequence(id, Array(1), 1, src)
+    val in = MemoryStream[Sequence]
+    val q = StreamingValidation.dedupStream(in.toDS())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(s("DA", "s1"), s("DB", "s1"), s("DA", "s2")) // in-batch dup
+      q.processAllAvailable()
+      in.addData(s("DA", "s3"), s("DC", "s2")) // cross-batch dup + fresh
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").as[Sequence].collect()
+      assert(out.map(_.doc_id).sorted.toSeq === Seq("DA", "DB", "DC"))
+      // DA kept its FIRST batch's occurrence, not the later re-upload
+      assert(out.find(_.doc_id == "DA").get.source !== "s3")
+    } finally q.stop()
+  }
+
   test("watermarked windowed violation-rate aggregation") {
     val events = Seq(
       ("cardiac", java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), true),
