@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import graft.bench.ScalingBench
 
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR, plus the
-  * BASELINE.md scaling protocol (identical rules-complete job at local[8]
-  * vs local[32]); prints ONE JSON line. */
+  * BASELINE.md scaling protocol (identical rules-complete job at N vs 4N
+  * parallelism — see ScalingBench.NCpus); prints ONE JSON line. */
 object Bench {
 
   /** Representative subset spanning scan/join/agg/window/dedup/similarity
@@ -16,7 +16,7 @@ object Bench {
     "a7_count_reconciliation", "a8_group_evidence",
     "a9_verdict_rollup", "o_topk_users", "w_first_per_key",
     "st_sessionize", "f5_regex_valid",
-    "text_quality", "text_fingerprint",
+    "text_quality", "text_fingerprint", "sample_stratified",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_pairs_capped",
     "dedup_simhash", "dedup_simhash_pairs_capped",
     "dedup_jaccard_pairs", "dedup_jaccard_pairs_capped",

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.TopKByScoreAggregate
 import graft.functions.TextFunctions._
 import graft.operators.Multimodal
 
@@ -65,6 +66,25 @@ object TextQueries {
         fingerprint(col("text")).as("fp"))
     }),
 
+    // Deterministic STRATIFIED sampling — per source, the k docs with the
+    // smallest content fingerprint (a seedless pseudorandom order every
+    // engine reproduces): the balanced-subsample op of a training-data
+    // pipeline, built on the bounded TopKByScoreAggregate so map-side
+    // state is ≤ k per (source, task) — no per-group window reducer.
+    "sample_stratified" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(TopKByScoreAggregate
+          .topK(-col("fp").cast("double"), col("doc_id"), 40).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("r0", "e")))
+        .select(col("source"), (col("r0") + 1).cast("int").as("rank"),
+          col("e.neighbor_id").as("doc_id"),
+          // fp < 2^30 << 2^53: the double round-trip is exact
+          (-col("e.cos")).cast("long").as("fp"))
+    }),
+
     // multimodal metadata path: opaque binary payload + typed metadata
     // (decode itself is the stubbed FakeCodec; this query checks the
     // oracle-able part: byte length and mime routing)
@@ -110,6 +130,14 @@ object TextQueries {
           FROM documents""",
     "text_fingerprint" ->
       s"""SELECT doc_id, ${sqlPolyHash("text")} AS fp FROM documents""",
+    "sample_stratified" ->
+      s"""SELECT source, CAST(rn AS INT) AS rank, doc_id, fp FROM (
+            SELECT source, doc_id, fp,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY fp ASC, doc_id ASC) AS rn
+            FROM (SELECT source, doc_id, ${sqlPolyHash("text")} AS fp
+                  FROM documents))
+          WHERE rn <= 40""",
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
