@@ -204,6 +204,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Train/benchmark DECONTAMINATION: corpus documents whose n-gram
+    * containment of a benchmark document exceeds `minContainment` —
+    * containment = |S_bench ∩ S_corpus| / |S_bench|, the asymmetric
+    * overlap that matters for eval leakage (a benchmark question embedded
+    * inside a longer training doc scores ~1.0 even though symmetric
+    * Jaccard is low). Reference analog: cross-bucket duplicate detection
+    * (scripts/handle_duplicates/find_and_delete_duplicates.py:76-124),
+    * generalized from exact file hashes to n-gram containment.
+    *
+    * Scale shape: inverted-index equi-join on hashed shingles — only
+    * (corpus, benchmark) docs sharing a shingle ever meet, and the
+    * benchmark side (small by construction: eval sets are thousands of
+    * docs, the corpus is billions) is BROADCAST, so the corpus never
+    * shuffles. `maxDf` drops corpus-stopword shingles from the
+    * intersection (denominators stay exact benchmark shingle counts —
+    * dropping a shingle can only lower containment). */
+  def contaminationPairs(
+      corpus: DataFrame, corpusIdCol: String,
+      benchmark: DataFrame, benchIdCol: String,
+      textCol: String, shingleN: Int = 3, minContainment: Double = 0.5,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val corpusShingles = corpus.select(
+      col(corpusIdCol).as("corpus_id"),
+      explode(shingleHashes(col(textCol), shingleN)).as("shingle"))
+    val cs =
+      if (maxDf == Int.MaxValue) corpusShingles
+      else {
+        val idx = corpusShingles.repartition(col("shingle"))
+        idx.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+          .filter(col("df") <= maxDf)
+          .drop("df")
+      }
+    val bs = benchmark.select(
+      col(benchIdCol).as("bench_id"),
+      size(shingleHashes(col(textCol), shingleN)).as("n_bench"),
+      explode(shingleHashes(col(textCol), shingleN)).as("shingle"))
+    cs.join(broadcast(bs), Seq("shingle"))
+      .groupBy("corpus_id", "bench_id", "n_bench")
+      .agg(count(lit(1)).as("n_inter"))
+      .select(
+        col("corpus_id"), col("bench_id"),
+        (col("n_inter").cast("double") / col("n_bench")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** n-gram Jaccard pairs >= minJaccard via inverted-index join on shared
     * shingles (no all-pairs blowup; only docs sharing a shingle meet).
     *

@@ -70,6 +70,20 @@ object DedupQueries {
         maxBucketSize = 20)
     }),
 
+    // Train/benchmark decontamination: corpus docs containing >= 4% of a
+    // benchmark doc's 3-gram shingles (asymmetric containment — the eval-
+    // leakage metric; a low threshold here so the graded tail is
+    // exercised, not just the exact-dup hit). Benchmark = every 50th doc,
+    // corpus = the rest (disjoint by construction); benchmark side
+    // broadcast, corpus never shuffles.
+    "decontaminate_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationPairs(
+        d.filter(col("doc_id") % 50 =!= 0), "doc_id",
+        d.filter(col("doc_id") % 50 === 0), "doc_id",
+        "text", shingleN = 3, minContainment = 0.04)
+    }),
+
     // exact n-gram Jaccard pairs >= 0.3 via inverted-index join
     "dedup_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
@@ -239,6 +253,20 @@ object DedupQueries {
               + bit_count(xor(a.bs[2], b.bs[2]))
               + bit_count(xor(a.bs[3], b.bs[3]))
               + bit_count(xor(a.bs[4], b.bs[4])) <= 3""",
+    "decontaminate_overlap" ->
+      s"""WITH $shingleHashCte,
+         corp AS (SELECT doc_id AS corpus_id, unnest(hs) AS shingle
+                  FROM sh WHERE doc_id % 50 <> 0),
+         bench AS (SELECT doc_id AS bench_id, len(hs) AS n_bench,
+                          unnest(hs) AS shingle
+                   FROM sh WHERE doc_id % 50 = 0),
+         inter AS (SELECT corpus_id, bench_id, n_bench,
+                          COUNT(*) AS n_inter
+                   FROM corp JOIN bench USING (shingle) GROUP BY 1, 2, 3)
+         SELECT corpus_id, bench_id,
+                CAST(n_inter AS DOUBLE)/n_bench AS containment
+         FROM inter
+         WHERE CAST(n_inter AS DOUBLE)/n_bench >= 0.04""",
     "dedup_jaccard_pairs" ->
       s"""WITH $shingleHashCte,
          ds AS (SELECT doc_id, unnest(hs) AS shingle FROM sh),

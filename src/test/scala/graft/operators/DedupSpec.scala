@@ -148,6 +148,49 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("contamination: an embedded benchmark doc scores containment 1.0 " +
+      "even though symmetric jaccard is low; disjoint docs score 0") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // benchmark text embedded inside a longer training doc
+      (1L, "intro words here alpha beta gamma delta epsilon closing remarks trail off"),
+      // shares nothing
+      (2L, "completely different content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+
+    val pairs = Dedup.contaminationPairs(
+      corpus, "doc_id", bench, "doc_id", "text",
+      shingleN = 3, minContainment = 0.9)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 100L)
+    assert(pairs.head.getDouble(2) === 1.0)
+
+    // sanity: symmetric jaccard for the same pair is well under 0.9 —
+    // containment is the right metric for leakage
+    val j = Dedup.jaccardPairs(corpus.union(bench), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.0)
+      .filter($"id_a" === 1L && $"id_b" === 100L)
+      .collect()
+    assert(j.head.getDouble(2) < 0.5)
+  }
+
+  test("contamination maxDf drops corpus-stopword shingles; denominators " +
+      "stay exact benchmark sizes") {
+    val common = "zzz yyy xxx"
+    val corpus = (1L to 30L).map(i => (i, s"$common unique$i word$i tail$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"$common bench only text")).toDF("doc_id", "text")
+    // every corpus doc contains the bench doc's one common shingle
+    val uncapped = Dedup.contaminationPairs(corpus, "doc_id", bench,
+      "doc_id", "text", shingleN = 3, minContainment = 0.1)
+    assert(uncapped.count() === 30)
+    val capped = Dedup.contaminationPairs(corpus, "doc_id", bench,
+      "doc_id", "text", shingleN = 3, minContainment = 0.1, maxDf = 10)
+    assert(capped.count() === 0)
+  }
+
   test("LSH bucket cap drops degenerate buckets") {
     // 20 identical docs -> one giant bucket; cap 5 must yield zero pairs
     val many = (1L to 20L).map(i => (i, "same same same text here"))
