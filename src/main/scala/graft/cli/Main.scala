@@ -98,8 +98,10 @@ object Main {
           // E3 tail (cleanup_manager.py:20-128): drop verifiably-promoted
           // staging partitions + processing leftovers; blocked staging stays
           val dry = rest.contains("--dry-run")
+          // full gate incl. lineage: stale verdicts over a re-uploaded
+          // input must not authorize deleting the corrected staging copy
           val promoted = graft.jobs.TransferJob
-            .promotableSources(spark, valOut)
+            .promotableWithLineage(spark, input, valOut)
           val r = graft.jobs.CleanupJob.run(
             spark, input, store, promoted, Some(valOut), dryRun = dry)
           def arr(xs: Seq[String]) =

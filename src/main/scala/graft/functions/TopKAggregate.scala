@@ -21,6 +21,11 @@ import org.apache.spark.sql.GraftColumnBridge
  * Ordering contract (identical to the window form, tie-break included):
  * score descending, then id ascending; double comparison via
  * java.lang.Double.compare, matching Spark's NaN-greatest ordering.
+ * NULL-score or null-id candidates are EXCLUDED (update skips them) —
+ * unlike a row_number window, which ranks null scores last. For the ANN
+ * callers a null cosine means an unscorable candidate (null/zero vector),
+ * which must not occupy a top-k slot; callers needing nulls-last window
+ * semantics should coalesce the score to -Infinity first.
  */
 case class TopKByScoreAggregate(
     scoreChild: Expression,

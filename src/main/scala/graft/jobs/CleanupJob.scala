@@ -24,6 +24,9 @@ object CleanupJob {
       kept: Seq[String],
       leftoversRemoved: Seq[String])
 
+  /** A `_running` lock younger than this is a LIVE run, never swept. */
+  val lockStaleMs: Long = 6 * 3600 * 1000L
+
   /** Remove the staging partitions of `promoted` sources from `inputPath`.
     *
     * Safety contract (the reference deletes staging only after the move
@@ -42,8 +45,14 @@ object CleanupJob {
     import org.apache.spark.sql.functions._
     import spark.implicits._
 
+    val storeExists = {
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     val storeCounts: Map[String, Long] =
-      if (promoted.isEmpty) Map.empty
+      // no store at all (cleanup before any transfer) => nothing is
+      // verifiably promoted => everything is kept
+      if (promoted.isEmpty || !storeExists) Map.empty
       else spark.read.parquet(storeDir)
         .filter(col("source").isin(promoted.map(x => x: Any): _*))
         .groupBy("source").count()
@@ -62,8 +71,13 @@ object CleanupJob {
     if (!dryRun && cleanable.nonEmpty)
       TableIO.deletePartitions(spark, inputPath, "source", cleanable)
 
-    // processing leftovers: Spark _temporary dirs from crashed writes and
-    // stale _running locks (the processed-sentinel analog)
+    // processing leftovers: Spark _temporary dirs from crashed writes,
+    // orphaned _running.reclaim.* tombstones (acquireRunLock crash between
+    // rename and delete), and STALE _running locks (the processed-sentinel
+    // analog). The live lock of a running validation is NOT touched —
+    // deleting it would re-admit a concurrent double-writer, the exact
+    // thing the lock prevents; only locks older than `lockStaleMs` (same
+    // default as Checkpoint.acquireRunLock's reclaim) are swept.
     val leftovers = scala.collection.mutable.ArrayBuffer.empty[String]
     validationOutDir.foreach { outDir =>
       val root = new org.apache.hadoop.fs.Path(outDir)
@@ -76,11 +90,16 @@ object CleanupJob {
                 leftovers += st.getPath.toString
                 if (!dryRun) fs.delete(st.getPath, true)
               } else sweep(st.getPath)
+            } else if (st.getPath.getName.startsWith("_running.reclaim.")) {
+              leftovers += st.getPath.toString
+              if (!dryRun) fs.delete(st.getPath, false)
             }
           }
         sweep(root)
         val lock = new org.apache.hadoop.fs.Path(s"$outDir/_running")
-        if (fs.exists(lock)) {
+        if (fs.exists(lock) &&
+            System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime > lockStaleMs) {
           leftovers += lock.toString
           if (!dryRun) fs.delete(lock, false)
         }

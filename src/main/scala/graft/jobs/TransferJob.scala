@@ -75,6 +75,39 @@ object TransferJob {
       }
   }
 
+  /** Latest checkpointed snapshot id per partition. "Latest" compares
+    * completed_at as a TIMESTAMP — Instant.toString emits a variable
+    * number of fractional-second digits, so a lexical string max can
+    * mis-order entries written within the same second. */
+  private[jobs] def latestCheckpointSnapshots(
+      spark: SparkSession, validationOutDir: String): Map[String, String] =
+    Checkpoint
+      .read(spark, ValidationJob.checkpointPath(validationOutDir))
+      .groupBy(col("partition"))
+      .agg(max(struct(col("completed_at").cast("timestamp").as("ts"),
+        col("snapshot_id"))).as("m"))
+      .select(col("partition"), col("m.snapshot_id"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** The full promotion gate WITHOUT the move — verdict-passing sources
+    * whose latest checkpoint lineage matches the CURRENT input snapshot.
+    * Callers that act on "what was promoted" (e.g. CleanupJob via the CLI)
+    * must use this, not [[promotableSources]] alone: stale verdicts over a
+    * re-uploaded input would otherwise authorize destructive actions the
+    * transfer itself refuses (STALE_LINEAGE). */
+  def promotableWithLineage(
+      spark: SparkSession,
+      inputPath: String,
+      validationOutDir: String): Seq[String] = {
+    val verdictPass = promotableSources(spark, validationOutDir)
+    val latest = latestCheckpointSnapshots(spark, validationOutDir)
+    if (latest.isEmpty) verdictPass
+    else {
+      val snapId = TableIO.snapshotId(spark, inputPath)
+      verdictPass.filter(s => latest.get(s).contains(snapId))
+    }
+  }
+
   def run(spark: SparkSession, cfg: Config): Report = {
     import spark.implicits._
     val all = TableIO.partitionValues(spark, cfg.inputPath, "source")
@@ -89,12 +122,7 @@ object TransferJob {
     // per partition must carry the CURRENT input's snapshot id — a
     // changed-but-not-revalidated input stays blocked as STALE_LINEAGE.
     val snapId = TableIO.snapshotId(spark, cfg.inputPath)
-    val latestSnap: Map[String, String] = Checkpoint
-      .read(spark, ValidationJob.checkpointPath(cfg.validationOutDir))
-      .groupBy(col("partition"))
-      .agg(max(struct(col("completed_at"), col("snapshot_id"))).as("m"))
-      .select(col("partition"), col("m.snapshot_id"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val latestSnap = latestCheckpointSnapshots(spark, cfg.validationOutDir)
     def lineageBlock(s: String): Option[String] =
       if (latestSnap.isEmpty) None // no checkpoint manifest: verdict gate only
       else latestSnap.get(s) match {

@@ -192,16 +192,24 @@ object ValidationJob {
     // CURRENT violations queryable; the audit log below keeps EVERY
     // generation, keyed by run lineage — the reference mirrors every
     // record type into archive tables (dynamodb.py:518-532), violations
-    // included, not just verdicts.
+    // included, not just verdicts. Written as a run_id-partitioned dynamic
+    // overwrite, NOT a blind append: a crash after this write but before
+    // the checkpoint replays the run with the same derived run_id, and the
+    // replay must overwrite its own generation instead of duplicating it
+    // (the crash-replay idempotence contract, Checkpoint.scala doc).
     val completedAt = java.time.Instant.now().toString
     val runId = s"${snapshotId.take(12)}-${rulesetHash.take(12)}"
-    TableIO.appendGeneration(
+    TableIO.writePartitioned(
       vio.toDF()
         .withColumn("run_id", lit(runId))
         .withColumn("snapshot_id", lit(snapshotId))
         .withColumn("ruleset_hash", lit(rulesetHash))
         .withColumn("completed_at", lit(completedAt)),
-      violationsLogPath(cfg.outDir))
+      violationsLogPath(cfg.outDir),
+      partitionCol = "run_id",
+      // the generation is one constant-valued partition; salt the
+      // clustering so several writers share it instead of one task
+      saltFiles = 8)
     phase("write_violations")
 
     // Verdicts are |sources| x |rules| rows: roll up from the cached

@@ -108,16 +108,14 @@ object TableIO {
     * archive table with a timestamped key + archive_log,
     * dynamodb.py:518-532, 558-565). The overwrite tables hold the CURRENT
     * verdicts; this table accumulates one generation per run, keyed
-    * (run_id, snapshot_id, ruleset_hash), so prior runs stay auditable. */
+    * (run_id, snapshot_id, ruleset_hash), so prior runs stay auditable.
+    * Stored as a run_id-partitioned dynamic overwrite, not a blind
+    * append: a crash-replay (same lineage ⇒ same run_id) overwrites its
+    * own generation instead of duplicating it; other generations are
+    * untouched. */
   def appendRunLog(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode(SaveMode.Append).parquet(path)
+    writePartitioned(df, path, partitionCol = "run_id")
 
-  /** Append one GENERATION of a potentially large record set (no
-    * coalesce — the violations slice of a bad run can be wide) to an
-    * append-only audit table. Same K2 mirror-every-write contract as
-    * [[appendRunLog]] for data-sized records. */
-  def appendGeneration(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(path)
 
   /** Partition values of a hive-layout table from DIRECTORY NAMES — a
     * metadata read (the Iceberg-manifest analog), replacing a full-table

@@ -119,7 +119,11 @@ object StreamingValidation {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            it.take(1)
+            // duplicates WITHIN one micro-batch have no defined arrival
+            // order after the shuffle — pick the (source, n_tok)-least
+            // occurrence so the survivor is deterministic across runs
+            // and partitionings, not whichever row the iterator yields
+            Iterator.single(it.minBy(s => (s.source, s.n_tok)))
           })
   }
 

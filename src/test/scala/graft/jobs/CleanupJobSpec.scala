@@ -26,17 +26,24 @@ class CleanupJobSpec extends SparkSpec {
       .filter(col("source") === promoted.head)
       .write.mode("overwrite").partitionBy("source").parquet(s"$dir/store")
 
-    // a leftover _temporary dir + a stale lock under the validation outDir
+    // leftovers under the validation outDir: a _temporary dir, an orphaned
+    // reclaim tombstone, and a STALE lock (mtime pushed past the window);
+    // plus a LIVE lock scenario checked at the end
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/out/violations/_temporary"))
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/out/_running"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/out/_running.reclaim.dead-uuid"), true).close()
+    val lockPath = new org.apache.hadoop.fs.Path(s"$dir/out/_running")
+    fs.create(lockPath, true).close()
+    val past = System.currentTimeMillis() - CleanupJob.lockStaleMs - 60000L
+    fs.setTimes(lockPath, past, past)
 
     val dry = CleanupJob.run(spark, s"$dir/input", s"$dir/store", promoted,
       Some(s"$dir/out"), dryRun = true)
     assert(dry.cleaned === Seq(promoted.head))
     assert(dry.kept === promoted.tail.sorted)
-    assert(dry.leftoversRemoved.size === 2)
+    assert(dry.leftoversRemoved.size === 3)
     // dry run: everything still present
     assert(graft.sources.TableIO
       .partitionValues(spark, s"$dir/input", "source").get === parts)
@@ -50,6 +57,30 @@ class CleanupJobSpec extends SparkSpec {
     assert(after.toSet === parts.toSet - promoted.head)
     assert(!fs.exists(
       new org.apache.hadoop.fs.Path(s"$dir/out/violations/_temporary")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/out/_running")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/out/_running.reclaim.dead-uuid")))
+    assert(!fs.exists(lockPath))
+
+    // a LIVE (fresh) lock is NEVER swept — deleting it would re-admit a
+    // concurrent double-writer mid-run
+    fs.create(lockPath, true).close()
+    val r2 = CleanupJob.run(spark, s"$dir/input", s"$dir/store", Nil,
+      Some(s"$dir/out"))
+    assert(r2.leftoversRemoved.isEmpty)
+    assert(fs.exists(lockPath))
+  }
+
+  test("cleanup before any transfer keeps everything (no store)") {
+    val dir = tmpDir("cleanup2")
+    SequenceGen.sequences(spark, 200)
+      .write.mode("overwrite").partitionBy("source").parquet(s"$dir/input")
+    val parts = graft.sources.TableIO
+      .partitionValues(spark, s"$dir/input", "source").get
+    val r = CleanupJob.run(spark, s"$dir/input", s"$dir/nonexistent-store",
+      parts)
+    assert(r.cleaned.isEmpty)
+    assert(r.kept === parts)
+    assert(graft.sources.TableIO
+      .partitionValues(spark, s"$dir/input", "source").get === parts)
   }
 }

@@ -143,8 +143,10 @@ class StreamingValidationSpec extends SparkSpec {
       q.processAllAvailable()
       val out = spark.table("dedup_stream").as[Sequence].collect()
       assert(out.map(_.doc_id).sorted.toSeq === Seq("DA", "DB", "DC"))
-      // DA kept its FIRST batch's occurrence, not the later re-upload
-      assert(out.find(_.doc_id == "DA").get.source !== "s3")
+      // DA kept its first BATCH's deterministic survivor (the
+      // (source, n_tok)-least of the in-batch duplicates — s1), never
+      // the later batch's re-upload (s3)
+      assert(out.find(_.doc_id == "DA").get.source === "s1")
     } finally q.stop()
   }
 
