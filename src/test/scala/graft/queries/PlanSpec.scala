@@ -108,6 +108,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the benchmark side; stratified sample " +
+      "runs as a bounded partial aggregate") {
+    val d = executedPlan("decontaminate_overlap")
+      .split("== Initial Plan ==").head
+    assert(d.contains("BroadcastHashJoin"), d.take(3000))
+    assert(!d.contains("SortMergeJoin"), d.take(3000))
+
+    val s = executedPlan("sample_stratified").split("== Initial Plan ==").head
+    assert(s.contains("partial_topk_by_score"), s.take(3000))
+    assert(!s.contains("Window ["), s.take(3000))
+  }
+
   test("fused engine: the stats aggregate rides the row-rule scan as " +
       "observed metrics (one tokens decode, VERDICT r02 #1)") {
     import graft.model.BaselineBin
