@@ -18,6 +18,24 @@ import graft.drift.Drift
  *     one-line JSON run report
  */
 object Main {
+
+  /** JSON string literal with full escaping — source names are arbitrary
+    * partition values (spaces, quotes, backslashes all occur in the wild;
+    * TableIOSpec exercises several), so raw interpolation would emit
+    * invalid JSON. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jarr(xs: Seq[String]): String =
+    xs.map(jstr).mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
@@ -80,18 +98,14 @@ object Main {
         case "transfer" :: input :: valOut :: store :: manifestTxt :: Nil =>
           val r = graft.jobs.TransferJob.run(spark, graft.jobs.TransferJob
             .Config(input, valOut, store, manifestTxt))
-          val promotedJson =
-            r.promoted.map(s => "\"" + s + "\"").mkString("[", ",", "]")
           // per-source block reasons (ADVICE r02): an empty promotion is
           // always explainable from the report alone
           val reasonsJson = r.blockReasons.toSeq.sortBy(_._1)
-            .map { case (s, rs) =>
-              "\"" + s + "\":" +
-                rs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-            }.mkString("{", ",", "}")
+            .map { case (s, rs) => jstr(s) + ":" + jarr(rs) }
+            .mkString("{", ",", "}")
           println(
             s"""{"promoted":${r.promoted.size},"blocked":${r.blocked.size},""" +
-              s""""promoted_sources":$promotedJson,""" +
+              s""""promoted_sources":${jarr(r.promoted)},""" +
               s""""block_reasons":$reasonsJson}""")
 
         case "cleanup" :: input :: valOut :: store :: rest =>
@@ -104,10 +118,8 @@ object Main {
             .promotableWithLineage(spark, input, valOut)
           val r = graft.jobs.CleanupJob.run(
             spark, input, store, promoted, Some(valOut), dryRun = dry)
-          def arr(xs: Seq[String]) =
-            xs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
           println(
-            s"""{"cleaned":${arr(r.cleaned)},"kept":${arr(r.kept)},""" +
+            s"""{"cleaned":${jarr(r.cleaned)},"kept":${jarr(r.kept)},""" +
               s""""leftovers_removed":${r.leftoversRemoved.size},""" +
               s""""dry_run":$dry}""")
 

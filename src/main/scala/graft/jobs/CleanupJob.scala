@@ -31,10 +31,18 @@ object CleanupJob {
     *
     * Safety contract (the reference deletes staging only after the move
     * succeeded, cleanup_manager.py:63-87): a partition is dropped ONLY if
-    * the store actually holds at least as many rows for that source as
-    * staging does — a failed or partial promotion keeps its staging copy.
-    * With `dryRun` the report lists what WOULD be cleaned, touching
-    * nothing. */
+    *  (a) the store's promotions log says that source's CURRENT store
+    *      generation came from exactly the CURRENT staging snapshot — a
+    *      row-count comparison alone cannot tell a stale larger store
+    *      generation from a promoted current one (a corrected re-upload
+    *      that SHRANK the partition, validated but not yet re-transferred,
+    *      must be kept even though store >= staging), AND
+    *  (b) the store actually holds at least as many rows for that source
+    *      as staging does (guards a partial/failed move within the right
+    *      generation).
+    * No promotions log (store written outside TransferJob, or pre-r03)
+    * means nothing is verifiably promoted: everything is kept. With
+    * `dryRun` the report lists what WOULD be cleaned, touching nothing. */
   def run(
       spark: SparkSession,
       inputPath: String,
@@ -45,10 +53,26 @@ object CleanupJob {
     import org.apache.spark.sql.functions._
     import spark.implicits._
 
-    val storeExists = {
-      val p = new org.apache.hadoop.fs.Path(storeDir)
+    def exists(path: String) = {
+      val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    val storeExists = exists(storeDir)
+
+    // (a) content lineage: latest promoted snapshot per source vs the
+    // CURRENT staging snapshot
+    val promotionsOk: String => Boolean = {
+      val promoPath = TransferJob.promotionsPath(storeDir)
+      if (promoted.isEmpty || !exists(promoPath)) _ => false
+      else {
+        val latest = spark.read.parquet(promoPath)
+          .select("source", "snapshot_id")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val stagingSnap = TableIO.snapshotId(spark, inputPath)
+        s => latest.get(s).contains(stagingSnap)
+      }
+    }
+
     val storeCounts: Map[String, Long] =
       // no store at all (cleanup before any transfer) => nothing is
       // verifiably promoted => everything is kept
@@ -65,7 +89,9 @@ object CleanupJob {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val (cleanable, kept) = promoted.partition { s =>
-      storeCounts.getOrElse(s, 0L) >= stagingCounts.getOrElse(s, Long.MaxValue)
+      promotionsOk(s) &&
+        storeCounts.getOrElse(s, 0L) >=
+          stagingCounts.getOrElse(s, Long.MaxValue)
     }
 
     if (!dryRun && cleanable.nonEmpty)
@@ -83,13 +109,18 @@ object CleanupJob {
       val root = new org.apache.hadoop.fs.Path(outDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root)) {
+        val now = System.currentTimeMillis()
         def sweep(p: org.apache.hadoop.fs.Path): Unit =
           fs.listStatus(p).foreach { st =>
             if (st.isDirectory) {
-              if (st.getPath.getName == "_temporary") {
+              // a YOUNG _temporary dir may be a LIVE run's in-flight
+              // committer staging — deleting it would fail that run's
+              // commit; only crash leftovers past the stale window go
+              if (st.getPath.getName == "_temporary" &&
+                  now - st.getModificationTime > lockStaleMs) {
                 leftovers += st.getPath.toString
                 if (!dryRun) fs.delete(st.getPath, true)
-              } else sweep(st.getPath)
+              } else if (st.getPath.getName != "_temporary") sweep(st.getPath)
             } else if (st.getPath.getName.startsWith("_running.reclaim.")) {
               leftovers += st.getPath.toString
               if (!dryRun) fs.delete(st.getPath, false)

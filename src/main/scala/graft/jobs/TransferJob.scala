@@ -89,6 +89,27 @@ object TransferJob {
       .select(col("partition"), col("m.snapshot_id"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
+  /** Per-source lineage block reason vs the CURRENT input snapshot — THE
+    * single implementation of the lineage half of the promotion gate,
+    * shared by [[run]] and [[promotableWithLineage]] so the transfer gate
+    * and the cleanup authorization cannot drift apart (they authorize
+    * destructive actions). */
+  private[jobs] def lineageBlocks(
+      spark: SparkSession,
+      inputPath: String,
+      validationOutDir: String): String => Option[String] = {
+    val latest = latestCheckpointSnapshots(spark, validationOutDir)
+    if (latest.isEmpty) _ => None // no checkpoint manifest: verdict gate only
+    else {
+      val snapId = TableIO.snapshotId(spark, inputPath)
+      s => latest.get(s) match {
+        case Some(sid) if sid == snapId => None
+        case Some(_) => Some("STALE_LINEAGE")
+        case None => Some("NO_LINEAGE")
+      }
+    }
+  }
+
   /** The full promotion gate WITHOUT the move — verdict-passing sources
     * whose latest checkpoint lineage matches the CURRENT input snapshot.
     * Callers that act on "what was promoted" (e.g. CleanupJob via the CLI)
@@ -99,14 +120,17 @@ object TransferJob {
       spark: SparkSession,
       inputPath: String,
       validationOutDir: String): Seq[String] = {
-    val verdictPass = promotableSources(spark, validationOutDir)
-    val latest = latestCheckpointSnapshots(spark, validationOutDir)
-    if (latest.isEmpty) verdictPass
-    else {
-      val snapId = TableIO.snapshotId(spark, inputPath)
-      verdictPass.filter(s => latest.get(s).contains(snapId))
-    }
+    val block = lineageBlocks(spark, inputPath, validationOutDir)
+    promotableSources(spark, validationOutDir).filter(block(_).isEmpty)
   }
+
+  /** Hidden promotions log under the store (underscore prefix: invisible
+    * to parquet scans of the store itself): one row per promoted source,
+    * source-partitioned dynamic overwrite, so it always holds the LATEST
+    * promotion's (snapshot_id, promoted_at) per source. CleanupJob's
+    * authorization reads it — a row-count comparison alone cannot tell a
+    * stale larger store generation from a promoted current one. */
+  def promotionsPath(storeDir: String) = s"$storeDir/_promotions"
 
   def run(spark: SparkSession, cfg: Config): Report = {
     import spark.implicits._
@@ -121,15 +145,7 @@ object TransferJob {
     // promotes the input snapshot it validated. The latest checkpoint entry
     // per partition must carry the CURRENT input's snapshot id — a
     // changed-but-not-revalidated input stays blocked as STALE_LINEAGE.
-    val snapId = TableIO.snapshotId(spark, cfg.inputPath)
-    val latestSnap = latestCheckpointSnapshots(spark, cfg.validationOutDir)
-    def lineageBlock(s: String): Option[String] =
-      if (latestSnap.isEmpty) None // no checkpoint manifest: verdict gate only
-      else latestSnap.get(s) match {
-        case Some(sid) if sid == snapId => None
-        case Some(_) => Some("STALE_LINEAGE")
-        case None => Some("NO_LINEAGE")
-      }
+    val lineageBlock = lineageBlocks(spark, cfg.inputPath, cfg.validationOutDir)
 
     val pass = verdictPass.filter(lineageBlock(_).isEmpty)
     val passSet = pass.toSet
@@ -163,6 +179,17 @@ object TransferJob {
       val rows = spark.read.parquet(cfg.inputPath)
         .filter(col("source").isin(pass.map(x => x: Any): _*))
       TableIO.writePartitioned(rows, cfg.storeDir)
+
+      // record WHICH input snapshot each source's store generation came
+      // from — the content-lineage fact CleanupJob needs before deleting
+      // staging (a count comparison cannot distinguish generations)
+      val snapId = TableIO.snapshotId(spark, cfg.inputPath)
+      TableIO.writePartitioned(
+        pass.toDF("source")
+          .withColumn("snapshot_id", lit(snapId))
+          .withColumn("promoted_at",
+            lit(java.time.Instant.now().toString)),
+        promotionsPath(cfg.storeDir))
 
       // K4: regenerate the manifest TSV from the STORE (one tiny agg)
       val manifest = spark.read.parquet(cfg.storeDir)

@@ -225,18 +225,28 @@ object Dedup {
       benchmark: DataFrame, benchIdCol: String,
       textCol: String, shingleN: Int = 3, minContainment: Double = 0.5,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    val corpusShingles = corpus.select(
-      col(corpusIdCol).as("corpus_id"),
-      explode(shingleHashes(col(textCol), shingleN)).as("shingle"))
+    val benchShingleSet = benchmark
+      .select(explode(shingleHashes(col(textCol), shingleN)).as("shingle"))
+      .distinct()
+    // the corpus is REDUCED before anything shuffles: only shingles that
+    // occur in the (broadcast) benchmark set survive the semi join —
+    // everything else is irrelevant to containment. The df cap then
+    // counts document frequency over this matched subset, which equals
+    // full-corpus df for exactly these shingles, on a volume bounded by
+    // |bench shingles| × df instead of |corpus| × shingles-per-doc.
+    val matched = corpus
+      .select(
+        col(corpusIdCol).as("corpus_id"),
+        explode(shingleHashes(col(textCol), shingleN)).as("shingle"))
+      .join(broadcast(benchShingleSet), Seq("shingle"), "left_semi")
     val cs =
-      if (maxDf == Int.MaxValue) corpusShingles
-      else {
-        val idx = corpusShingles.repartition(col("shingle"))
-        idx.withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-          .filter(col("df") <= maxDf)
-          .drop("df")
-      }
+      if (maxDf == Int.MaxValue) matched
+      else matched
+        .repartition(col("shingle"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+        .filter(col("df") <= maxDf)
+        .drop("df")
     val bs = benchmark.select(
       col(benchIdCol).as("bench_id"),
       size(shingleHashes(col(textCol), shingleN)).as("n_bench"),
