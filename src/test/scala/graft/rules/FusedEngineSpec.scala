@@ -122,6 +122,26 @@ class FusedEngineSpec extends SparkSpec {
       v._2 == Rules.RDriftNtokKs && v._1 == "mito" && v._3 == Status.Fail))
   }
 
+  test("empty input: the observation resolves (no hang) and manifest-only " +
+      "sources still get verdicts") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("fused-empty")
+    // a partitioned table with ZERO rows (schema-only write)
+    SequenceGen.sequences(spark, 0L)
+      .write.mode("overwrite").partitionBy("source").parquet(s"$dir/input")
+    val empty = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[Sequence].schema)
+      .parquet(s"$dir/input").as[Sequence]
+
+    val staged = RuleEngine.planStaged(empty, manifest, Rules.standard)
+    assert(staged.scanViolations.count() === 0L)
+    val fin = staged.finish() // must not block on the observation
+    assert(fin.rowCount === Some(0L))
+    // the manifest's declared sources surface as missing-docs RI errors
+    assert(fin.driverViolations.exists(_.rule_id == Rules.RRefIntegrity))
+    assert(fin.sources.nonEmpty)
+  }
+
   test("observed metrics cover every row despite downstream filters") {
     // the partition filter ValidationJob applies ABOVE the observe node
     // must not be pushed below it (CollectMetrics is a pushdown barrier) —
