@@ -26,11 +26,15 @@ object ValidationJob {
       refSnapshotPath: Option[String] = None,
       rules: RuleSet = Rules.standard,
       vocab: Int = graft.gen.SequenceGen.vocabSize,
-      /** Cache the fact table across the rule-family passes. Right for
-        * inputs that fit cluster memory; at the 100 TB design point each
-        * pass re-scans the columnar store instead (the passes are
-        * independent full scans either way — SURVEY.md §7). */
-      cache: Boolean = true)
+      /** Cache the fact table across the rule-family passes. OFF by
+        * default since the r03 fusion: the only repeat reads of the fact
+        * table are two NARROW column scans (uniqueness passes — doc_id
+        * (+source)), so caching full rows (tokens included) trades a
+        * ~25x-larger memory/disk footprint for avoiding ~4% of the bytes —
+        * a pessimization at any scale (measured: the 64M-row CLI run
+        * stalled caching 30 GB; uncached it validates in 42 s). Turn on
+        * only for small inputs queried repeatedly in one session. */
+      cache: Boolean = false)
 
   final case class RunReport(
       snapshotId: String,
