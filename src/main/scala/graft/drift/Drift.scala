@@ -28,65 +28,6 @@ object Drift {
   /** token-id histogram spec: 256 bins over [0, vocab). */
   val tokenBins = 256
 
-  /** One-pass token histogram over the `tokens` array column WITHOUT
-    * exploding (explode would multiply 10^12 rows by avg n_tok; the
-    * aggregator keeps a fixed 256-long buffer instead — SURVEY.md §2.9). */
-  class TokenHistAgg(vocab: Int)
-      extends Aggregator[Array[Int], Array[Long], Array[Long]]
-      with Serializable {
-    private val b = tokenBins
-    def zero: Array[Long] = new Array[Long](b)
-    def reduce(buf: Array[Long], tokens: Array[Int]): Array[Long] = {
-      if (tokens != null) {
-        var i = 0
-        while (i < tokens.length) {
-          val t = tokens(i)
-          if (t >= 0 && t < vocab) buf((t.toLong * b / vocab).toInt) += 1L
-          i += 1
-        }
-      }
-      buf
-    }
-    def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < b) { a(i) += c(i); i += 1 }
-      a
-    }
-    def finish(buf: Array[Long]): Array[Long] = buf
-    def bufferEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Array[Long]] = bufferEncoder
-  }
-
-  private def tokenHistUdaf(vocab: Int) = udaf(new TokenHistAgg(vocab))
-
-  /** Fixed-width n_tok histogram aggregator (same shape as TokenHistAgg but
-    * over the scalar n_tok) — lets the n_tok histogram ride the SAME
-    * groupBy(source) pass as stats and the token histogram. */
-  class NtokHistAgg
-      extends Aggregator[Int, Array[Long], Array[Long]] with Serializable {
-    def zero: Array[Long] = new Array[Long](ntokBins)
-    def reduce(buf: Array[Long], nTok: Int): Array[Long] = {
-      // floorDiv + drop-negatives — must match Drift.ntokHist and
-      // NtokHistAggregate exactly (ADVICE r01).
-      val b = math.min(Math.floorDiv(nTok, ntokBinWidth), ntokBins - 1)
-      if (b >= 0) buf(b) += 1L
-      buf
-    }
-    def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < ntokBins) { a(i) += c(i); i += 1 }
-      a
-    }
-    def finish(buf: Array[Long]): Array[Long] = buf
-    def bufferEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Array[Long]] = bufferEncoder
-  }
-
-  def ntokHistUdafCol = udaf(new NtokHistAgg)
-  def tokenHistUdafCol(vocab: Int) = tokenHistUdaf(vocab)
-
   /** Per-source n_tok histogram: (source, bin, count). Pure built-ins —
     * the bin id is a codegen'd expression, one shuffle on (source, bin),
     * partial aggregation map-side. */
@@ -103,17 +44,19 @@ object Drift {
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("count"))
 
-  /** Per-source token-id histogram via explode-free aggregator:
-    * (source, bin, count). */
-  def tokenHist(seqs: DataFrame, vocab: Int): DataFrame = {
-    val spark = seqs.sparkSession
-    import spark.implicits._
+  /** Per-source token-id histogram via the zero-copy explode-free
+    * aggregate (exploding would multiply 10^12 rows by avg n_tok; the
+    * fixed 256-long buffer rides map-side partial aggregation instead).
+    * Uses [[HistAggregate.tokenHist]] — the earlier `udaf(Aggregator)`
+    * formulation decoded every tokens array into a JVM Array[Int] per row
+    * (the allocation churn HistAggregate's header documents). */
+  def tokenHist(seqs: DataFrame, vocab: Int): DataFrame =
     seqs
       .groupBy("source")
-      .agg(tokenHistUdaf(vocab)(col("tokens")).as("hist"))
+      .agg(HistAggregate.tokenHist(col("tokens"), tokenBins, vocab)
+        .as("hist"))
       .select(col("source"), posexplode(col("hist")).as(Seq("bin", "count")))
       .filter(col("count") > 0)
-  }
 
   /** Both histograms as BaselineBin rows (used to persist a baseline
     * snapshot and as the "current" side of the drift comparison). */

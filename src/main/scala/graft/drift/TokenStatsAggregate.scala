@@ -72,8 +72,12 @@ case class SourceStatsAggregate(
   override def update(
       buf: mutable.HashMap[UTF8String, State],
       row: InternalRow): mutable.HashMap[UTF8String, State] = {
-    val src = sourceChild.eval(row).asInstanceOf[UTF8String]
-    if (src == null) return buf
+    val src0 = sourceChild.eval(row).asInstanceOf[UTF8String]
+    // a NULL source must not vanish from the stats: it books under the
+    // sentinel label, so rowCount stays exact and referential integrity
+    // flags it as an undeclared source instead of a silent PASS
+    val src =
+      if (src0 == null) SourceStatsAggregate.NullSourceKey else src0
     // row-backed UTF8String points into a reused buffer: probe with the
     // transient value, clone only on first sight of a source
     val st = buf.getOrElse(src, null)
@@ -260,9 +264,20 @@ case class SourceStatsAggregate(
 
 object SourceStatsAggregate {
 
+  /** Rows with a NULL source column book their stats under this label
+    * (null must not silently vanish from counts or completeness; the RI
+    * rule reports the label as an undeclared source). */
+  val NullSourceLabel = "__null_source__"
+  val NullSourceKey: UTF8String = UTF8String.fromString(NullSourceLabel)
+
   /** Exact n_tok value-histogram width: covers the full generated range
-    * (max 2048 + drift shifts); larger values clamp into the last bucket,
-    * which still folds into the last drift bin (64*63 < 4095). */
+    * (max 2048 + drift shifts — and the BASELINE input contract is
+    * tokenized training sequences in this range); larger values clamp
+    * into the last bucket, which still folds into the last drift bin
+    * (64*63 < 4095). CONTRACT NOTE: p50/p95 are exact nearest-rank for
+    * values < 4095 and SATURATE at 4095 above it — min/max_ntok remain
+    * exact either way, so a saturated percentile is detectable
+    * (p95 == 4095 < max_ntok). */
   val NtokValueBins = 4096
 
   /** HLL precision: 2^12 registers ≈ 1.6% standard error. */

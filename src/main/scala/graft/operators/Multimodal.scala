@@ -29,6 +29,13 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     /** Decode a payload into a fixed-length feature vector. */
     def decode(payload: Array[Byte], mime: String): Array[Float]
+
+    /** Decode a whole batch at once — the call [[extractFeatures]] actually
+      * routes through, so a real codec can amortize per-call overhead
+      * (native buffer reuse, GPU batch inference). Default: element-wise
+      * [[decode]]. */
+    def decodeBatch(batch: Seq[(Array[Byte], String)]): Seq[Array[Float]] =
+      batch.map { case (p, m) => decode(p, m) }
   }
 
   /** Deterministic stand-in: feature lane j = (sum of payload bytes at
@@ -60,7 +67,10 @@ object Multimodal {
 
   /** Batched per-partition feature extraction (mapPartitions — the one
     * justified use: imperative per-batch codec calls that expressions
-    * can't express). Batch size bounds peak memory per task; partitions
+    * can't express). Each group of `batchSize` rows goes through ONE
+    * [[MediaCodec.decodeBatch]] call (this is what makes the batching
+    * real — a codec that amortizes per-call overhead sees whole batches,
+    * not elements); batch size bounds peak memory per task and partitions
     * stream through without materializing. */
   def extractFeatures(
       media: DataFrame,
@@ -73,9 +83,12 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, mime, payload) =>
+          val feats = codec.decodeBatch(batch.map {
+            case (_, mime, payload) => (payload, mime)
+          })
+          batch.lazyZip(feats).map { case ((id, mime, payload), f) =>
             val nb = if (payload == null) 0 else payload.length
-            MediaFeatures(id, mime, nb, codec.decode(payload, mime))
+            MediaFeatures(id, mime, nb, f)
           }
         }
       }
@@ -140,8 +153,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, mime, p) =>
+            // null stays null: "missing media" must remain distinguishable
+            // from present-but-empty media downstream (the schema declares
+            // payload nullable — nullness IS part of the contract)
             val out =
-              if (p == null) Array.empty[Byte]
+              if (p == null) null
               else if (p.length <= targetBytes) p
               else Array.tabulate(targetBytes)(i =>
                 p((i.toLong * p.length / targetBytes).toInt))

@@ -80,6 +80,22 @@ class SourceStatsAggregateSpec extends SparkSpec {
     }
   }
 
+  test("NULL-source rows book under the sentinel label — counted, not " +
+      "silently dropped") {
+    import graft.model.Sequence
+    val withNulls = (Seq(
+      Sequence("D000000000001", Array(1, 2), 2, null),
+      Sequence("D000000000002", Array(3), 1, null)) ++
+      (1 to 5).map(i => Sequence(f"D$i%012d", Array(1), 1, "ok")))
+      .toDS().toDF()
+    val aggs = RuleEngine.aggregateBySource(withNulls, SequenceGen.vocabSize)
+      .map(a => a.source -> a).toMap
+    assert(aggs.keySet ===
+      Set("ok", SourceStatsAggregate.NullSourceLabel))
+    assert(aggs(SourceStatsAggregate.NullSourceLabel).nDocs === 2L)
+    assert(aggs.values.map(_.nDocs).sum === 7L) // rowCount stays exact
+  }
+
   test("hllEstimate: exact-ish at tiny cardinality (linear counting)") {
     val regs = new Array[Byte](SourceStatsAggregate.HllM)
     val seen = (1 to 100).map(i =>

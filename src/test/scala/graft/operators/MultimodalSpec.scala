@@ -59,7 +59,10 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(out(1L).length === 64)
     assert(out(2L).toSeq === short.toSeq) // pass-through
-    assert(out(3L).isEmpty)
+    // missing media stays MISSING (null), not present-but-empty — the
+    // schema declares payload nullable and downstream IS NULL checks
+    // depend on the distinction
+    assert(out(3L) == null)
     // spot-check the index formula: out[i] = in[floor(i*len/target)]
     (0 until 64).foreach { i =>
       assert(out(1L)(i) === long((i.toLong * 200 / 64).toInt))
