@@ -39,12 +39,20 @@ object Bench {
     // JVM/codegen warm-up outside the measured window
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // Host noise on this sandbox is bursty and only ever ADDS time (same
+    // observation as the scaling protocol, BENCH/BASELINE.md): single-shot
+    // timings at sf0.1 varied up to 3x run-to-run on an idle 32-core guest.
+    // Min-of-reps recovers the engine's actual cost per query.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_QUERY_REPS").map(_.toInt).getOrElse(3)
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows)")
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (sec, n) = times.minBy(_._1)
+        System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows, min of $reps)")
         name -> sec
       }
     }
