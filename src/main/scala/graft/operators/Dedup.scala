@@ -260,6 +260,79 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Duplicate CLUSTERS from a near-dup pair list: connected components
+    * via alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", 2014 — public algorithm). The
+    * pair generators above emit edges; a real dedup pipeline must then
+    * collapse each transitive group to ONE keeper, and pair lists don't
+    * give that directly (A~B, B~C puts A,C in one group with no direct
+    * pair). Reference analog: duplicate groups keyed by ETag with
+    * keep-first semantics (find_and_delete_duplicates.py:76-124),
+    * generalized from exact-hash groups (where groupBy suffices) to
+    * transitive near-dup graphs (where it doesn't).
+    *
+    * Scale shape: each round is two self-contained groupBy+join passes on
+    * the EDGE list (never the corpus); the edge list shrinks toward one
+    * edge per non-root node, and the round count is O(log n) even for
+    * path-shaped graphs (the paper's bound) — a plain min-label
+    * propagation loop would need O(diameter) rounds. Convergence is
+    * checked exactly (symmetric `except`, two edge-list-sized shuffles per
+    * round); `localCheckpoint` truncates lineage so plans stay flat
+    * across iterations.
+    *
+    * Returns (doc_id, cluster_id, is_keeper): every node of every pair,
+    * labeled with its component's minimum id; the keeper IS that minimum
+    * (deterministic keep-first by id, O1 semantics). */
+  def dupClusters(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      // neighborhoods over both directions; connect strictly-larger
+      // neighbors to min(N(u) ∪ {u})
+      val n = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = n.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      n.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient (hi, lo); connect all small neighbors (and hi itself) to
+      // the minimum
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = o.groupBy("u").agg(min(col("v")).as("m"))
+      o.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds")
+    // fixpoint = star graphs: one (node, componentMin) edge per non-root
+    // node; add the roots' self-labels
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+  }
+
   /** n-gram Jaccard pairs >= minJaccard via inverted-index join on shared
     * shingles (no all-pairs blowup; only docs sharing a shingle meet).
     *

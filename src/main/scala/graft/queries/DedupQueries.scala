@@ -84,6 +84,16 @@ object DedupQueries {
         "text", shingleN = 3, minContainment = 0.04)
     }),
 
+    // Transitive duplicate CLUSTERS over the capped MinHash pair list:
+    // connected components via large-star/small-star, labeling every
+    // paired doc with its component minimum (= the keeper). The piece a
+    // pair list alone doesn't give: A~B, B~C groups A and C without a
+    // direct pair.
+    "dedup_clusters" -> ((s, dir) => {
+      Dedup.dupClusters(Dedup.minhashLshPairs(docs(s, dir), "doc_id",
+        "text", k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20))
+    }),
+
     // exact n-gram Jaccard pairs >= 0.3 via inverted-index join
     "dedup_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
@@ -143,6 +153,35 @@ object DedupQueries {
                               ELSE 0 END) AS BIGINT) AS band
          FROM votes GROUP BY doc_id, j // 16)"""
 
+  /** Capped MinHash-LSH pair SQL — shared by the pair query's oracle and
+    * (as a nested CTE) the cluster query's transitive-closure oracle. */
+  private val minhashPairsCappedSql =
+    s"""WITH $shingleHashCte,
+          sigs AS (SELECT doc_id, $sigExpr AS sig FROM sh),
+          bands AS (
+            SELECT doc_id, sig, CAST(b AS INT) AS band_idx,
+                   array_to_string(list_slice(sig, b*4+1, b*4+4), '_') AS band_key
+            FROM sigs, (SELECT unnest(range(4)) AS b)),
+          kept AS (
+            SELECT b.* FROM bands b
+            JOIN (SELECT band_idx, band_key FROM bands
+                  GROUP BY 1, 2 HAVING COUNT(*) <= 20) z
+              USING (band_idx, band_key)),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   l.sig AS sig_a, r.sig AS sig_b
+            FROM kept l JOIN kept r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id)
+          SELECT id_a, id_b,
+                 CAST(len(list_filter(range(16),
+                   i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
+                   AS DOUBLE)/16 AS est_sim
+          FROM cand
+          WHERE CAST(len(list_filter(range(16),
+                   i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
+                   AS DOUBLE)/16 >= 0.5"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH g AS (SELECT md5(text) AS content_md5,
@@ -177,32 +216,18 @@ object DedupQueries {
           WHERE CAST(len(list_filter(range(16),
                    i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
                    AS DOUBLE)/16 >= 0.5""",
-    "dedup_minhash_pairs_capped" ->
-      s"""WITH $shingleHashCte,
-          sigs AS (SELECT doc_id, $sigExpr AS sig FROM sh),
-          bands AS (
-            SELECT doc_id, sig, CAST(b AS INT) AS band_idx,
-                   array_to_string(list_slice(sig, b*4+1, b*4+4), '_') AS band_key
-            FROM sigs, (SELECT unnest(range(4)) AS b)),
-          kept AS (
-            SELECT b.* FROM bands b
-            JOIN (SELECT band_idx, band_key FROM bands
-                  GROUP BY 1, 2 HAVING COUNT(*) <= 20) z
-              USING (band_idx, band_key)),
-          cand AS (
-            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
-                   l.sig AS sig_a, r.sig AS sig_b
-            FROM kept l JOIN kept r
-              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
-             AND l.doc_id < r.doc_id)
-          SELECT id_a, id_b,
-                 CAST(len(list_filter(range(16),
-                   i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
-                   AS DOUBLE)/16 AS est_sim
-          FROM cand
-          WHERE CAST(len(list_filter(range(16),
-                   i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
-                   AS DOUBLE)/16 >= 0.5""",
+    "dedup_minhash_pairs_capped" -> minhashPairsCappedSql,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsCappedSql),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(a, b) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+          SELECT a AS doc_id, MIN(b) AS cluster_id,
+                 a = MIN(b) AS is_keeper
+          FROM reach GROUP BY a""",
     "dedup_simhash" ->
       s"""WITH $simhash64BandsCte
           SELECT doc_id, band_idx, band FROM bands""",

@@ -191,6 +191,54 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("dupClusters: transitive chains collapse to one component with " +
+      "the min id as keeper") {
+    // 1-2, 2-3 chain (1 and 3 never directly paired) + separate 8-6 pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (8L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (6L, 6L, true), (8L, 6L, false)))
+  }
+
+  test("dupClusters equals brute-force union-find on random graphs " +
+      "(incl. long paths, the worst case for label propagation)") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      // random sparse graph
+      (0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b },
+      // a 30-node path: convergence must not need O(diameter) rounds
+      (0L until 29L).map(i => (i, i + 1)),
+      // two dense cliques sharing no nodes
+      (for (a <- 0 to 5; b <- 0 to 5 if a < b) yield (a.toLong, b.toLong)) ++
+        (for (a <- 10 to 14; b <- 10 to 14 if a < b)
+          yield (a.toLong, b.toLong)))
+    for (edges <- cases) {
+      // brute-force union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.toSeq
+        .map(n => (n, find(n), n == find(n))).toSet
+      val got = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got === want, s"edges=$edges")
+    }
+  }
+
+  test("dupClusters: empty pair list yields empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dupClusters(empty).collect().isEmpty)
+  }
+
   test("LSH bucket cap drops degenerate buckets") {
     // 20 identical docs -> one giant bucket; cap 5 must yield zero pairs
     val many = (1L to 20L).map(i => (i, "same same same text here"))
