@@ -16,8 +16,10 @@ object Bench {
     "a7_count_reconciliation", "a8_group_evidence",
     "a9_verdict_rollup", "o_topk_users", "w_first_per_key",
     "st_sessionize", "f5_regex_valid",
-    "text_quality", "text_fingerprint", "sample_stratified",
+    "text_quality", "text_fingerprint", "text_repetition",
+    "sample_stratified",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_pairs_capped",
+    "dedup_clusters",
     "dedup_simhash", "dedup_simhash_pairs_capped",
     "dedup_jaccard_pairs", "dedup_jaccard_pairs_capped",
     "dedup_embedding_pairs_lsh",

@@ -85,6 +85,28 @@ object TextQueries {
           (-col("e.cos")).cast("long").as("fp"))
     }),
 
+    // Repetition scoring (the Gopher-style quality signal): fraction of
+    // words / 2-grams / 3-grams that are repeats within the document —
+    // boilerplate and degenerate generations score high. Pure codegen'd
+    // projection; n-gram lists keep duplicates (unlike the dedup path's
+    // distinct shingle sets — repetition IS the signal here).
+    "text_repetition" -> ((s, dir) => {
+      val w = words(col("text"))
+      val g2 = shingles(w, 2)
+      val g3 = shingles(w, 3)
+      def dupFrac(arr: org.apache.spark.sql.Column) =
+        when(size(arr) > 0,
+          lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+          .otherwise(lit(0.0))
+      docs(s, dir).select(
+        col("doc_id"),
+        dupFrac(w).as("dup_word_frac"),
+        dupFrac(g2).as("dup_2gram_frac"),
+        dupFrac(g3).as("dup_3gram_frac"),
+        when(dupFrac(w) > 0.6 || dupFrac(g3) > 0.2, lit("repetitive"))
+          .otherwise(lit("ok")).as("rep_class"))
+    }),
+
     // multimodal metadata path: opaque binary payload + typed metadata
     // (decode itself is the stubbed FakeCodec; this query checks the
     // oracle-able part: byte length and mime routing)
@@ -138,6 +160,33 @@ object TextQueries {
             FROM (SELECT source, doc_id, ${sqlPolyHash("text")} AS fp
                   FROM documents))
           WHERE rn <= 40""",
+    "text_repetition" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         grams AS (
+           SELECT doc_id, w,
+             CASE WHEN len(w) < 2 THEN []
+                  ELSE [w[i]||' '||w[i+1] for i in range(1, len(w))] END AS g2,
+             CASE WHEN len(w) < 3 THEN []
+                  ELSE [w[i]||' '||w[i+1]||' '||w[i+2]
+                        for i in range(1, len(w)-1)] END AS g3
+           FROM base),
+         fr AS (
+           SELECT doc_id,
+             CASE WHEN len(w) > 0
+                  THEN 1 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w)
+                  ELSE 0.0 END AS dup_word_frac,
+             CASE WHEN len(g2) > 0
+                  THEN 1 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2)
+                  ELSE 0.0 END AS dup_2gram_frac,
+             CASE WHEN len(g3) > 0
+                  THEN 1 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3)
+                  ELSE 0.0 END AS dup_3gram_frac
+           FROM grams)
+         SELECT doc_id, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+                CASE WHEN dup_word_frac > 0.6 OR dup_3gram_frac > 0.2
+                     THEN 'repetitive' ELSE 'ok' END AS rep_class
+         FROM fr""",
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
