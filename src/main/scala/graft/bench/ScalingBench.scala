@@ -228,10 +228,16 @@ object ScalingBench {
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val r = run(workDir, rows, reps)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workDir))
-    val md = report(r, Some(recordHistory(r)))
+    // Only protocol-strength runs (>= 4 interleaved rounds) enter the
+    // history and overwrite the committed report: 1-round diagnostic runs
+    // measure whatever window they landed in (a noisy-N window reads as
+    // fake super-linear efficiency) and must not become "best observed".
+    val protocolRun = reps >= 4
+    val md = report(r, if (protocolRun) Some(recordHistory(r)) else None)
     val out = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(out)
-    java.nio.file.Files.writeString(out.resolve("BASELINE.md"), md)
+    if (protocolRun)
+      java.nio.file.Files.writeString(out.resolve("BASELINE.md"), md)
     System.err.println(md)
     println(
       s"""{"rows":${r.rows},"throughput_n":${r.n.rowsPerSec.round},""" +

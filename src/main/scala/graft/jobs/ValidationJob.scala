@@ -89,10 +89,20 @@ object ValidationJob {
         .map(b => f"$b%02x").mkString
     }
 
-    val all = spark.read.parquet(cfg.inputPath).as[Sequence]
-    val manifest = spark.read.parquet(cfg.manifestPath).as[ManifestEntry]
+    // Explicit schemas: parquet schema inference runs a footer-reading
+    // job per table read (~0.5 s of SERIAL driver time per session at the
+    // bench layout) for schemas the engine already owns as case classes.
+    // Partition columns (e.g. hive `source=` dirs) are matched by name
+    // against the declared schema, so partitioned and unpartitioned
+    // layouts both read identically.
+    import org.apache.spark.sql.Encoders
+    val all = spark.read.schema(Encoders.product[Sequence].schema)
+      .parquet(cfg.inputPath).as[Sequence]
+    val manifest = spark.read.schema(Encoders.product[ManifestEntry].schema)
+      .parquet(cfg.manifestPath).as[ManifestEntry]
     val baseline = cfg.baselinePath.map(p =>
-      spark.read.parquet(p).as[BaselineBin])
+      spark.read.schema(Encoders.product[BaselineBin].schema)
+        .parquet(p).as[BaselineBin])
 
     // Resume: drop partitions already validated under this exact
     // (snapshot, rule set) lineage. The filter is on the partition column,
@@ -125,7 +135,8 @@ object ValidationJob {
     phase("cache_setup")
 
     val refSnapshot = cfg.refSnapshotPath.map(p =>
-      spark.read.parquet(p).as[Sequence])
+      spark.read.schema(Encoders.product[Sequence].schema)
+        .parquet(p).as[Sequence])
     // FUSED evaluation (VERDICT r02 #1): the tokens array — ~96% of the
     // table's bytes — is decoded exactly once. The row-rule scan carries
     // the per-source token stats via observe(); the narrow aggregation
@@ -170,11 +181,15 @@ object ValidationJob {
     phase("stats_finish")
 
     // driver-derived violations (RI / drift / manifest) obey the same
-    // partition restriction, applied driver-side on the tiny seq
+    // partition restriction, applied driver-side on the tiny seq.
+    // Coalesced to ONE slice so the union stays clustered enough to write
+    // without re-shuffling (scanVio is already repartitioned by source):
+    // per source dir, <= 1 file from the scan side + 1 from this slice.
     val driverVios = fin.driverViolations
       .filter(v => todoSet(v.source) || !allPartsSet(v.source))
     val vio = scanVio.toDF()
-      .unionByName(spark.createDataset(driverVios).toDF()).as[Violation]
+      .unionByName(spark.createDataset(driverVios).coalesce(1).toDF())
+      .as[Violation]
     // NOTE (ADVICE r02): `violations` counts EVERY violation attributable
     // to this run — including manifest-only sources that never appear in
     // the data (the `!isin(allParts)` clause above) — not just rows from
@@ -184,55 +199,80 @@ object ValidationJob {
 
     val doneSources = done.toSet
     val runSources = fin.sources.filterNot(doneSources)
-
-    // Dynamic overwrite only replaces partitions PRESENT in the output: a
-    // re-validated source that is now clean writes zero rows, so its stale
-    // violations must be dropped explicitly (ADVICE r01).
-    TableIO.deletePartitions(
-      spark, violationsPath(cfg.outDir), "source", runSources)
-    TableIO.writePartitioned(vio.toDF(), violationsPath(cfg.outDir))
-
-    // K2 completion (VERDICT r02 #5): the dynamic overwrite above keeps the
-    // CURRENT violations queryable; the audit log below keeps EVERY
-    // generation, keyed by run lineage — the reference mirrors every
-    // record type into archive tables (dynamodb.py:518-532), violations
-    // included, not just verdicts. Written as a run_id-partitioned dynamic
-    // overwrite, NOT a blind append: a crash after this write but before
-    // the checkpoint replays the run with the same derived run_id, and the
-    // replay must overwrite its own generation instead of duplicating it
-    // (the crash-replay idempotence contract, Checkpoint.scala doc).
     val completedAt = java.time.Instant.now().toString
     val runId = s"${snapshotId.take(12)}-${rulesetHash.take(12)}"
-    TableIO.writePartitioned(
-      vio.toDF()
-        .withColumn("run_id", lit(runId))
-        .withColumn("snapshot_id", lit(snapshotId))
-        .withColumn("ruleset_hash", lit(rulesetHash))
-        .withColumn("completed_at", lit(completedAt)),
-      violationsLogPath(cfg.outDir),
-      partitionCol = "run_id",
-      // the generation is one constant-valued partition; salt the
-      // clustering so several writers share it instead of one task
-      saltFiles = 8)
-    phase("write_violations")
 
-    // Verdicts are |sources| x |rules| rows: roll up from the cached
-    // violations, collect once, and reuse the collected rows for the
-    // write, the run log, AND the checkpoint — zero re-reads.
-    val verdictRows = RuleEngine.rollUpVerdicts(
-        spark, runSources, cfg.rules, vio, fin.stats, fin.notCompleted)
-      .collect().toSeq
-    TableIO.writePartitioned(
-      spark.createDataset(verdictRows).toDF(), verdictsPath(cfg.outDir))
+    // The two write CHAINS below are independent of each other (both read
+    // only the materialized violations cache + collected driver facts), so
+    // they run CONCURRENTLY — the write tail is a fixed serial cost that
+    // taxes the 4N scaling level 4x harder, and overlapping the chains
+    // roughly halves it. The crash-replay contract orders the CHECKPOINT
+    // strictly after ALL writes (below, after both chains join); order
+    // between the chains themselves is free — a crash before the
+    // checkpoint replays the whole run idempotently either way.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
 
-    // K2 audit trail: every run appends its verdict generation to the run
-    // log (reference archive-table semantics, dynamodb.py:518-532).
-    TableIO.appendRunLog(
-      spark.createDataset(verdictRows.map(v =>
-        RunLogRecord(runId, snapshotId, rulesetHash, v.source, v.rule_id,
-          v.status, v.severity, v.metrics, completedAt))).toDF(),
-      runLogPath(cfg.outDir))
-    phase("write_verdicts")
+    val vioChain = Future {
+      // Dynamic overwrite only replaces partitions PRESENT in the output:
+      // a re-validated source that is now clean writes zero rows, so its
+      // stale violations must be dropped explicitly (ADVICE r01).
+      TableIO.deletePartitions(
+        spark, violationsPath(cfg.outDir), "source", runSources)
+      // already clustered by source (the repartition before the persist) —
+      // no re-shuffle on the way out
+      TableIO.writePartitioned(vio.toDF(), violationsPath(cfg.outDir),
+        recluster = false)
+
+      // K2 completion (VERDICT r02 #5): the dynamic overwrite above keeps
+      // the CURRENT violations queryable; the audit log below keeps EVERY
+      // generation, keyed by run lineage — the reference mirrors every
+      // record type into archive tables (dynamodb.py:518-532), violations
+      // included, not just verdicts. Written as a run_id-partitioned
+      // dynamic overwrite, NOT a blind append: a crash after this write
+      // but before the checkpoint replays the run with the same derived
+      // run_id, and the replay must overwrite its own generation instead
+      // of duplicating it (the crash-replay idempotence contract,
+      // Checkpoint.scala doc). recluster=false: the cache partitions
+      // already spread the single run_id dir over several writers (the
+      // job the salt used to do, minus the shuffle).
+      TableIO.writePartitioned(
+        vio.toDF()
+          .withColumn("run_id", lit(runId))
+          .withColumn("snapshot_id", lit(snapshotId))
+          .withColumn("ruleset_hash", lit(rulesetHash))
+          .withColumn("completed_at", lit(completedAt)),
+        violationsLogPath(cfg.outDir),
+        partitionCol = "run_id",
+        recluster = false)
+    }
+
+    val verdictChain = Future {
+      // Verdicts are |sources| x |rules| rows: roll up from the cached
+      // violations, collect once, and reuse the collected rows for the
+      // write, the run log, AND the checkpoint — zero re-reads.
+      val rows = RuleEngine.rollUpVerdicts(
+          spark, runSources, cfg.rules, vio, fin.stats, fin.notCompleted)
+        .collect().toSeq
+      TableIO.writePartitioned(
+        spark.createDataset(rows).coalesce(1).toDF(),
+        verdictsPath(cfg.outDir), recluster = false)
+
+      // K2 audit trail: every run appends its verdict generation to the
+      // run log (reference archive-table semantics, dynamodb.py:518-532).
+      TableIO.writePartitioned(
+        spark.createDataset(rows.map(v =>
+          RunLogRecord(runId, snapshotId, rulesetHash, v.source, v.rule_id,
+            v.status, v.severity, v.metrics, completedAt)))
+          .coalesce(1).toDF(),
+        runLogPath(cfg.outDir), partitionCol = "run_id", recluster = false)
+      rows
+    }
+
+    import scala.concurrent.duration.Duration
+    val verdictRows = Await.result(verdictChain, Duration.Inf)
+    Await.result(vioChain, Duration.Inf)
+    phase("write_violations+verdicts")
 
     val wallMs = (System.nanoTime() - t0) / 1000000
     // NOT_COMPLETED rules (e.g. drift with no baseline configured) record

@@ -276,9 +276,11 @@ object Dedup {
     * edge per non-root node, and the round count is O(log n) even for
     * path-shaped graphs (the paper's bound) — a plain min-label
     * propagation loop would need O(diameter) rounds. Convergence is
-    * checked exactly (symmetric `except`, two edge-list-sized shuffles per
-    * round); `localCheckpoint` truncates lineage so plans stay flat
-    * across iterations.
+    * checked exactly and cheaply: a count compare first (counts are
+    * carried between rounds), then — only on equal counts — ONE one-way
+    * `except` (both sides are distinct sets, so |A|=|B| ∧ A∖B=∅ ⇒ A=B);
+    * `localCheckpoint` truncates lineage so plans stay flat across
+    * iterations.
     *
     * Returns (doc_id, cluster_id, is_keeper): every node of every pair,
     * labeled with its component's minimum id; the keeper IS that minimum
@@ -313,12 +315,18 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     var rounds = 0
     while (!converged && rounds < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      val nextCount = next.count()
+      // both sides are distinct sets, so equal counts + empty one-way
+      // except ⇒ set equality (no second except needed); unequal counts
+      // skip the except entirely
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     if (!converged)

@@ -28,11 +28,17 @@ object TableIO {
       df: DataFrame,
       path: String,
       partitionCol: String = "source",
-      saltFiles: Int = 1): Unit = {
+      saltFiles: Int = 1,
+      /** Skip the clustering shuffle when the input is ALREADY clustered
+        * (e.g. re-writing a frame that was repartitioned before a persist):
+        * the shuffle would re-move every row for nothing — a whole extra
+        * stage of fixed cost on the serial tail of a run. */
+      recluster: Boolean = true): Unit = {
     import org.apache.spark.sql.functions._
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val clustered =
-      if (saltFiles <= 1) df.repartition(n, col(partitionCol))
+      if (!recluster) df
+      else if (saltFiles <= 1) df.repartition(n, col(partitionCol))
       else df.repartition(n, col(partitionCol),
         pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFiles.toLong)))
     clustered.write
@@ -44,6 +50,32 @@ object TableIO {
 
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed table write — the co-located-join layout for keyed passes
+    * at the 10^12-row shape. A table bucketed by `doc_id` gives every
+    * keyed consumer hash-clustered input: per-key aggregation (the
+    * snapshot-equality fingerprint pass), the uniqueness key count, and
+    * cross-snapshot joins all run with ZERO exchanges when both sides
+    * share the bucket spec (TableIOSpec pins this on the real
+    * snapshot-equality plan). This is the Parquet stand-in for Iceberg's
+    * bucket partition transform; bucket metadata lives in the session
+    * catalog, so the write goes through `saveAsTable` (with an explicit
+    * `path` the table is external — the files outlive the catalog entry).
+    * Sorted within buckets so merge joins skip their sort where Spark can
+    * use it. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Hive-style partition-path unescape: every %xx byte-escape Spark's
     * partition writer emits is decoded; everything else (including '+',
@@ -103,19 +135,6 @@ object TableIO {
       }
       .foreach(st => fs.delete(st.getPath, true))
   }
-
-  /** Append-only run-log sink (reference K2: every write mirrored into an
-    * archive table with a timestamped key + archive_log,
-    * dynamodb.py:518-532, 558-565). The overwrite tables hold the CURRENT
-    * verdicts; this table accumulates one generation per run, keyed
-    * (run_id, snapshot_id, ruleset_hash), so prior runs stay auditable.
-    * Stored as a run_id-partitioned dynamic overwrite, not a blind
-    * append: a crash-replay (same lineage ⇒ same run_id) overwrites its
-    * own generation instead of duplicating it; other generations are
-    * untouched. */
-  def appendRunLog(df: DataFrame, path: String): Unit =
-    writePartitioned(df, path, partitionCol = "run_id")
-
 
   /** Partition values of a hive-layout table from DIRECTORY NAMES — a
     * metadata read (the Iceberg-manifest analog), replacing a full-table

@@ -89,4 +89,45 @@ class TableIOSpec extends SparkSpec {
       .write.mode("append").parquet(s"$dir/t")
     assert(TableIO.snapshotId(spark, s"$dir/t") !== s1)
   }
+
+  test("bucketed snapshot layout: the cross-snapshot equality plan runs " +
+      "with zero shuffle exchanges when both sides share the bucket spec") {
+    val dir = tmpDir("bucketed")
+    val n = 200
+    def snap(mutate: Boolean) =
+      (0 until n).map { i =>
+        val toks = if (mutate && i % 50 == 0) Array(9, 9, 9)
+          else Array(i, i + 1, i + 2)
+        graft.model.Sequence(f"D$i%05d", toks, toks.length,
+          if (i % 2 == 0) "alpha" else "beta")
+      }.toDS()
+    TableIO.writeBucketed(snap(mutate = false).toDF(),
+      "bt_old", "doc_id", 8, Some(s"$dir/old"))
+    TableIO.writeBucketed(snap(mutate = true).toDF(),
+      "bt_new", "doc_id", 8, Some(s"$dir/new"))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path a 10^12-row side would take (broadcast
+      // would mask the exchange question this test pins)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rule = graft.rules.Rules.withSnapshotEquality.snapshotRules.head
+      val vios = graft.rules.RuleEngine.snapshotViolations(
+        spark.table("bt_new"), spark.table("bt_old"), rule)
+      val rows = vios.collect()
+      // 4 mutated docs => 4 mismatch violations
+      assert(rows.length === 4)
+      assert(rows.forall(_.observed.contains(
+        graft.operators.SnapshotDiff.StatusMismatch)))
+      val plan = vios.queryExecution.executedPlan.toString
+      // per-key aggregation on BOTH sides AND the equality join all ride
+      // the bucket layout: no exchange anywhere in the physical plan
+      // (broadcast is disabled above, so any "Exchange" would be a shuffle)
+      assert(!plan.contains("Exchange"),
+        s"bucketed snapshot-equality plan must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bt_old")
+      spark.sql("DROP TABLE IF EXISTS bt_new")
+    }
+  }
 }
