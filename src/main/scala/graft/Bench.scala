@@ -24,7 +24,8 @@ object Bench {
     "dedup_jaccard_pairs", "dedup_jaccard_pairs_capped",
     "dedup_embedding_pairs_lsh",
     "j10_snapshot_equality", "s8_results_json",
-    "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk")
+    "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_kmeans_codebook", "ann_ivf_trained_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

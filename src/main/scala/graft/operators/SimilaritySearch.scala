@@ -146,16 +146,20 @@ object SimilaritySearch {
     * per-row-id window to compute the same argmax. */
   def ivfTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+      k: Int, nCentroids: Int = 8, nprobe: Int = 2,
+      /** Trained codebook (e.g. [[kmeansCodebookSeq]]); None = the
+        * deterministic first-k seeding below. */
+      codebookOpt: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
     import org.apache.spark.sql.Row
     // deterministic codebook: first nCentroids corpus vectors by id
-    val codebook: Seq[(Long, Seq[Float])] =
+    // (float→double promotion is exact, so literals are bit-identical)
+    val codebook: Seq[(Long, Seq[Double])] = codebookOpt.getOrElse(
       corpus.orderBy(col(idCol)).limit(nCentroids)
         .select(col(idCol).cast("long"), col(vecCol))
         .collect().toSeq
         .map { case Row(cid: Long, cv: scala.collection.Seq[_]) =>
-          (cid, cv.map(_.asInstanceOf[Float]).toSeq)
-        }
+          (cid, cv.map(_.asInstanceOf[Float].toDouble).toSeq)
+        })
 
     // per-row centroid scores, sorted (cos desc, cid asc) — struct sort on
     // (ccos, -cid) descending gives exactly that order. The row's norm is
@@ -167,7 +171,7 @@ object SimilaritySearch {
       sort_array(
         array(codebook.map { case (cid, cv) =>
           val cnorm = math.sqrt(
-            cv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+            cv.foldLeft(0.0)((acc, x) => acc + x * x))
           struct(
             (dot(vec, typedlit(cv)) / (vnorm * lit(cnorm))).as("ccos"),
             lit(-cid).as("negcid"))
@@ -195,6 +199,100 @@ object SimilaritySearch {
       .select(col("probe_id"), col("neighbor_id"),
         cosineWithNorms(col("pv"), col("cv"), col("pn"), col("cn")).as("cos"))
     topKPerProbe(scored, k)
+  }
+
+  /** Input quantization scale for k-means mean accumulation: a power of
+    * TWO, so `x * Quant` is exact for every float input (scaling by 2^20
+    * only shifts the exponent) and `floor` of it is engine-independent —
+    * the per-dimension sums become exact BIGINT arithmetic, immune to
+    * float-summation order. 2^20 keeps |q| ≤ ~2^22 per element, so even
+    * 10^12 rows sum within int64. */
+  val KmeansQuant = 1048576.0
+
+  /** Lloyd's k-means codebook training with cosine assignment — the
+    * trained replacement for [[ivfTopK]]'s first-k seeding. Returns the
+    * codebook as (cid, dim, val) rows.
+    *
+    * Determinism contract (the reason this is oracle-able at all):
+    *  - assignment argmax is the same ordered-fold cosine + (cos desc,
+    *    cid asc) tie-break as [[ivfTopK]];
+    *  - the mean is computed over 2^-20-QUANTIZED inputs: per-dimension
+    *    sums are exact int64 (order-independent — a float sum would be
+    *    partitioning-dependent), and the centroid value is
+    *    `(sum/2^20)/n` in IEEE double, bit-identical on any engine;
+    *  - an empty cluster keeps its previous centroid.
+    *
+    * Scale shape: per iteration, ONE corpus scan — assignment is a pure
+    * projection against literal centroids (zero exchanges, same pattern
+    * as [[ivfTopK]]), and the per-(cid, dim) sums partial-aggregate
+    * map-side to ≤ k×dims rows per task before the one tiny shuffle.
+    * Driver holds k×dims doubles between iterations. */
+  def kmeansCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    kmeansCodebookSeq(corpus, idCol, vecCol, k, iters)
+      .flatMap { case (cid, cv) =>
+        cv.zipWithIndex.map { case (x, d) => (cid, d, x) }
+      }
+      .toDF("cid", "dim", "val")
+  }
+
+  /** [[kmeansCodebook]] as a driver-side Seq — the form [[ivfTopK]]
+    * consumes directly via `codebookOpt`. */
+  def kmeansCodebookSeq(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.Row
+
+    // init: first k corpus vectors by id, promoted to double
+    var cents: Seq[Seq[Double]] =
+      corpus.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect().toSeq
+        .map { case Row(v: scala.collection.Seq[_]) =>
+          v.map(x => x.asInstanceOf[Float].toDouble).toSeq
+        }
+
+    for (_ <- 1 to iters) {
+      // argmax centroid per row, as a projection (cos desc, cid asc);
+      // the row norm is a shared pre-projected column (non-cheap +
+      // referenced k times keeps CollapseProject from re-inlining the
+      // fold per centroid — same shape as ivfTopK)
+      val scores = sort_array(
+        array(cents.zipWithIndex.map { case (cv, cid) =>
+          val cnorm = math.sqrt(
+            cv.foldLeft(0.0)((acc, x) => acc + x * x))
+          struct(
+            (dot(col("v"), typedlit(cv)) /
+              (col("vn") * lit(cnorm))).as("ccos"),
+            lit(-cid.toLong).as("negcid"))
+        }: _*),
+        asc = false)
+      val sums = corpus
+        .select(col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+        // the argmax extract gets its own projection: a generator in the
+        // same select is rewritten by ExtractGenerator, which drops the
+        // struct field aliases the extract resolves against
+        .select(col("v"), (element_at(scores, 1)("negcid") * -1).as("cid"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(
+          sum(floor(col("x").cast("double") * KmeansQuant).cast("long"))
+            .as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCid: Map[Long, Seq[Row]] =
+        sums.toSeq.groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        byCid.get(cid.toLong) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1))
+              .map(r => (r.getLong(2) / KmeansQuant) / r.getLong(3))
+          case None => prev // empty cluster keeps its centroid
+        }
+      }
+    }
+
+    cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv) }
   }
 
   /** Embedding near-duplicate pairs: cosine >= minCos, candidates

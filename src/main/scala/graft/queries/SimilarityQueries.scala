@@ -45,6 +45,28 @@ object SimilarityQueries {
         k = 3, nCentroids = 8, nprobe = 2)
     }),
 
+    // TRAINED IVF codebook: 2 Lloyd iterations of cosine k-means (k=4)
+    // over the corpus — the training step ivfTopK's first-k seeding
+    // stands in for. Bit-portable by construction: quantized int64 mean
+    // accumulation + ordered-fold assignment (see kmeansCodebook doc);
+    // the oracle replays both iterations exactly.
+    "ann_kmeans_codebook" -> ((s, dir) => {
+      SimilaritySearch.kmeansCodebook(
+        emb(s, dir), "vec_id", "embedding", k = 4, iters = 2)
+    }),
+
+    // IVF top-k over the TRAINED codebook — the full train-then-search
+    // path (kmeans k=4 iters=2 feeding ivfTopK's assignment/probe
+    // machinery); the oracle replays training AND search.
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = SimilaritySearch.kmeansCodebookSeq(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      SimilaritySearch.ivfTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nprobe = 2, codebookOpt = Some(cb))
+    }),
+
     // embedding near-dup pairs: cosine >= 0.4, exact all-pairs path
     // (small-corpus extra; the verified scale path is the _lsh variant)
     "dedup_embedding_pairs" -> ((s, dir) => {
@@ -124,7 +146,87 @@ object SimilarityQueries {
 
   private val bucketSql = bucketSqlP(4)
 
+  /** One Lloyd iteration as SQL: assignment argmax vs `prevList` (a
+    * (cid, cvec) CTE), quantized int64 dimension sums, mean with
+    * empty-cluster fallback to the previous centroid — mirrors
+    * SimilaritySearch.kmeansCodebook step for step (dim = 64, the
+    * testdata embedding width). */
+  private def kmeansStepSql(prevList: String, assigned: String,
+      sums: String, out: String): String =
+    s"""$assigned AS (
+         SELECT vec_id, embedding, cid FROM (
+           SELECT e.vec_id, e.embedding, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+                             c.cid ASC) AS r
+           FROM embeddings e, $prevList c) WHERE r = 1),
+       $sums AS (
+         SELECT cid, dim,
+                SUM(CAST(floor(CAST(embedding[dim+1] AS DOUBLE)*1048576.0)
+                    AS BIGINT)) AS s,
+                COUNT(*) AS n
+         FROM $assigned, (SELECT unnest(range(64)) AS dim)
+         GROUP BY 1, 2),
+       $out AS (
+         SELECT cid, dim,
+                COALESCE((CAST(s AS DOUBLE)/1048576.0)/n,
+                         cvec[CAST(dim AS INT)+1]) AS val
+         FROM (SELECT p.cid, d.dim, p.cvec
+               FROM $prevList p
+               CROSS JOIN (SELECT unnest(range(64)) AS dim) d) g
+         LEFT JOIN $sums USING (cid, dim))"""
+
   val oracles: Map[String, String] = Map(
+    "ann_kmeans_codebook" ->
+      s"""WITH c0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS cid,
+                   [CAST(x AS DOUBLE) for x in embedding] AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 4)),
+          ${kmeansStepSql("c0", "a1", "s1", "c1")},
+          c1l AS (SELECT cid, list(val ORDER BY dim) AS cvec
+                  FROM c1 GROUP BY cid),
+          ${kmeansStepSql("c1l", "a2", "s2", "c2")}
+          SELECT cid, CAST(dim AS INT) AS dim, val FROM c2""",
+    "ann_ivf_trained_topk" ->
+      s"""WITH c0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS cid,
+                   [CAST(x AS DOUBLE) for x in embedding] AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 4)),
+          ${kmeansStepSql("c0", "a1", "s1", "c1")},
+          c1l AS (SELECT cid, list(val ORDER BY dim) AS cvec
+                  FROM c1 GROUP BY cid),
+          ${kmeansStepSql("c1l", "a2", "s2", "c2")},
+          cents AS (SELECT cid, list(val ORDER BY dim) AS cvec
+                    FROM c2 GROUP BY cid),
+          assigned AS (
+            SELECT neighbor_id, cv, cid FROM (
+              SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+                                c.cid ASC) AS crank
+              FROM embeddings e, cents c) WHERE crank = 1),
+          plists AS (
+            SELECT probe_id, pv, cid FROM (
+              SELECT e.vec_id AS probe_id, e.embedding AS pv, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+                                c.cid ASC) AS crank
+              FROM embeddings e, cents c WHERE e.vec_id < 10) WHERE crank <= 2),
+          scored AS (
+            SELECT probe_id, neighbor_id, ${cosSql("pv", "cv")} AS cos
+            FROM plists JOIN assigned USING (cid)
+            WHERE probe_id <> neighbor_id),
+          ranked AS (
+            SELECT probe_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+          FROM ranked WHERE rank <= 3""",
     "ann_topk_cosine" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
                FROM embeddings WHERE vec_id < 10),

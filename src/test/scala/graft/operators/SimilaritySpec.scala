@@ -93,6 +93,56 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((2L, 3L)))
   }
 
+  test("kmeansCodebook equals a driver-side reference (quantized int64 " +
+      "means, ordered-fold cosine argmax, empty-cluster carry) and " +
+      "separates two obvious clusters") {
+    val Q = SimilaritySearch.KmeansQuant
+    val data: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(1.0f, 0.1f), 1L -> Seq(0.1f, 1.0f), 2L -> Seq(0.9f, 0.2f),
+      3L -> Seq(0.2f, 1.1f), 4L -> Seq(1.1f, 0.0f), 5L -> Seq(0.0f, 0.9f),
+      6L -> Seq(0.95f, 0.15f), 7L -> Seq(0.15f, 0.95f))
+    val df = data.map { case (id, v) => (id, v.toArray) }
+      .toDF("vec_id", "embedding")
+    val got = SimilaritySearch
+      .kmeansCodebook(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSet
+
+    // reference: the SAME op-for-op arithmetic, single-threaded
+    def dotD(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (u, v) => u * v }.foldLeft(0.0)(_ + _)
+    var cents: Seq[Seq[Double]] =
+      data.sortBy(_._1).take(2).map(_._2.map(_.toDouble))
+    for (_ <- 1 to 3) {
+      val assigned = data.map { case (_, vf) =>
+        val v = vf.map(_.toDouble)
+        val vn = math.sqrt(dotD(v, v))
+        val cid = cents.zipWithIndex.map { case (c, i) =>
+          val cn = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+          (dotD(v, c) / (vn * cn), i)
+        }.sortBy { case (c, i) => (-c, i) }.head._2
+        (cid, v)
+      }
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        val mine = assigned.filter(_._1 == cid).map(_._2)
+        if (mine.isEmpty) prev
+        else prev.indices.map { d =>
+          val s = mine.map(v => math.floor(v(d) * Q).toLong).sum
+          (s / Q) / mine.size
+        }
+      }
+    }
+    val want = cents.zipWithIndex.flatMap { case (cv, cid) =>
+      cv.zipWithIndex.map { case (x, d) => (cid.toLong, d, x) }
+    }.toSet
+    assert(got === want)
+
+    // geometry sanity: one centroid near (1, 0.1..), the other near (0.1.., 1)
+    val c = cents.map(_.toArray)
+    assert(c(0)(0) > 0.8 && c(0)(1) < 0.3)
+    assert(c(1)(0) < 0.3 && c(1)(1) > 0.8)
+  }
+
   test("lshTopK returns neighbors from the probe's bucket only") {
     val res = SimilaritySearch.lshTopK(
       vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
