@@ -253,35 +253,9 @@ object SimilaritySearch {
         }
 
     for (_ <- 1 to iters) {
-      // argmax centroid per row, as a projection (cos desc, cid asc);
-      // the row norm is a shared pre-projected column (non-cheap +
-      // referenced k times keeps CollapseProject from re-inlining the
-      // fold per centroid — same shape as ivfTopK)
-      val scores = sort_array(
-        array(cents.zipWithIndex.map { case (cv, cid) =>
-          val cnorm = math.sqrt(
-            cv.foldLeft(0.0)((acc, x) => acc + x * x))
-          struct(
-            (dot(col("v"), typedlit(cv)) /
-              (col("vn") * lit(cnorm))).as("ccos"),
-            lit(-cid.toLong).as("negcid"))
-        }: _*),
-        asc = false)
-      val sums = corpus
-        .select(col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
-        // the argmax extract gets its own projection: a generator in the
-        // same select is rewritten by ExtractGenerator, which drops the
-        // struct field aliases the extract resolves against
-        .select(col("v"), (element_at(scores, 1)("negcid") * -1).as("cid"))
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim")
-        .agg(
-          sum(floor(col("x").cast("double") * KmeansQuant).cast("long"))
-            .as("s"),
-          count(lit(1)).as("n"))
-        .collect()
       val byCid: Map[Long, Seq[Row]] =
-        sums.toSeq.groupBy(_.getLong(0))
+        kmeansSums(corpus, vecCol, cents).collect()
+          .toSeq.groupBy(_.getLong(0))
       cents = cents.zipWithIndex.map { case (prev, cid) =>
         byCid.get(cid.toLong) match {
           case Some(rows) =>
@@ -293,6 +267,40 @@ object SimilaritySearch {
     }
 
     cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv) }
+  }
+
+  /** One Lloyd iteration's distributed half: per-(cid, dim) quantized
+    * sums + counts. Assignment argmax is a pure projection against
+    * literal centroids; the groupBy partial-aggregates map-side to
+    * ≤ k×dims rows per task (PlanSpec pins the single-exchange shape). */
+  private[graft] def kmeansSums(corpus: DataFrame, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    // argmax centroid per row (cos desc, cid asc); the row norm is a
+    // shared pre-projected column (non-cheap + referenced k times keeps
+    // CollapseProject from re-inlining the fold per centroid — same
+    // shape as ivfTopK)
+    val scores = sort_array(
+      array(cents.zipWithIndex.map { case (cv, cid) =>
+        val cnorm = math.sqrt(
+          cv.foldLeft(0.0)((acc, x) => acc + x * x))
+        struct(
+          (dot(col("v"), typedlit(cv)) /
+            (col("vn") * lit(cnorm))).as("ccos"),
+          lit(-cid.toLong).as("negcid"))
+      }: _*),
+      asc = false)
+    corpus
+      .select(col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+      // the argmax extract gets its own projection: a generator in the
+      // same select is rewritten by ExtractGenerator, which drops the
+      // struct field aliases the extract resolves against
+      .select(col("v"), (element_at(scores, 1)("negcid") * -1).as("cid"))
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg(
+        sum(floor(col("x").cast("double") * KmeansQuant).cast("long"))
+          .as("s"),
+        count(lit(1)).as("n"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= minCos, candidates

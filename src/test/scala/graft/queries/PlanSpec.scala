@@ -120,6 +120,23 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Window ["), s.take(3000))
   }
 
+  test("k-means iteration: assignment is a projection, sums are ONE " +
+      "partial-aggregated exchange (no window, no join, no cartesian)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Seq(Seq.fill(64)(0.1), Seq.fill(64)(-0.1))
+    val sums = graft.operators.SimilaritySearch
+      .kmeansSums(e, "embedding", cents)
+    sums.collect()
+    val plan = sums.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window ["), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // exactly one shuffle: the k×dims partial-aggregate exchange
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") === 1,
+      plan.take(3000))
+  }
+
   test("fused engine: the stats aggregate rides the row-rule scan as " +
       "observed metrics (one tokens decode, VERDICT r02 #1)") {
     import graft.model.BaselineBin
