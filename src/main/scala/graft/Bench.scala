@@ -19,7 +19,7 @@ object Bench {
     "text_quality", "text_fingerprint", "text_repetition",
     "sample_stratified",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_pairs_capped",
-    "dedup_clusters",
+    "dedup_clusters", "pipeline_curate",
     "dedup_simhash", "dedup_simhash_pairs_capped",
     "dedup_jaccard_pairs", "dedup_jaccard_pairs_capped",
     "dedup_embedding_pairs_lsh",

@@ -94,6 +94,34 @@ object DedupQueries {
         "text", k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20))
     }),
 
+    // The full curation PIPELINE as one query — what a user of this
+    // library actually runs over a crawl: near-dup clusters on the whole
+    // corpus (capped MinHash-LSH -> large-star/small-star), drop every
+    // non-keeper, keep quality documents, then a per-source deterministic
+    // k-sample by fingerprint order. Every stage is an operator verified
+    // above; this verifies their COMPOSITION end-to-end.
+    "pipeline_curate" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = docs(s, dir)
+      val labels = Dedup.dupClusters(Dedup.minhashLshPairs(d, "doc_id",
+        "text", k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20))
+      val dropIds = labels.filter(!col("is_keeper")).select("doc_id")
+      val kept = d
+        .filter(col("n_chars") >= 100 &&
+          size(words(col("text"))) >= 20)
+        .join(dropIds, Seq("doc_id"), "left_anti")
+      kept
+        .select(col("source"), col("doc_id"),
+          fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(graft.functions.TopKByScoreAggregate
+          .topK(-col("fp").cast("double"), col("doc_id"), 40).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("r0", "e")))
+        .select(col("source"), (col("r0") + 1).cast("int").as("rank"),
+          col("e.neighbor_id").as("doc_id"),
+          (-col("e.cos")).cast("long").as("fp"))
+    }),
+
     // exact n-gram Jaccard pairs >= 0.3 via inverted-index join
     "dedup_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
@@ -228,6 +256,31 @@ object DedupQueries {
           SELECT a AS doc_id, MIN(b) AS cluster_id,
                  a = MIN(b) AS is_keeper
           FROM reach GROUP BY a""",
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsCappedSql),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(a, b) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+          labels AS (SELECT a AS doc_id, MIN(b) AS cluster
+                     FROM reach GROUP BY a),
+          dropids AS (SELECT doc_id FROM labels WHERE doc_id <> cluster),
+          kept AS (
+            SELECT source, doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     [CAST(ascii(c) AS BIGINT) for c in string_split(text,'')]),
+                     (a,b)->(a*31+b)%1000000007) AS fp
+            FROM documents
+            WHERE n_chars >= 100 AND len(string_split(text,' ')) >= 20
+              AND doc_id NOT IN (SELECT doc_id FROM dropids))
+          SELECT source, CAST(rn AS INT) AS rank, doc_id, fp FROM (
+            SELECT source, doc_id, fp,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY fp ASC, doc_id ASC) AS rn
+            FROM kept)
+          WHERE rn <= 40""",
     "dedup_simhash" ->
       s"""WITH $simhash64BandsCte
           SELECT doc_id, band_idx, band FROM bands""",
