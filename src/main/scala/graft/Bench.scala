@@ -46,7 +46,8 @@ object Bench {
     // observation as the scaling protocol, BENCH/BASELINE.md): single-shot
     // timings at sf0.1 varied up to 3x run-to-run on an idle 32-core guest.
     // Min-of-reps recovers the engine's actual cost per query.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_QUERY_REPS").map(_.toInt).getOrElse(3)
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_QUERY_REPS").map(_.toInt).getOrElse(3))
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
@@ -54,7 +55,11 @@ object Bench {
           val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
           ((System.nanoTime() - t0) / 1e9, n)
         }
-        val (sec, n) = times.minBy(_._1)
+        // min over SUCCESSFUL reps — a transiently-failing rep returns in
+        // ~ms and would otherwise masquerade as the fastest; n = -1 is
+        // reported only when every rep failed
+        val ok = times.filter(_._2 >= 0)
+        val (sec, n) = (if (ok.nonEmpty) ok else times).minBy(_._1)
         System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows, min of $reps)")
         name -> sec
       }

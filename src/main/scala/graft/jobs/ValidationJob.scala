@@ -270,8 +270,15 @@ object ValidationJob {
     }
 
     import scala.concurrent.duration.Duration
-    val verdictRows = Await.result(verdictChain, Duration.Inf)
-    Await.result(vioChain, Duration.Inf)
+    // Join BOTH chains before anything can unwind: if one chain fails
+    // while the other is mid-write, bailing out immediately would abandon
+    // the in-flight write after its stale partitions were already deleted
+    // (and swallow its error). Both outcomes are observed; the violations
+    // chain's error wins (table integrity first).
+    val vioOutcome = scala.util.Try(Await.result(vioChain, Duration.Inf))
+    val verdictOutcome = scala.util.Try(Await.result(verdictChain, Duration.Inf))
+    vioOutcome.get
+    val verdictRows = verdictOutcome.get
     phase("write_violations+verdicts")
 
     val wallMs = (System.nanoTime() - t0) / 1000000

@@ -16,6 +16,13 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The one cluster configuration both `dedup_clusters` and
+    * `pipeline_curate` use: capped MinHash-LSH pairs → connected
+    * components. */
+  private def corpusClusters(d: DataFrame): DataFrame =
+    Dedup.dupClusters(Dedup.minhashLshPairs(d, "doc_id", "text",
+      k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via content hash: every member of a duplicate group
     "dedup_exact" -> ((s, dir) => {
@@ -89,10 +96,7 @@ object DedupQueries {
     // paired doc with its component minimum (= the keeper). The piece a
     // pair list alone doesn't give: A~B, B~C groups A and C without a
     // direct pair.
-    "dedup_clusters" -> ((s, dir) => {
-      Dedup.dupClusters(Dedup.minhashLshPairs(docs(s, dir), "doc_id",
-        "text", k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20))
-    }),
+    "dedup_clusters" -> ((s, dir) => corpusClusters(docs(s, dir))),
 
     // The full curation PIPELINE as one query — what a user of this
     // library actually runs over a crawl: near-dup clusters on the whole
@@ -103,23 +107,13 @@ object DedupQueries {
     "pipeline_curate" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       val d = docs(s, dir)
-      val labels = Dedup.dupClusters(Dedup.minhashLshPairs(d, "doc_id",
-        "text", k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20))
-      val dropIds = labels.filter(!col("is_keeper")).select("doc_id")
+      val dropIds = corpusClusters(d)
+        .filter(!col("is_keeper")).select("doc_id")
       val kept = d
         .filter(col("n_chars") >= 100 &&
           size(words(col("text"))) >= 20)
         .join(dropIds, Seq("doc_id"), "left_anti")
-      kept
-        .select(col("source"), col("doc_id"),
-          fingerprint(col("text")).as("fp"))
-        .groupBy("source")
-        .agg(graft.functions.TopKByScoreAggregate
-          .topK(-col("fp").cast("double"), col("doc_id"), 40).as("tk"))
-        .select(col("source"), posexplode(col("tk")).as(Seq("r0", "e")))
-        .select(col("source"), (col("r0") + 1).cast("int").as("rank"),
-          col("e.neighbor_id").as("doc_id"),
-          (-col("e.cos")).cast("long").as("fp"))
+      TextQueries.sampleByFingerprint(kept, 40)
     }),
 
     // exact n-gram Jaccard pairs >= 0.3 via inverted-index join
@@ -210,6 +204,25 @@ object DedupQueries {
                    i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
                    AS DOUBLE)/16 >= 0.5"""
 
+  /** Transitive-closure labeling over a `pairs` CTE (edges → reach →
+    * per-node component minimum) — shared by the `dedup_clusters` and
+    * `pipeline_curate` oracles so the two can't silently diverge. */
+  private val clusterLabelsCte =
+    """edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         UNION
+         SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+       labels AS (SELECT a AS doc_id, MIN(b) AS cluster
+                  FROM reach GROUP BY a)"""
+
+  /** Full-text polynomial fingerprint (mirrors TextFunctions.fingerprint). */
+  private val textFpSql =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "[CAST(ascii(c) AS BIGINT) for c in string_split(text,'')]), " +
+      "(a,b)->(a*31+b)%1000000007)"
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH g AS (SELECT md5(text) AS content_md5,
@@ -247,31 +260,16 @@ object DedupQueries {
     "dedup_minhash_pairs_capped" -> minhashPairsCappedSql,
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsCappedSql),
-          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-                    UNION SELECT id_b, id_a FROM pairs),
-          reach(a, b) AS (
-            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-            UNION
-            SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
-          SELECT a AS doc_id, MIN(b) AS cluster_id,
-                 a = MIN(b) AS is_keeper
-          FROM reach GROUP BY a""",
+          $clusterLabelsCte
+          SELECT doc_id, cluster AS cluster_id,
+                 doc_id = cluster AS is_keeper
+          FROM labels""",
     "pipeline_curate" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsCappedSql),
-          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-                    UNION SELECT id_b, id_a FROM pairs),
-          reach(a, b) AS (
-            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-            UNION
-            SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
-          labels AS (SELECT a AS doc_id, MIN(b) AS cluster
-                     FROM reach GROUP BY a),
+          $clusterLabelsCte,
           dropids AS (SELECT doc_id FROM labels WHERE doc_id <> cluster),
           kept AS (
-            SELECT source, doc_id,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     [CAST(ascii(c) AS BIGINT) for c in string_split(text,'')]),
-                     (a,b)->(a*31+b)%1000000007) AS fp
+            SELECT source, doc_id, $textFpSql AS fp
             FROM documents
             WHERE n_chars >= 100 AND len(string_split(text,' ')) >= 20
               AND doc_id NOT IN (SELECT doc_id FROM dropids))

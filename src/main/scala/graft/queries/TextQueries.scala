@@ -18,6 +18,22 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Per-source deterministic k-sample of (source, doc_id, text) rows by
+    * fingerprint order — shared by `sample_stratified` and the composed
+    * `pipeline_curate`. Bounded TopKByScoreAggregate: ≤ k map-side state
+    * per (source, task), no per-group window reducer. */
+  private[queries] def sampleByFingerprint(d: DataFrame, k: Int): DataFrame =
+    d.select(col("source"), col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(TopKByScoreAggregate
+        .topK(-col("fp").cast("double"), col("doc_id"), k).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("r0", "e")))
+      .select(col("source"), (col("r0") + 1).cast("int").as("rank"),
+        col("e.neighbor_id").as("doc_id"),
+        // fp < 2^30 << 2^53: the double round-trip is exact
+        (-col("e.cos")).cast("long").as("fp"))
+
   // oracle fragment: polynomial char hash, mirrored from TextFunctions
   private def sqlPolyHash(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -71,19 +87,8 @@ object TextQueries {
     // engine reproduces): the balanced-subsample op of a training-data
     // pipeline, built on the bounded TopKByScoreAggregate so map-side
     // state is ≤ k per (source, task) — no per-group window reducer.
-    "sample_stratified" -> ((s, dir) => {
-      docs(s, dir)
-        .select(col("source"), col("doc_id"),
-          fingerprint(col("text")).as("fp"))
-        .groupBy("source")
-        .agg(TopKByScoreAggregate
-          .topK(-col("fp").cast("double"), col("doc_id"), 40).as("tk"))
-        .select(col("source"), posexplode(col("tk")).as(Seq("r0", "e")))
-        .select(col("source"), (col("r0") + 1).cast("int").as("rank"),
-          col("e.neighbor_id").as("doc_id"),
-          // fp < 2^30 << 2^53: the double round-trip is exact
-          (-col("e.cos")).cast("long").as("fp"))
-    }),
+    "sample_stratified" -> ((s, dir) =>
+      sampleByFingerprint(docs(s, dir), 40)),
 
     // Repetition scoring (the Gopher-style quality signal): fraction of
     // words / 2-grams / 3-grams that are repeats within the document —
@@ -98,13 +103,17 @@ object TextQueries {
         when(size(arr) > 0,
           lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
           .otherwise(lit(0.0))
-      docs(s, dir).select(
-        col("doc_id"),
-        dupFrac(w).as("dup_word_frac"),
-        dupFrac(g2).as("dup_2gram_frac"),
-        dupFrac(g3).as("dup_3gram_frac"),
-        when(dupFrac(w) > 0.6 || dupFrac(g3) > 0.2, lit("repetitive"))
-          .otherwise(lit("ok")).as("rep_class"))
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          dupFrac(w).as("dup_word_frac"),
+          dupFrac(g2).as("dup_2gram_frac"),
+          dupFrac(g3).as("dup_3gram_frac"))
+        // classify over the COMPUTED columns, not re-built copies of the
+        // fraction trees — one definition to keep in sync with the oracle
+        .withColumn("rep_class",
+          when(col("dup_word_frac") > 0.6 || col("dup_3gram_frac") > 0.2,
+            lit("repetitive")).otherwise(lit("ok")))
     }),
 
     // multimodal metadata path: opaque binary payload + typed metadata
