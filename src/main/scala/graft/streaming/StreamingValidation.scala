@@ -197,6 +197,74 @@ object StreamingValidation {
         })
   }
 
+  /** One drift decision emitted per (micro-batch, source). */
+  final case class DriftAlert(
+      batch_id: Long, source: String, statistic: Double,
+      threshold: Double, rejected: Boolean, n: Long, m: Long)
+
+  /** Incremental DRIFT monitor — the streaming form of the batch
+    * R_DRIFT_NTOK_KS rule: each micro-batch's per-source n_tok histogram
+    * is persisted as its OWN generation keyed by batch id, the cumulative
+    * histogram (sum over generations) is KS-tested against the baseline
+    * snapshot, and a [[DriftAlert]] row per source is emitted. Cross-row
+    * rules stay foreachBatch concerns (header note); this one gets an
+    * incremental story because histograms are mergeable — exactly why the
+    * engine binned them (SURVEY §7.5 #1).
+    *
+    * Crash-replay idempotence: a replayed micro-batch OVERWRITES its own
+    * histogram + alert generations (batch_id-partitioned dynamic
+    * overwrite) instead of double-counting — the same contract as the
+    * batch path's run_id-keyed logs. State volume is |batches| ×
+    * |sources| × ≤64 bins rows; a compaction (merge generations below a
+    * watermark batch id) bounds it for long-lived streams — deliberately
+    * left to deployment policy, like dedupStream's TTL. */
+  def startDriftMonitor(
+      spark: SparkSession,
+      inputDir: String,
+      baseline: Dataset[graft.model.BaselineBin],
+      outDir: String,
+      alpha: Double = 0.01): StreamingQuery = {
+    import graft.sources.TableIO
+    import graft.drift.Drift
+    val baseBins: Map[String, Map[Int, Long]] = baseline
+      .collect().toSeq
+      .filter(_.kind == "ntok_hist")
+      .groupBy(_.source)
+      .map { case (src, rows) =>
+        src -> rows.map(b => b.bin -> b.count).toMap
+      }
+    readSequenceStream(spark, inputDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Sequence], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        TableIO.writePartitioned(
+          Drift.ntokHist(batch.toDF()).withColumn("batch_id", lit(batchId)),
+          s"$outDir/drift_state", partitionCol = "batch_id")
+        val cum = s.read.parquet(s"$outDir/drift_state")
+          .groupBy("source", "bin").agg(sum("count").as("count"))
+          .collect()
+        val alerts = cum.toSeq
+          .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+          .flatMap { case (src, rows) =>
+            baseBins.get(src).map { bh =>
+              val hist = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+              val res = Drift.ksTest(hist, bh, Drift.ntokBins, alpha)
+              DriftAlert(batchId, src, res.statistic, res.threshold,
+                res.rejected, res.n, res.m)
+            }
+          }
+        TableIO.writePartitioned(
+          s.createDataset(alerts).coalesce(1).toDF(),
+          s"$outDir/drift_alerts", partitionCol = "batch_id",
+          recluster = false)
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/drift_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Windowed per-source violation-rate monitor over an event-time column
     * (watermarked tumbling windows — the streaming aggregation surface). */
   def violationRate(

@@ -90,6 +90,50 @@ class StreamingValidationSpec extends SparkSpec {
     assert(readVio().filter($"source" === "mito").count() === 1)
   }
 
+  test("streaming drift monitor: clean batches pass, a shifted batch " +
+      "flips the cumulative KS alert; histogram generations are " +
+      "batch-keyed") {
+    val dir = tmpDir("driftmon")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+
+    // baseline and first batch from the SAME distribution
+    val base = SequenceGen.sequences(spark, 800)
+    val baseline = graft.drift.Drift.histograms(
+      base.toDF(), SequenceGen.vocabSize, "base")
+    SequenceGen.sequences(spark, 800, seed = 7L)
+      .write.mode("overwrite").parquet(in)
+    StreamingValidation.startDriftMonitor(spark, in, baseline, out)
+      .awaitTermination(60000)
+
+    def alerts() = spark.read
+      .parquet(s"$out/drift_alerts")
+    val a1 = alerts().collect()
+    assert(a1.nonEmpty)
+    assert(a1.forall(!_.getAs[Boolean]("rejected")),
+      a1.mkString("\n")) // same distribution: no drift
+
+    // a second batch with a hard n_tok shift on every source
+    SequenceGen.sequences(spark, 800, seed = 8L)
+      .withColumn("n_tok", col("n_tok") + 1500)
+      .write.mode("append").parquet(in)
+    StreamingValidation.startDriftMonitor(spark, in, baseline, out)
+      .awaitTermination(60000)
+
+    val a2 = alerts().collect()
+    val batches = a2.map(_.getAs[Number]("batch_id").longValue).distinct
+    assert(batches.length >= 2) // one alert generation per micro-batch
+    val latest = batches.max
+    val last = a2.filter(_.getAs[Number]("batch_id").longValue == latest)
+    assert(last.exists(_.getAs[Boolean]("rejected")),
+      last.mkString("\n")) // cumulative KS now rejects
+
+    // state is one histogram generation per batch (replay-idempotent key)
+    val gens = spark.read.parquet(s"$out/drift_state")
+      .select("batch_id").distinct().count()
+    assert(gens >= 2)
+  }
+
   test("flatMapGroupsWithState sessionizer: sessions close on event-time " +
       "timeout and carry exact violation counts") {
     import StreamingValidation.{SessionEvent, sessionSummaries}
