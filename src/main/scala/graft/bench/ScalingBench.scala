@@ -125,7 +125,15 @@ object ScalingBench {
     * an earlier "stop when minima stop improving" heuristic terminated
     * exactly during sustained bursts — minima stop improving because the
     * noise grew, not because they converged. First 4N rep is JIT warm-up,
-    * excluded. */
+    * excluded.
+    *
+    * Each round runs TWO 4N reps per N rep: a rep's minimum is clean only
+    * if a quiet slot covers the WHOLE rep, and a 4N rep is ~3x shorter
+    * than an N rep — so per round the short level gets proportionally
+    * more draws. Measured across three 6-round runs before this change,
+    * the 4N minimum's spread (32.1-33.9s, 5.6%) dominated the N
+    * minimum's (107.7-110.5s, 2.6%) in the efficiency ratio; doubling
+    * the 4N draws attacks exactly that variance, at +2 min per run. */
   def run(workDir: String, rows: Long, maxReps: Int = 6): Result = {
     prepare(workDir, rows)
     oneRep(workDir, N4Cpus, "warmup")
@@ -136,10 +144,12 @@ object ScalingBench {
     while (i < maxReps) {
       i += 1
       val (w4, _) = oneRep(workDir, NCpus, s"$i")
-      val (w16, r) = oneRep(workDir, N4Cpus, s"$i")
+      val (w16a, r) = oneRep(workDir, N4Cpus, s"${i}a")
+      val (w16b, _) = oneRep(workDir, N4Cpus, s"${i}b")
       rows0 = r
       if (w4 < bestN) bestN = w4
-      if (w16 < bestN4) bestN4 = w16
+      if (w16a < bestN4) bestN4 = w16a
+      if (w16b < bestN4) bestN4 = w16b
     }
     val n = Level(NCpus, rows0 * 1000.0 / bestN, bestN)
     val n4 = Level(N4Cpus, rows0 * 1000.0 / bestN4, bestN4)
