@@ -47,7 +47,13 @@ object Bench {
     // timings at sf0.1 varied up to 3x run-to-run on an idle 32-core guest.
     // Min-of-reps recovers the engine's actual cost per query.
     val reps = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_QUERY_REPS").map(_.toInt).getOrElse(3))
+      sys.env.get("SPARK_GRAFT_BENCH_QUERY_REPS")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3))
+    // flaky-rep bookkeeping (ADVICE r03): a query that fails SOME reps
+    // still reports its min over the successful ones, but the failure is
+    // surfaced — in the per-query log line AND the headline JSON — instead
+    // of silently reading as a clean time.
+    val flaky = scala.collection.mutable.ListBuffer.empty[String]
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
@@ -59,8 +65,12 @@ object Bench {
         // ~ms and would otherwise masquerade as the fastest; n = -1 is
         // reported only when every rep failed
         val ok = times.filter(_._2 >= 0)
+        val nFailed = times.size - ok.size
+        if (nFailed > 0) flaky += s"$name:$nFailed/$reps"
         val (sec, n) = (if (ok.nonEmpty) ok else times).minBy(_._1)
-        System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows, min of $reps)")
+        val flag = if (nFailed > 0) s"  [FAILED $nFailed/$reps reps]" else ""
+        System.err.println(
+          f"[bench] $name%-24s $sec%8.3f s  ($n rows, min of $reps)$flag")
         name -> sec
       }
     }
@@ -103,8 +113,11 @@ object Bench {
         s""""host_ceiling":${f"${r.hostCeiling}%.3f"},""" +
         s""""normalized_efficiency":${f"${r.normalizedEfficiency}%.3f"}}"""
     }.getOrElse("")
+    val flakyJson =
+      if (flaky.isEmpty) ""
+      else s""","failed_reps":[${flaky.map("\"" + _ + "\"").mkString(",")}]"""
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir"$scalingJson}""")
+        s""""queries":$qs,"sf":"$sfDir"$flakyJson$scalingJson}""")
   }
 }

@@ -131,11 +131,9 @@ object DedupQueries {
     })
   )
 
-  // --- oracle fragments (mirror TextFunctions exactly) ---
-  private val polyHashLambda =
-    "s -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "[CAST(ascii(c) AS BIGINT) for c in string_split(s,'')]), " +
-      "(a,b)->(a*31+b)%1000000007)"
+  // --- oracle fragments (mirror TextFunctions exactly; the char-hash
+  // spec itself lives ONCE in TextQueries.sqlPolyHash — ADVICE r03) ---
+  private val polyHashLambda = s"s -> ${TextQueries.sqlPolyHash("s")}"
 
   /** doc_id -> distinct 3-gram shingle hashes, as a CTE. */
   private val shingleHashCte =
@@ -217,11 +215,9 @@ object DedupQueries {
        labels AS (SELECT a AS doc_id, MIN(b) AS cluster
                   FROM reach GROUP BY a)"""
 
-  /** Full-text polynomial fingerprint (mirrors TextFunctions.fingerprint). */
-  private val textFpSql =
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "[CAST(ascii(c) AS BIGINT) for c in string_split(text,'')]), " +
-      "(a,b)->(a*31+b)%1000000007)"
+  /** Full-text polynomial fingerprint (mirrors TextFunctions.fingerprint;
+    * shared definition — see sqlPolyHash). */
+  private val textFpSql = TextQueries.sqlPolyHash("text")
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->

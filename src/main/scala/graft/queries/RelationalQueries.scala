@@ -194,15 +194,18 @@ object RelationalQueries {
     // A8: group-to-map / capped evidence collection — per group, the
     // FIRST-k ordered member ids plus the exact total (duplicate-location
     // evidence capped at k, manifest_processor.py:293-305; engine form:
-    // RuleEngine.uniqueViolations' capped collect)
+    // RuleEngine.uniqueViolations' capped collect). Emitted as a "|"-joined
+    // scalar, not an array: the evidence payload is a display string (the
+    // reference stores it as a message field), and scalars keep the row
+    // sortable/hashable by any downstream consumer.
     "a8_group_evidence" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("user_id")
         .agg(
-          transform(
+          concat_ws("|", transform(
             slice(sort_array(collect_list(struct(col("ts"),
               col("event_id")))), 1, 5),
-            x => x("event_id")).as("first_events"),
+            x => x("event_id").cast("string"))).as("first_events"),
           count(lit(1)).as("n_events"))
     }),
 
@@ -385,7 +388,8 @@ object RelationalQueries {
          GROUP BY 1""",
     "a8_group_evidence" ->
       """SELECT user_id,
-         (list(event_id ORDER BY ts, event_id))[1:5] AS first_events,
+         array_to_string((list(event_id ORDER BY ts, event_id))[1:5], '|')
+           AS first_events,
          COUNT(*) AS n_events
          FROM events GROUP BY 1""",
     "j4_dim_join" ->

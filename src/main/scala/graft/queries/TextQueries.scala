@@ -34,8 +34,10 @@ object TextQueries {
         // fp < 2^30 << 2^53: the double round-trip is exact
         (-col("e.cos")).cast("long").as("fp"))
 
-  // oracle fragment: polynomial char hash, mirrored from TextFunctions
-  private def sqlPolyHash(expr: String): String =
+  // oracle fragment: polynomial char hash, mirrored from TextFunctions.
+  // private[queries]: DedupQueries' oracles hash the same fingerprint —
+  // ONE definition so the two oracle-side specs cannot drift (ADVICE r03).
+  private[queries] def sqlPolyHash(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"[CAST(ascii(c) AS BIGINT) for c in string_split($expr,'')]), " +
       s"(a,b)->(a*31+b)%1000000007)"
