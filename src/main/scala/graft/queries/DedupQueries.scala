@@ -34,6 +34,25 @@ object DedupQueries {
         .select("doc_id", "content_md5", "n_dups")
     }),
 
+    // Deterministic survivor selection — the BATCH form of the streaming
+    // first-seen dedup's tie-break (StreamingValidation.dedupStream picks
+    // the (source, n_tok)-least occurrence of a duplicated key so the
+    // survivor is stable across partitionings). Here over documents: per
+    // content group, the (source, n_chars, doc_id)-least copy wins.
+    // arg-min as min(struct(...)): a map-side-partial aggregate — no
+    // window, no single-reducer — verified cross-engine (VERDICT r03 #5;
+    // duplicate-etag gate, manifest_processor.py:283-305).
+    "dedup_first_seen" -> ((s, dir) => {
+      docs(s, dir)
+        .select(md5(col("text")).as("content_md5"),
+          struct(col("source"), col("n_chars"), col("doc_id")).as("w"))
+        .groupBy("content_md5")
+        .agg(min(col("w")).as("w"), count(lit(1)).as("n_copies"))
+        .select(col("content_md5"), col("w.source").as("source"),
+          col("w.n_chars").as("n_chars"), col("w.doc_id").as("doc_id"),
+          col("n_copies"))
+    }),
+
     // MinHash signatures (first 50 docs): the LSH building block
     "dedup_minhash_sig" -> ((s, dir) => {
       Dedup.minhashSignatures(
@@ -99,20 +118,32 @@ object DedupQueries {
     "dedup_clusters" -> ((s, dir) => corpusClusters(docs(s, dir))),
 
     // The full curation PIPELINE as one query — what a user of this
-    // library actually runs over a crawl: near-dup clusters on the whole
-    // corpus (capped MinHash-LSH -> large-star/small-star), drop every
-    // non-keeper, keep quality documents, then a per-source deterministic
-    // k-sample by fingerprint order. Every stage is an operator verified
-    // above; this verifies their COMPOSITION end-to-end.
+    // library actually runs over a crawl, all four stages (VERDICT r03
+    // #6): near-dup clusters on the training corpus (capped MinHash-LSH
+    // -> large-star/small-star), drop every non-keeper, DECONTAMINATE
+    // against the held-out benchmark set (asymmetric n-gram containment —
+    // eval docs must not leak into training data), keep quality
+    // documents, then a per-source deterministic k-sample by fingerprint
+    // order. Every stage is an operator verified above; this verifies
+    // their COMPOSITION end-to-end. Benchmark = every 50th doc (the same
+    // split `decontaminate_overlap` verifies in isolation); both anti
+    // joins are on a small id set, so they broadcast.
     "pipeline_curate" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       val d = docs(s, dir)
-      val dropIds = corpusClusters(d)
+      val corpus = d.filter(col("doc_id") % 50 =!= 0)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val dropIds = corpusClusters(corpus)
         .filter(!col("is_keeper")).select("doc_id")
-      val kept = d
+      val contaminatedIds = Dedup.contaminationPairs(
+          corpus, "doc_id", bench, "doc_id", "text",
+          shingleN = 3, minContainment = 0.04)
+        .select(col("corpus_id").as("doc_id")).distinct()
+      val kept = corpus
         .filter(col("n_chars") >= 100 &&
           size(words(col("text"))) >= 20)
         .join(dropIds, Seq("doc_id"), "left_anti")
+        .join(contaminatedIds, Seq("doc_id"), "left_anti")
       TextQueries.sampleByFingerprint(kept, 40)
     }),
 
@@ -135,8 +166,10 @@ object DedupQueries {
   // spec itself lives ONCE in TextQueries.sqlPolyHash — ADVICE r03) ---
   private val polyHashLambda = s"s -> ${TextQueries.sqlPolyHash("s")}"
 
-  /** doc_id -> distinct 3-gram shingle hashes, as a CTE. */
-  private val shingleHashCte =
+  /** doc_id -> distinct 3-gram shingle hashes, as a CTE, over the
+    * documents satisfying `where` (TRUE = whole table; the composed
+    * pipeline restricts its cluster stage to the training split). */
+  private def shingleHashCteWhere(where: String): String =
     s"""sh AS (
        SELECT doc_id,
               list_distinct(list_transform(
@@ -145,7 +178,9 @@ object DedupQueries {
                            for i in range(1, len(w)-1)] END,
                 $polyHashLambda)) AS hs
        FROM (SELECT doc_id, text, string_split(text,' ') AS w
-             FROM documents))"""
+             FROM documents WHERE $where))"""
+
+  private val shingleHashCte = shingleHashCteWhere("TRUE")
 
   /** 16-hash MinHash signature from hs. */
   private val sigExpr =
@@ -174,9 +209,10 @@ object DedupQueries {
          FROM votes GROUP BY doc_id, j // 16)"""
 
   /** Capped MinHash-LSH pair SQL — shared by the pair query's oracle and
-    * (as a nested CTE) the cluster query's transitive-closure oracle. */
-  private val minhashPairsCappedSql =
-    s"""WITH $shingleHashCte,
+    * (as a nested CTE) the cluster + pipeline oracles; `where` restricts
+    * the document set the pairs are computed over. */
+  private def minhashPairsCappedSqlWhere(where: String): String =
+    s"""WITH ${shingleHashCteWhere(where)},
           sigs AS (SELECT doc_id, $sigExpr AS sig FROM sh),
           bands AS (
             SELECT doc_id, sig, CAST(b AS INT) AS band_idx,
@@ -202,6 +238,26 @@ object DedupQueries {
                    i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
                    AS DOUBLE)/16 >= 0.5"""
 
+  private val minhashPairsCappedSql = minhashPairsCappedSqlWhere("TRUE")
+
+  /** Asymmetric n-gram containment of benchmark docs (every 50th) in
+    * corpus docs (the rest) — ONE definition shared by the standalone
+    * `decontaminate_overlap` oracle and (nested) the pipeline oracle. */
+  private def containmentSql(minContainment: Double): String =
+    s"""WITH $shingleHashCte,
+       corp AS (SELECT doc_id AS corpus_id, unnest(hs) AS shingle
+                FROM sh WHERE doc_id % 50 <> 0),
+       bench AS (SELECT doc_id AS bench_id, len(hs) AS n_bench,
+                        unnest(hs) AS shingle
+                 FROM sh WHERE doc_id % 50 = 0),
+       inter AS (SELECT corpus_id, bench_id, n_bench,
+                        COUNT(*) AS n_inter
+                 FROM corp JOIN bench USING (shingle) GROUP BY 1, 2, 3)
+       SELECT corpus_id, bench_id,
+              CAST(n_inter AS DOUBLE)/n_bench AS containment
+       FROM inter
+       WHERE CAST(n_inter AS DOUBLE)/n_bench >= $minContainment"""
+
   /** Transitive-closure labeling over a `pairs` CTE (edges → reach →
     * per-node component minimum) — shared by the `dedup_clusters` and
     * `pipeline_curate` oracles so the two can't silently diverge. */
@@ -226,6 +282,14 @@ object DedupQueries {
              FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
          SELECT d.doc_id, g.content_md5, g.n_dups
          FROM documents d JOIN g ON md5(d.text) = g.content_md5""",
+    "dedup_first_seen" ->
+      """SELECT content_md5, source, n_chars, doc_id, n_copies FROM (
+           SELECT md5(text) AS content_md5, source, n_chars, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY md5(text)
+                    ORDER BY source, n_chars, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+           FROM documents)
+         WHERE rn = 1""",
     "dedup_minhash_sig" ->
       s"""WITH $shingleHashCte,
           sigs AS (SELECT doc_id, $sigExpr AS sig FROM sh WHERE doc_id < 50)
@@ -261,14 +325,20 @@ object DedupQueries {
                  doc_id = cluster AS is_keeper
           FROM labels""",
     "pipeline_curate" ->
-      s"""WITH RECURSIVE pairs AS ($minhashPairsCappedSql),
+      s"""WITH RECURSIVE pairs AS (
+            ${minhashPairsCappedSqlWhere("doc_id % 50 <> 0")}),
           $clusterLabelsCte,
           dropids AS (SELECT doc_id FROM labels WHERE doc_id <> cluster),
+          contaminated AS (
+            SELECT DISTINCT corpus_id AS doc_id
+            FROM (${containmentSql(0.04)})),
           kept AS (
             SELECT source, doc_id, $textFpSql AS fp
             FROM documents
             WHERE n_chars >= 100 AND len(string_split(text,' ')) >= 20
-              AND doc_id NOT IN (SELECT doc_id FROM dropids))
+              AND doc_id % 50 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM dropids)
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated))
           SELECT source, CAST(rn AS INT) AS rank, doc_id, fp FROM (
             SELECT source, doc_id, fp,
                    ROW_NUMBER() OVER (PARTITION BY source
@@ -325,20 +395,7 @@ object DedupQueries {
               + bit_count(xor(a.bs[2], b.bs[2]))
               + bit_count(xor(a.bs[3], b.bs[3]))
               + bit_count(xor(a.bs[4], b.bs[4])) <= 3""",
-    "decontaminate_overlap" ->
-      s"""WITH $shingleHashCte,
-         corp AS (SELECT doc_id AS corpus_id, unnest(hs) AS shingle
-                  FROM sh WHERE doc_id % 50 <> 0),
-         bench AS (SELECT doc_id AS bench_id, len(hs) AS n_bench,
-                          unnest(hs) AS shingle
-                   FROM sh WHERE doc_id % 50 = 0),
-         inter AS (SELECT corpus_id, bench_id, n_bench,
-                          COUNT(*) AS n_inter
-                   FROM corp JOIN bench USING (shingle) GROUP BY 1, 2, 3)
-         SELECT corpus_id, bench_id,
-                CAST(n_inter AS DOUBLE)/n_bench AS containment
-         FROM inter
-         WHERE CAST(n_inter AS DOUBLE)/n_bench >= 0.04""",
+    "decontaminate_overlap" -> containmentSql(0.04),
     "dedup_jaccard_pairs" ->
       s"""WITH $shingleHashCte,
          ds AS (SELECT doc_id, unnest(hs) AS shingle FROM sh),

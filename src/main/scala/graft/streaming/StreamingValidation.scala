@@ -108,7 +108,11 @@ object StreamingValidation {
     * incremental answer to the batch path's two-pass uniqueness). State
     * grows with distinct keys; a production deployment bounds it with a
     * state-TTL/timeout policy, which this operator deliberately leaves to
-    * configuration (dropping state silently re-admits duplicates). */
+    * configuration (dropping state silently re-admits duplicates).
+    * The within-batch survivor rule (arg-min tie-break below) is the same
+    * rule the batch query `dedup_first_seen` cross-verifies against a
+    * DuckDB oracle (DedupQueries) — streaming and batch pick the SAME
+    * winner for any duplicate set that arrives in one batch. */
   def dedupStream(seqs: Dataset[Sequence]): Dataset[Sequence] = {
     import seqs.sparkSession.implicits._
     seqs
