@@ -27,24 +27,35 @@ object Checkpoint {
     else spark.emptyDataset[CheckpointEntry]
   }
 
-  def append(entries: Dataset[CheckpointEntry], path: String): Unit =
-    entries.write.mode(SaveMode.Append).parquet(path)
+  /** Write one run's checkpoint entries as that run's OWN generation
+    * (`run_seg=<runId>` hive partition, dynamic overwrite). Two properties
+    * a plain parquet append lacks: (1) CONCURRENT-safe — each writing job
+    * stages under its own unique `.spark-staging-*` dir and commits only
+    * its own partition, so two runs over disjoint partition sets can
+    * finish simultaneously (a shared FileOutputCommitter `_temporary`
+    * would let one run's commit delete the other's in-flight staging);
+    * (2) replay-idempotent — a crashed run replays with the same derived
+    * runId and overwrites its own generation instead of appending a
+    * duplicate. runId is deterministic per (snapshot, ruleset, scope), so
+    * distinct concurrent scopes land in distinct generations. */
+  def appendRun(
+      entries: Dataset[CheckpointEntry], path: String, runId: String): Unit =
+    entries.toDF()
+      .withColumn("run_seg", org.apache.spark.sql.functions.lit(runId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_seg")
+      .parquet(path)
 
-  /** Run lock — the Spark-native analog of the reference's folder lock
-    * (a Deny bucket-policy on the submission prefix while it is being
-    * processed, folder_lock.py:44-164): an atomically-created marker file
-    * under the output dir. A second concurrent run on the same outDir
-    * fails to create it and aborts instead of double-writing. Stale locks
-    * (crashed runs) are reclaimed after `staleMs`. */
-  def acquireRunLock(
-      spark: SparkSession, outDir: String,
-      staleMs: Long = 6 * 3600 * 1000L,
-      attempts: Int = 5): Boolean = {
+  /** Atomic create-if-absent on a single lock file, with stale reclaim.
+    * Shared by the whole-dir run lock and the per-partition locks. */
+  private def tryLockFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      staleMs: Long,
+      attempts: Int): Boolean = {
     if (attempts <= 0) return false
-    val p = new org.apache.hadoop.fs.Path(s"$outDir/_running")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
-    def retry() = acquireRunLock(spark, outDir, staleMs, attempts - 1)
+    def retry() = tryLockFile(fs, p, staleMs, attempts - 1)
     try {
       // createNewFile semantics: atomic create-if-absent
       val out = fs.create(p, false)
@@ -68,17 +79,84 @@ object Checkpoint {
           // fresh lock. The delete-then-create race (both delete, each
           // creates, B deletes A's fresh lock, both proceed) is gone.
           val tomb = new org.apache.hadoop.fs.Path(
-            s"$outDir/_running.reclaim.${java.util.UUID.randomUUID()}")
+            p.getParent, s"${p.getName}.reclaim.${java.util.UUID.randomUUID()}")
           if (fs.rename(p, tomb)) fs.delete(tomb, false)
           retry()
         } else false
     }
   }
 
+  /** Whole-dir run lock — an atomically-created marker file under the
+    * output dir. A second concurrent run on the same outDir fails to
+    * create it and aborts instead of double-writing. Stale locks (crashed
+    * runs) are reclaimed after `staleMs`. Jobs whose write unit is the
+    * whole output dir (TransferJob's store+manifest regeneration) use
+    * this; ValidationJob locks at PARTITION granularity below. */
+  def acquireRunLock(
+      spark: SparkSession, outDir: String,
+      staleMs: Long = 6 * 3600 * 1000L,
+      attempts: Int = 5): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_running")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    tryLockFile(fs, p, staleMs, attempts)
+  }
+
   def releaseRunLock(spark: SparkSession, outDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/_running")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Lock-file path for one partition value (URL-encoded so any partition
+    * string maps to a distinct, filesystem-safe name). */
+  def partitionLockPath(
+      outDir: String, partition: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$outDir/_locks/" +
+      java.net.URLEncoder.encode(partition, "UTF-8") + ".lock")
+
+  /** PER-PARTITION run locks (VERDICT r03 #4) — the reference's
+    * concurrency unit is the submission PREFIX, not the whole results
+    * area (folder_lock.py:44-164 denies writes to one submission folder
+    * while it is processed). Locking the partition SET a run will write
+    * lets two runs over disjoint partition sets of the same table proceed
+    * concurrently, while overlapping sets still refuse each other.
+    *
+    * All-or-nothing: partitions are locked in sorted order; on the first
+    * conflict every lock this call took is released and the call returns
+    * false — no partial hold, so two overlapping runs cannot deadlock
+    * (one of them wins every contended lock or backs out fully). Stale
+    * locks from crashed runs reclaim after `staleMs`, per lock file. */
+  def acquirePartitionLocks(
+      spark: SparkSession, outDir: String, partitions: Seq[String],
+      staleMs: Long = 6 * 3600 * 1000L,
+      attempts: Int = 5): Boolean = {
+    val sorted = partitions.distinct.sorted
+    if (sorted.isEmpty) return true
+    val root = new org.apache.hadoop.fs.Path(s"$outDir/_locks")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val acquired = scala.collection.mutable.ListBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    sorted.foreach { part =>
+      val lp = partitionLockPath(outDir, part)
+      if (tryLockFile(fs, lp, staleMs, attempts)) acquired += lp
+      else {
+        acquired.foreach(fs.delete(_, false))
+        return false
+      }
+    }
+    true
+  }
+
+  def releasePartitionLocks(
+      spark: SparkSession, outDir: String, partitions: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$outDir/_locks")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitions.distinct.foreach { part =>
+      val lp = partitionLockPath(outDir, part)
+      if (fs.exists(lp)) fs.delete(lp, false)
+    }
   }
 
   /** Partitions already validated for (snapshotId, rulesetHash) — the skip

@@ -13,7 +13,7 @@ import graft.drift.Drift
  * Commands:
  *   gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] [unknownRate] [driftSrc:shift]
  *     writes input/ manifest/ baseline/ under outDir (seeded, deterministic)
- *   validate <inputDir> <manifestDir> <outDir> [baselineDir]
+ *   validate <inputDir> <manifestDir> <outDir> [baselineDir] [refSnapshotDir] [--partitions=a,b]
  *     runs the rule set, writes violations/ verdicts/ checkpoint/, prints a
  *     one-line JSON run report
  */
@@ -73,7 +73,14 @@ object Main {
             .write.mode("overwrite").parquet(s"$outDir/baseline")
           println(s"""{"generated":$n,"outDir":"$outDir","seed":$seed}""")
 
-        case "validate" :: input :: manifest :: outDir :: rest =>
+        case "validate" :: input :: manifest :: outDir :: rest0 =>
+          // --partitions=a,b restricts the run to a submission scope
+          // (per-partition locks let disjoint scopes run concurrently)
+          val scope = rest0.collectFirst {
+            case a if a.startsWith("--partitions=") =>
+              a.stripPrefix("--partitions=").split(",").toSeq
+          }
+          val rest = rest0.filterNot(_.startsWith("--partitions="))
           // optional 5th arg: reference snapshot for the J10 cross-snapshot
           // token-equality rule (rule set extends automatically)
           val refSnap = rest.lift(1)
@@ -83,6 +90,7 @@ object Main {
             outDir = outDir,
             baselinePath = rest.headOption,
             refSnapshotPath = refSnap,
+            partitions = scope,
             rules =
               if (refSnap.isDefined) graft.rules.Rules.withSnapshotEquality
               else graft.rules.Rules.standard))
@@ -127,7 +135,7 @@ object Main {
           System.err.println(
             "usage: gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] " +
               "[unknownRate] [driftSrc:shift] | " +
-              "validate <inputDir> <manifestDir> <outDir> [baselineDir] " +
+              "validate <inputDir> <manifestDir> <outDir> [baselineDir] [--partitions=a,b] " +
               "[refSnapshotDir] | " +
               "transfer <inputDir> <validationOutDir> <storeDir> " +
               "<manifestTsvDir> | " +

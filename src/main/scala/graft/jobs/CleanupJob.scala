@@ -121,7 +121,15 @@ object CleanupJob {
                 leftovers += st.getPath.toString
                 if (!dryRun) fs.delete(st.getPath, true)
               } else if (st.getPath.getName != "_temporary") sweep(st.getPath)
-            } else if (st.getPath.getName.startsWith("_running.reclaim.")) {
+            } else if (st.getPath.getName.contains(".reclaim.")) {
+              // orphaned reclaim tombstones from ANY lock (whole-dir
+              // `_running` or per-partition `_locks/*.lock`)
+              leftovers += st.getPath.toString
+              if (!dryRun) fs.delete(st.getPath, false)
+            } else if (st.getPath.getName.endsWith(".lock") &&
+                now - st.getModificationTime > lockStaleMs) {
+              // stale per-partition locks (crashed partition-scoped runs);
+              // live ones are younger than the stale window and stay
               leftovers += st.getPath.toString
               if (!dryRun) fs.delete(st.getPath, false)
             }

@@ -26,6 +26,19 @@ object ValidationJob {
       refSnapshotPath: Option[String] = None,
       rules: RuleSet = Rules.standard,
       vocab: Int = graft.gen.SequenceGen.vocabSize,
+      /** Restrict the run to this subset of source partitions — the
+        * reference's SUBMISSION unit (one validation processes one
+        * submission prefix, folder_lock.py:44-164). A restricted run
+        * locks, validates, reports and checkpoints ONLY these sources, so
+        * two runs over disjoint subsets of the same table proceed
+        * concurrently (per-partition locks, VERDICT r03 #4). None = the
+        * whole table (every non-checkpointed partition). Cross-partition
+        * rules (uniqueness) evaluate WITHIN the run's scope — the same
+        * contract a resumed run already has (it rescans only non-
+        * checkpointed partitions), and the reference's, whose duplicate
+        * gate is submission-local (manifest_processor.py:283-305); run
+        * unrestricted on a fresh checkpoint for global uniqueness. */
+      partitions: Option[Seq[String]] = None,
       /** Cache the fact table across the rule-family passes. OFF by
         * default since the r03 fusion: the only repeat reads of the fact
         * table are two NARROW column scans (uniqueness passes — doc_id
@@ -61,13 +74,6 @@ object ValidationJob {
       System.err.println(f"[phase] $name%-22s ${(now - tLast) / 1e6}%9.1f ms")
       tLast = now
     }
-
-    // Partition lock (reference folder_lock analog): refuse to double-run
-    // on the same output dir; released in the finally below.
-    require(Checkpoint.acquireRunLock(spark, cfg.outDir),
-      s"another validation run holds the lock on ${cfg.outDir} " +
-        "(delete _running if it is stale)")
-    try {
 
     val snapshotId = TableIO.snapshotId(spark, cfg.inputPath)
     phase("snapshot_id")
@@ -112,16 +118,35 @@ object ValidationJob {
     val allParts = TableIO.partitionValues(spark, cfg.inputPath, "source")
       .getOrElse(
         all.select("source").distinct().as[String].collect().toSeq.sorted)
-    val todo = allParts.filterNot(done)
+    // submission scope: a restricted run sees only its requested sources
+    val requested = cfg.partitions.map(_.toSet)
+    def inScope(src: String): Boolean = requested.forall(_(src))
+    val todo = allParts.filterNot(done).filter(inScope)
     phase("checkpoint+parts")
 
     if (todo.isEmpty) {
-      return RunReport(snapshotId, rulesetHash, Nil, allParts, 0L, 0L,
+      return RunReport(snapshotId, rulesetHash, Nil,
+        allParts.filter(inScope), 0L, 0L,
         (System.nanoTime() - t0) / 1000000)
     }
 
+    // PER-PARTITION locks on exactly the sources this run will write
+    // (todo, plus — for a restricted run — any requested manifest-only
+    // source its RI reporting covers): disjoint submission scopes proceed
+    // concurrently, overlapping scopes refuse each other. Whole-dir
+    // locking was the r03 shape; the reference's unit is the submission
+    // prefix (folder_lock.py:44-164). Released in the finally below.
+    val lockParts = requested
+      .fold(todo)(ps => (ps -- done).toSeq.sorted)
+    require(
+      Checkpoint.acquirePartitionLocks(spark, cfg.outDir, lockParts),
+      s"another validation run holds a partition lock under ${cfg.outDir} " +
+        s"overlapping ${lockParts.mkString(",")} (stale locks under " +
+        "_locks/ reclaim automatically)")
+    try {
+
     val seqs0 =
-      if (done.isEmpty) all
+      if (done.isEmpty && requested.isEmpty) all
       else all.filter(col("source").isin(todo.map(x => x: Any): _*))
 
     // The three rule-family passes rescan the fact table: cached columnar
@@ -165,9 +190,18 @@ object ValidationJob {
     // failing slice) buys |shuffle.partitions| cache partitions, already
     // clustered by source for the partitioned write.
     val nPart = spark.sessionState.conf.numShufflePartitions
+    // manifest-only sources (RI reporting on sources with no data) belong
+    // to an unrestricted run, or to a restricted run that REQUESTED them —
+    // a submission-scoped run must not write outside its locked scope.
+    val manifestOnlyScope = requested match {
+      case Some(ps) =>
+        col("source").isin(ps.toSeq.map(x => x: Any): _*)
+      case None => lit(true)
+    }
     val scanVio = staged.scanViolations
       .filter(col("source").isin(todo.map(x => x: Any): _*) ||
-        !col("source").isin(allParts.map(x => x: Any): _*))
+        (!col("source").isin(allParts.map(x => x: Any): _*) &&
+          manifestOnlyScope))
       .repartition(nPart, col("source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materializes the row-rule (+ observed token stats), unique and
@@ -186,7 +220,8 @@ object ValidationJob {
     // without re-shuffling (scanVio is already repartitioned by source):
     // per source dir, <= 1 file from the scan side + 1 from this slice.
     val driverVios = fin.driverViolations
-      .filter(v => todoSet(v.source) || !allPartsSet(v.source))
+      .filter(v => todoSet(v.source) ||
+        (!allPartsSet(v.source) && inScope(v.source)))
     val vio = scanVio.toDF()
       .unionByName(spark.createDataset(driverVios).coalesce(1).toDF())
       .as[Violation]
@@ -198,9 +233,24 @@ object ValidationJob {
     val vioCount = scanVioCount + driverVios.size
 
     val doneSources = done.toSet
-    val runSources = fin.sources.filterNot(doneSources)
+    // fin.sources = data sources (already todo-filtered) ∪ ALL manifest
+    // sources; a restricted run reports (and deletes stale partitions!)
+    // only inside its locked scope — without the inScope filter a
+    // submission-scoped run would delete violations partitions a
+    // CONCURRENT run over the other sources is writing.
+    val runSources = fin.sources.filterNot(doneSources).filter(inScope)
     val completedAt = java.time.Instant.now().toString
-    val runId = s"${snapshotId.take(12)}-${rulesetHash.take(12)}"
+    // run lineage id: restricted runs fold their scope in, so two
+    // concurrent disjoint-scope runs write DISTINCT run_id generations of
+    // the violations/run logs (and distinct checkpoint segments) while a
+    // crash replay of either still overwrites exactly its own generation.
+    val scopeSuffix = requested.fold("") { ps =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      "-" + md.digest(ps.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+    }
+    val runId =
+      s"${snapshotId.take(12)}-${rulesetHash.take(12)}$scopeSuffix"
 
     // The two write CHAINS below are independent of each other (both read
     // only the materialized violations cache + collected driver facts), so
@@ -308,15 +358,17 @@ object ValidationJob {
           completed_at = completedAt)
       }
 
-    Checkpoint.append(
-      spark.createDataset(perPartStatus), checkpointPath(cfg.outDir))
+    Checkpoint.appendRun(
+      spark.createDataset(perPartStatus), checkpointPath(cfg.outDir), runId)
     phase("checkpoint_write")
 
     scanVio.unpersist(blocking = false)
     if (useCache) seqs.unpersist(blocking = false)
-    RunReport(snapshotId, rulesetHash, todo, done.toSeq.sorted,
+    RunReport(snapshotId, rulesetHash, todo,
+      done.toSeq.filter(inScope).sorted,
       rowsValidated, vioCount, wallMs)
 
-    } finally Checkpoint.releaseRunLock(spark, cfg.outDir)
+    } finally
+      Checkpoint.releasePartitionLocks(spark, cfg.outDir, lockParts)
   }
 }

@@ -129,17 +129,27 @@ class TransferJobSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/manifest")
     val cfg = ValidationJob.Config(s"$dir/input", s"$dir/manifest", s"$dir/out")
 
-    assert(Checkpoint.acquireRunLock(spark, cfg.outDir))
+    // ValidationJob locks at PARTITION granularity: holding ANY source's
+    // lock blocks an unrestricted run (its scope covers every source)
+    val held = spark.read.parquet(s"$dir/input")
+      .select("source").distinct().collect().map(_.getString(0)).take(1).toSeq
+    assert(Checkpoint.acquirePartitionLocks(spark, cfg.outDir, held))
     val e = intercept[IllegalArgumentException] {
       ValidationJob.run(spark, cfg)
     }
     assert(e.getMessage.contains("lock"))
-    Checkpoint.releaseRunLock(spark, cfg.outDir)
+    Checkpoint.releasePartitionLocks(spark, cfg.outDir, held)
 
     val r = ValidationJob.run(spark, cfg) // acquires + releases internally
     assert(r.validatedPartitions.nonEmpty)
-    // lock released after the run
+    // every partition lock released after the run
+    assert(Checkpoint.acquirePartitionLocks(
+      spark, cfg.outDir, r.validatedPartitions))
+    Checkpoint.releasePartitionLocks(spark, cfg.outDir, r.validatedPartitions)
+
+    // the whole-dir run lock (TransferJob's unit) still works standalone
     assert(Checkpoint.acquireRunLock(spark, cfg.outDir))
+    assert(!Checkpoint.acquireRunLock(spark, cfg.outDir, attempts = 1))
     Checkpoint.releaseRunLock(spark, cfg.outDir)
   }
 }

@@ -209,4 +209,81 @@ class ValidationJobSpec extends SparkSpec {
     assert(ver.filter($"source" === "newsrc").count() > 0)
     assert(r1.validatedPartitions.nonEmpty && r2.validatedPartitions.nonEmpty)
   }
+
+  test("per-partition locks: disjoint submission scopes proceed, " +
+      "overlapping scopes are refused (VERDICT r03 #4)") {
+    import graft.checkpoint.Checkpoint
+    val dir = tmpDir("vjob_locks")
+    writeInput(dir, Knobs(badNtokRate = 0.04))
+    val allSources = spark.read.parquet(s"$dir/input")
+      .select("source").distinct().as[String].collect().toSeq.sorted
+    assert(allSources.size >= 4)
+    val (setA, setB) = allSources.splitAt(allSources.size / 2)
+    def cfgFor(ps: Seq[String]) = ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out",
+      partitions = Some(ps))
+
+    // an in-flight run holds setA's locks...
+    assert(Checkpoint.acquirePartitionLocks(spark, s"$dir/out", setA))
+    // ...an overlapping scope is refused (and must not hold partial locks)
+    intercept[IllegalArgumentException] {
+      ValidationJob.run(spark, cfgFor(Seq(setA.head, setB.head)))
+    }
+    // ...while a disjoint scope validates to completion
+    val rB = ValidationJob.run(spark, cfgFor(setB))
+    assert(rB.validatedPartitions.toSet === setB.toSet)
+    Checkpoint.releasePartitionLocks(spark, s"$dir/out", setA)
+
+    // the refused run left no lock behind: setA's scope now runs fully
+    // (its own locks acquire + release cleanly)
+    val rA = ValidationJob.run(spark, cfgFor(setA))
+    assert(rA.validatedPartitions.toSet === setA.toSet)
+
+    // scoped outputs: each run wrote only inside its scope, and together
+    // they checkpointed the whole table — the final unrestricted run
+    // skips everything
+    val ver = spark.read.parquet(ValidationJob.verdictsPath(s"$dir/out"))
+      .select("source").distinct().as[String].collect().toSet
+    assert(ver === allSources.toSet)
+    val rAll = ValidationJob.run(spark,
+      ValidationJob.Config(s"$dir/input", s"$dir/manifest", s"$dir/out"))
+    assert(rAll.validatedPartitions.isEmpty)
+    assert(rAll.skippedPartitions.toSet === allSources.toSet)
+  }
+
+  test("two CONCURRENT disjoint-scope runs both complete with disjoint " +
+      "run lineage (submission-prefix concurrency, folder_lock analog)") {
+    val dir = tmpDir("vjob_conc")
+    writeInput(dir, Knobs(badNtokRate = 0.04))
+    val allSources = spark.read.parquet(s"$dir/input")
+      .select("source").distinct().as[String].collect().toSeq.sorted
+    val (setA, setB) = allSources.splitAt(allSources.size / 2)
+    def cfgFor(ps: Seq[String]) = ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out",
+      partitions = Some(ps))
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fA = Future(ValidationJob.run(spark, cfgFor(setA)))
+    val fB = Future(ValidationJob.run(spark, cfgFor(setB)))
+    val rA = Await.result(fA, Duration.Inf)
+    val rB = Await.result(fB, Duration.Inf)
+    assert(rA.validatedPartitions.toSet === setA.toSet)
+    assert(rB.validatedPartitions.toSet === setB.toSet)
+
+    // neither run clobbered the other: every source has its verdicts and
+    // the checkpoint covers the whole table under two distinct segments
+    val ver = spark.read.parquet(ValidationJob.verdictsPath(s"$dir/out"))
+      .select("source").distinct().as[String].collect().toSet
+    assert(ver === allSources.toSet)
+    val cp = spark.read
+      .parquet(ValidationJob.checkpointPath(s"$dir/out"))
+    assert(cp.select("partition").distinct().as[String].collect().toSet
+      === allSources.toSet)
+    assert(cp.select("run_seg").distinct().count() === 2)
+    val vioLog = spark.read
+      .parquet(ValidationJob.violationsLogPath(s"$dir/out"))
+    assert(vioLog.select("run_id").distinct().count() === 2)
+  }
 }
