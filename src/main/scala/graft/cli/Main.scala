@@ -120,6 +120,12 @@ object Main {
           // E3 tail (cleanup_manager.py:20-128): drop verifiably-promoted
           // staging partitions + processing leftovers; blocked staging stays
           val dry = rest.contains("--dry-run")
+          // --prune-logs=k: audit-log retention (latest k runs per source)
+          val pruned = rest.collectFirst {
+            case a if a.startsWith("--prune-logs=") =>
+              graft.jobs.CleanupJob.pruneRunLogs(
+                spark, valOut, a.stripPrefix("--prune-logs=").toInt)
+          }.getOrElse(Nil)
           // full gate incl. lineage: stale verdicts over a re-uploaded
           // input must not authorize deleting the corrected staging copy
           val promoted = graft.jobs.TransferJob
@@ -129,6 +135,7 @@ object Main {
           println(
             s"""{"cleaned":${jarr(r.cleaned)},"kept":${jarr(r.kept)},""" +
               s""""leftovers_removed":${r.leftoversRemoved.size},""" +
+              s""""pruned_run_ids":${jarr(pruned)},""" +
               s""""dry_run":$dry}""")
 
         case _ =>
@@ -139,7 +146,7 @@ object Main {
               "[refSnapshotDir] | " +
               "transfer <inputDir> <validationOutDir> <storeDir> " +
               "<manifestTsvDir> | " +
-              "cleanup <inputDir> <validationOutDir> <storeDir> [--dry-run]")
+              "cleanup <inputDir> <validationOutDir> <storeDir> [--dry-run] [--prune-logs=k]")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -27,6 +27,55 @@ object CleanupJob {
   /** A `_running` lock younger than this is a LIVE run, never swept. */
   val lockStaleMs: Long = 6 * 3600 * 1000L
 
+  /** Audit-log RETENTION (VERDICT r03 #7): `violations_log` and `run_log`
+    * keep one generation per run forever — the archive-table spirit
+    * (dynamodb.py:518-532) without its unbounded growth. This keeps, per
+    * SOURCE, the `keepRuns` most recent runs that covered it (by
+    * completed_at, run_id tie-break), then drops every run_id generation
+    * no surviving source needs, from BOTH logs. Per-source — not
+    * per-table — retention matters under submission-scoped runs: a global
+    * latest-k would silently drop the only generation covering a rarely
+    * re-validated source. Driver-side metadata work over the tiny run_log
+    * (|runs| × |sources| × |rules| rows); generations present in
+    * violations_log but absent from run_log (a crashed run's partial
+    * write) are left for the replay that overwrites them.
+    * Returns the dropped run_ids. */
+  def pruneRunLogs(
+      spark: SparkSession,
+      validationOutDir: String,
+      keepRuns: Int): Seq[String] = {
+    require(keepRuns >= 1, "keepRuns must be >= 1")
+    import org.apache.spark.sql.functions._
+    val runLogPath = ValidationJob.runLogPath(validationOutDir)
+    val p = new org.apache.hadoop.fs.Path(runLogPath)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return Nil
+    val rows = spark.read.parquet(runLogPath)
+      .select("run_id", "source", "completed_at")
+      .distinct()
+      .collect()
+      // parse, don't string-sort: Instant.toString trims trailing zeros,
+      // so "…:00Z" would sort AFTER "…:00.5Z" lexicographically
+      .map(r => (r.getString(0), r.getString(1),
+        java.time.Instant.parse(r.getString(2)).toEpochMilli))
+    val keep: Set[String] = rows
+      .groupBy(_._2)
+      .valuesIterator
+      .flatMap(_.map(r => (r._3, r._1)).distinct.toSeq
+        .sorted(Ordering[(Long, String)].reverse)
+        .take(keepRuns)
+        .map(_._2))
+      .toSet
+    val drop = rows.map(_._1).distinct.filterNot(keep).toSeq.sorted
+    if (drop.nonEmpty) {
+      TableIO.deletePartitions(
+        spark, ValidationJob.violationsLogPath(validationOutDir),
+        "run_id", drop)
+      TableIO.deletePartitions(spark, runLogPath, "run_id", drop)
+    }
+    drop
+  }
+
   /** Remove the staging partitions of `promoted` sources from `inputPath`.
     *
     * Safety contract (the reference deletes staging only after the move

@@ -127,4 +127,73 @@ class CleanupJobSpec extends SparkSpec {
     assert(graft.sources.TableIO
       .partitionValues(spark, s"$dir/input", "source").get === parts)
   }
+
+  test("audit-log retention keeps the latest k generations per source " +
+      "and drops the rest from both logs (VERDICT r03 #7)") {
+    val dir = tmpDir("cleanup_prune")
+    def writeInput(seed: Long): Unit = {
+      SequenceGen.sequences(spark, 800, seed,
+          SequenceGen.Knobs(badNtokRate = 0.05))
+        .write.mode("overwrite").partitionBy("source")
+        .parquet(s"$dir/input")
+      SequenceGen.manifest(spark, 800, seed)
+        .write.mode("overwrite").parquet(s"$dir/manifest")
+    }
+    val cfg = ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out")
+    // three full runs over three snapshots -> three run_id generations
+    (1L to 3L).foreach { seed => writeInput(seed); ValidationJob.run(spark, cfg) }
+    val logPath = ValidationJob.runLogPath(s"$dir/out")
+    val vlogPath = ValidationJob.violationsLogPath(s"$dir/out")
+    def runIds(p: String) = spark.read.parquet(p)
+      .select("run_id").distinct().as[String].collect().toSet
+    assert(runIds(logPath).size === 3)
+    assert(runIds(vlogPath).size === 3)
+    val byTime = spark.read.parquet(logPath)
+      .select("run_id", "completed_at").distinct()
+      .as[(String, String)].collect()
+      .map { case (id, ts) =>
+        (java.time.Instant.parse(ts).toEpochMilli, id) }
+      .distinct.sorted(Ordering[(Long, String)].reverse).map(_._2)
+
+    val dropped = CleanupJob.pruneRunLogs(spark, s"$dir/out", keepRuns = 2)
+    assert(dropped === Seq(byTime.last))
+    assert(runIds(logPath) === byTime.take(2).toSet)
+    assert(runIds(vlogPath) === byTime.take(2).toSet)
+    // idempotent: nothing more to drop at the same k
+    assert(CleanupJob.pruneRunLogs(spark, s"$dir/out", keepRuns = 2).isEmpty)
+  }
+
+  test("per-source retention survives submission-scoped runs: the only " +
+      "generation covering a source is kept even when globally old") {
+    val dir = tmpDir("cleanup_prune_scoped")
+    def writeInput(seed: Long): Unit = {
+      SequenceGen.sequences(spark, 800, seed,
+          SequenceGen.Knobs(badNtokRate = 0.05))
+        .write.mode("overwrite").partitionBy("source")
+        .parquet(s"$dir/input")
+      SequenceGen.manifest(spark, 800, seed)
+        .write.mode("overwrite").parquet(s"$dir/manifest")
+    }
+    def cfg(scope: Seq[String]) = ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out",
+      partitions = Some(scope))
+    // oldest run is the ONLY one covering cardiac; mito gets two runs
+    writeInput(1L)
+    ValidationJob.run(spark, cfg(Seq("cardiac")))
+    ValidationJob.run(spark, cfg(Seq("mito")))
+    writeInput(2L) // new snapshot -> mito re-validates under a new run_id
+    ValidationJob.run(spark, cfg(Seq("mito")))
+
+    val logPath = ValidationJob.runLogPath(s"$dir/out")
+    assert(spark.read.parquet(logPath)
+      .select("run_id").distinct().count() === 3)
+    val dropped = CleanupJob.pruneRunLogs(spark, s"$dir/out", keepRuns = 1)
+    assert(dropped.size === 1)
+    val left = spark.read.parquet(logPath)
+    // cardiac's lone (oldest) generation survived; mito kept only latest
+    assert(left.filter($"source" === "cardiac").count() > 0)
+    assert(left.filter($"source" === "mito")
+      .select("run_id").distinct().count() === 1)
+  }
 }
