@@ -206,28 +206,121 @@ object StreamingValidation {
       batch_id: Long, source: String, statistic: Double,
       threshold: Double, rejected: Boolean, n: Long, m: Long)
 
+  /** Per-query-run instrumentation for the drift monitor — lets the spec
+    * (and an operator) assert BOUNDED per-batch behavior: how many times
+    * the cumulative histogram was rebuilt from disk (≤ 1 per query run),
+    * how many persisted state rows those rebuilds read, and how many
+    * compactions ran. */
+  final class DriftMonitorStats {
+    val rebuilds = new java.util.concurrent.atomic.AtomicLong
+    val stateRowsRead = new java.util.concurrent.atomic.AtomicLong
+    val compactions = new java.util.concurrent.atomic.AtomicLong
+  }
+
+  private def driftStatePath(outDir: String) = s"$outDir/drift_state"
+  private def driftBasePath(outDir: String) = s"$outDir/drift_base"
+
+  private def pathExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The compacted BASE generation: (hw, rows) where rows is the summed
+    * histogram of every batch id ≤ hw. Readers take the MAX hw dir and
+    * ignore both older base dirs and state generations ≤ hw — which is
+    * what makes compaction crash-safe without atomic multi-file commits
+    * (a crash between writing the new base and deleting superseded
+    * generations leaves duplicates on disk that no reader ever counts). */
+  private def readBase(
+      s: SparkSession, outDir: String): (Long, Seq[(String, Int, Long)]) = {
+    import graft.sources.TableIO
+    val path = driftBasePath(outDir)
+    TableIO.partitionValues(s, path, "hw") match {
+      case None => (-1L, Nil)
+      case Some(hws) =>
+        val hw = hws.map(_.toLong).max
+        val rows = s.read.parquet(path)
+          .filter(col("hw") === hw)
+          .select("source", "bin", "count")
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+        (hw, rows)
+    }
+  }
+
+  /** Fold every persisted drift_state generation in (base hw, belowBatchId)
+    * into a new base generation, then drop the superseded files. Safe to
+    * call from inside foreachBatch(belowBatchId): micro-batches commit
+    * serially, so every generation below the running batch is final (a
+    * crash can only replay the CURRENT batch, whose generation is above
+    * the new base's hw). Returns true if anything was compacted. */
+  def compactDriftState(
+      spark: SparkSession, outDir: String, belowBatchId: Long,
+      stats: Option[DriftMonitorStats] = None): Boolean = {
+    import graft.sources.TableIO
+    val statePath = driftStatePath(outDir)
+    if (!pathExists(spark, statePath)) return false
+    val (baseHw, baseRows) = readBase(spark, outDir)
+    val gens = spark.read.parquet(statePath)
+      .filter(col("batch_id") > baseHw && col("batch_id") < belowBatchId)
+      .select("source", "bin", "count", "batch_id")
+      .collect()
+    if (gens.isEmpty) return false
+    val genIds = gens.map(_.getAs[Number]("batch_id").longValue).distinct
+    val newHw = genIds.max
+    val merged = (baseRows ++ gens.map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2))))
+      .groupBy(r => (r._1, r._2))
+      .map { case ((src, bin), rs) => (src, bin, rs.map(_._3).sum) }
+      .toSeq
+    import spark.implicits._
+    TableIO.writePartitioned(
+      merged.toDF("source", "bin", "count")
+        .withColumn("hw", lit(newHw)).coalesce(1),
+      driftBasePath(outDir), partitionCol = "hw", recluster = false)
+    // superseded files are invisible to readers from here on; dropping
+    // them is pure space reclamation, crash-tolerant in any order
+    TableIO.deletePartitions(
+      spark, statePath, "batch_id", genIds.map(_.toString))
+    if (baseHw >= 0)
+      TableIO.deletePartitions(
+        spark, driftBasePath(outDir), "hw", Seq(baseHw.toString))
+    stats.foreach(_.compactions.incrementAndGet())
+    true
+  }
+
   /** Incremental DRIFT monitor — the streaming form of the batch
     * R_DRIFT_NTOK_KS rule: each micro-batch's per-source n_tok histogram
     * is persisted as its OWN generation keyed by batch id, the cumulative
-    * histogram (sum over generations) is KS-tested against the baseline
-    * snapshot, and a [[DriftAlert]] row per source is emitted. Cross-row
-    * rules stay foreachBatch concerns (header note); this one gets an
-    * incremental story because histograms are mergeable — exactly why the
-    * engine binned them (SURVEY §7.5 #1).
+    * histogram is KS-tested against the baseline snapshot, and a
+    * [[DriftAlert]] row per source is emitted. Cross-row rules stay
+    * foreachBatch concerns (header note); this one gets an incremental
+    * story because histograms are mergeable — exactly why the engine
+    * binned them (SURVEY §7.5 #1).
+    *
+    * BOUNDED per-batch work (VERDICT r03 #2): the cumulative histogram
+    * lives in driver memory across batches (|sources| × ≤64 bins) and is
+    * rebuilt from disk at most ONCE per query run (stream restart) — a
+    * partition-pruned read of the base generation plus the generations
+    * above it. Steady-state per-batch cost is the batch's own aggregation
+    * plus an O(|sources| × bins) merge, independent of stream age. Every
+    * `compactEvery` batches the persisted generations fold into a single
+    * base generation (`drift_base/hw=<id>`), so on-disk state is ≤
+    * compactEvery generations + 1 base regardless of lifetime.
     *
     * Crash-replay idempotence: a replayed micro-batch OVERWRITES its own
     * histogram + alert generations (batch_id-partitioned dynamic
-    * overwrite) instead of double-counting — the same contract as the
-    * batch path's run_id-keyed logs. State volume is |batches| ×
-    * |sources| × ≤64 bins rows; a compaction (merge generations below a
-    * watermark batch id) bounds it for long-lived streams — deliberately
-    * left to deployment policy, like dedupStream's TTL. */
+    * overwrite) instead of double-counting, and the restart rebuild reads
+    * only generations BELOW the replaying batch — the same contract as
+    * the batch path's run_id-keyed logs. */
   def startDriftMonitor(
       spark: SparkSession,
       inputDir: String,
       baseline: Dataset[graft.model.BaselineBin],
       outDir: String,
-      alpha: Double = 0.01): StreamingQuery = {
+      alpha: Double = 0.01,
+      compactEvery: Int = 64,
+      stats: Option[DriftMonitorStats] = None): StreamingQuery = {
     import graft.sources.TableIO
     import graft.drift.Drift
     val baseBins: Map[String, Map[Int, Long]] = baseline
@@ -237,23 +330,56 @@ object StreamingValidation {
       .map { case (src, rows) =>
         src -> rows.map(b => b.bin -> b.count).toMap
       }
+    // cumulative per-source histogram, carried across micro-batches in
+    // driver memory; rebuilt from disk only on the first batch of a run
+    val cum = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[Int, Long]]
+    var initialized = false
+    def mergeInto(src: String, bin: Int, n: Long): Unit = {
+      val h = cum.getOrElseUpdate(
+        src, scala.collection.mutable.Map.empty[Int, Long])
+      h.update(bin, h.getOrElse(bin, 0L) + n)
+    }
     readSequenceStream(spark, inputDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Sequence], batchId: Long) =>
         val s = batch.sparkSession
         import s.implicits._
+        // the batch's OWN histogram: tiny (|sources| × ≤64 bins)
+        val batchHist = Drift.ntokHist(batch.toDF()).collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+        // idempotent own-generation write (replay overwrites itself)
         TableIO.writePartitioned(
-          Drift.ntokHist(batch.toDF()).withColumn("batch_id", lit(batchId)),
-          s"$outDir/drift_state", partitionCol = "batch_id")
-        val cum = s.read.parquet(s"$outDir/drift_state")
-          .groupBy("source", "bin").agg(sum("count").as("count"))
-          .collect()
-        val alerts = cum.toSeq
-          .groupBy(_.getString(0)).toSeq.sortBy(_._1)
-          .flatMap { case (src, rows) =>
+          batchHist.toDF("source", "bin", "count")
+            .withColumn("batch_id", lit(batchId)).coalesce(1),
+          driftStatePath(outDir), partitionCol = "batch_id",
+          recluster = false)
+        if (!initialized) {
+          // restart rebuild: base generation + every generation STRICTLY
+          // below this batch (a replayed batch must not count itself)
+          val (baseHw, baseRows) = readBase(s, outDir)
+          baseRows.foreach { case (src, bin, n) => mergeInto(src, bin, n) }
+          val older =
+            if (pathExists(s, driftStatePath(outDir)))
+              s.read.parquet(driftStatePath(outDir))
+                .filter(col("batch_id") > baseHw &&
+                  col("batch_id") < batchId)
+                .select("source", "bin", "count")
+                .collect()
+                .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+            else Nil
+          older.foreach { case (src, bin, n) => mergeInto(src, bin, n) }
+          stats.foreach { st =>
+            st.rebuilds.incrementAndGet()
+            st.stateRowsRead.addAndGet(baseRows.size + older.size)
+          }
+          initialized = true
+        }
+        batchHist.foreach { case (src, bin, n) => mergeInto(src, bin, n) }
+        val alerts = cum.toSeq.sortBy(_._1)
+          .flatMap { case (src, hist) =>
             baseBins.get(src).map { bh =>
-              val hist = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
-              val res = Drift.ksTest(hist, bh, Drift.ntokBins, alpha)
+              val res = Drift.ksTest(hist.toMap, bh, Drift.ntokBins, alpha)
               DriftAlert(batchId, src, res.statistic, res.threshold,
                 res.rejected, res.n, res.m)
             }
@@ -262,6 +388,8 @@ object StreamingValidation {
           s.createDataset(alerts).coalesce(1).toDF(),
           s"$outDir/drift_alerts", partitionCol = "batch_id",
           recluster = false)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactDriftState(s, outDir, batchId, stats)
         ()
       }
       .option("checkpointLocation", s"$outDir/drift_checkpoint")
