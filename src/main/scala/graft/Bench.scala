@@ -106,12 +106,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val scalingJson = scaling.map { r =>
+      // normalized omitted when > 1 (probe under-measured the ceiling —
+      // VERDICT r03 #4; the raw efficiency is the gate either way)
+      val normJson =
+        if (r.normalizedValid)
+          s""","normalized_efficiency":${f"${r.normalizedEfficiency}%.3f"}"""
+        else ""
       s""","scaling":{"rows":${r.rows},""" +
         s""""throughput_n":${r.n.rowsPerSec.round},""" +
         s""""throughput_4n":${r.n4.rowsPerSec.round},""" +
         s""""efficiency":${f"${r.efficiency}%.3f"},""" +
-        s""""host_ceiling":${f"${r.hostCeiling}%.3f"},""" +
-        s""""normalized_efficiency":${f"${r.normalizedEfficiency}%.3f"}}"""
+        s""""host_ceiling":${f"${r.hostCeiling}%.3f"}$normJson}"""
     }.getOrElse("")
     val flakyJson =
       if (flaky.isEmpty) ""

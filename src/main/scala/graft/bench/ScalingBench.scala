@@ -21,10 +21,25 @@ object ScalingBench {
   final case class Result(
       rows: Long, n: Level, n4: Level, efficiency: Double,
       /** The HOST's own N->4N pure-CPU scaling efficiency, measured by
-        * CpuScaleProbe in the same session — the ceiling any job can
-        * reach on this sandbox (vCPU/SMT artifacts). */
-      hostCeiling: Double) {
+        * CpuScaleProbe INTERLEAVED with the engine reps (min wall per
+        * level across rounds, same quiet-slot coverage as the engine
+        * measurement — ADVICE r03) — the ceiling any job can reach on
+        * this sandbox (vCPU/SMT artifacts). */
+      hostCeiling: Double,
+      /** Every raw draw, both levels, engine and probe (ms / sec) — the
+        * per-run min spread a reader needs to audit the estimator
+        * (ADVICE r03: extra 4N draws must be shown to reduce variance,
+        * not shift the minimum past the N level's coverage). */
+      drawsN: Seq[Long] = Nil,
+      drawsN4: Seq[Long] = Nil,
+      probeDrawsN: Seq[Double] = Nil,
+      probeDrawsN4: Seq[Double] = Nil) {
     def normalizedEfficiency: Double = efficiency / hostCeiling
+    /** An engine cannot out-scale the host's ALU ceiling: normalized > 1
+      * means the probe under-measured its quiet-window value, and the
+      * normalized figure is MEANINGLESS — callers must report the raw
+      * efficiency alone in that case (VERDICT r03 "what's wrong" #4). */
+    def normalizedValid: Boolean = normalizedEfficiency <= 1.0
   }
 
   private def session(cpus: Int): SparkSession = {
@@ -137,8 +152,10 @@ object ScalingBench {
   def run(workDir: String, rows: Long, maxReps: Int = 6): Result = {
     prepare(workDir, rows)
     oneRep(workDir, N4Cpus, "warmup")
-    var bestN = Long.MaxValue
-    var bestN4 = Long.MaxValue
+    val drawsN = scala.collection.mutable.ListBuffer.empty[Long]
+    val drawsN4 = scala.collection.mutable.ListBuffer.empty[Long]
+    val probeN = scala.collection.mutable.ListBuffer.empty[Double]
+    val probeN4 = scala.collection.mutable.ListBuffer.empty[Double]
     var rows0 = 0L
     var i = 0
     while (i < maxReps) {
@@ -147,19 +164,25 @@ object ScalingBench {
       val (w16a, r) = oneRep(workDir, N4Cpus, s"${i}a")
       val (w16b, _) = oneRep(workDir, N4Cpus, s"${i}b")
       rows0 = r
-      if (w4 < bestN) bestN = w4
-      if (w16a < bestN4) bestN4 = w16a
-      if (w16b < bestN4) bestN4 = w16b
+      drawsN += w4
+      drawsN4 += w16a
+      drawsN4 += w16b
+      // the pure-CPU probe rides the SAME interleaving as the engine reps
+      // (one pair per round, min per level): a probe measured once after
+      // the loop can land in a noisy window, under-measure the ceiling,
+      // and make "normalized efficiency" exceed 1 (ADVICE/VERDICT r03)
+      probeN += CpuScaleProbe.time(NCpus, 1500000000L)
+      probeN4 += CpuScaleProbe.time(N4Cpus, 1500000000L)
+      System.err.println(
+        f"[scaling] probe round $i: N=${probeN.last}%.2fs 4N=${probeN4.last}%.2fs")
     }
+    val bestN = drawsN.min
+    val bestN4 = drawsN4.min
     val n = Level(NCpus, rows0 * 1000.0 / bestN, bestN)
     val n4 = Level(N4Cpus, rows0 * 1000.0 / bestN4, bestN4)
-    // host ceiling: best-of-2 pure-CPU probes at each level
-    val probeN = math.min(CpuScaleProbe.time(NCpus, 1500000000L),
-      CpuScaleProbe.time(NCpus, 1500000000L))
-    val probeN4 = math.min(CpuScaleProbe.time(N4Cpus, 1500000000L),
-      CpuScaleProbe.time(N4Cpus, 1500000000L))
-    val ceiling = probeN / probeN4 / 4.0
-    Result(rows, n, n4, n4.rowsPerSec / (4.0 * n.rowsPerSec), ceiling)
+    val ceiling = probeN.min / probeN4.min / 4.0
+    Result(rows, n, n4, n4.rowsPerSec / (4.0 * n.rowsPerSec), ceiling,
+      drawsN.toSeq, drawsN4.toSeq, probeN.toSeq, probeN4.toSeq)
   }
 
   /** Append this run to BENCH/history.jsonl and return the best-known
@@ -174,7 +197,15 @@ object ScalingBench {
       s"""{"rows":${r.rows},"throughput_n":${r.n.rowsPerSec.round},""" +
         s""""throughput_4n":${r.n4.rowsPerSec.round},""" +
         s""""efficiency":${f"${r.efficiency}%.3f"},""" +
-        s""""host_ceiling":${f"${r.hostCeiling}%.3f"}}""" + "\n"
+        s""""host_ceiling":${f"${r.hostCeiling}%.3f"},""" +
+        // every raw draw, so the min spread at each level is auditable
+        // from the history alone (ADVICE r03)
+        s""""draws_n_ms":${r.drawsN.mkString("[", ",", "]")},""" +
+        s""""draws_4n_ms":${r.drawsN4.mkString("[", ",", "]")},""" +
+        s""""probe_n_s":${r.probeDrawsN.map(d => f"$d%.2f")
+          .mkString("[", ",", "]")},""" +
+        s""""probe_4n_s":${r.probeDrawsN4.map(d => f"$d%.2f")
+          .mkString("[", ",", "]")}}""" + "\n"
     java.nio.file.Files.writeString(hist, line,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
@@ -215,8 +246,12 @@ object ScalingBench {
        || validated sequences/sec @ N | ${r.n.rowsPerSec.round} | local[${r.n.cpus}], ${r.n.wallMs} ms |
        || validated sequences/sec @ 4N | ${r.n4.rowsPerSec.round} | local[${r.n4.cpus}], ${r.n4.wallMs} ms |
        || scaling efficiency (target >= 0.8) | ${f"${r.efficiency}%.3f"} | T_4N / (4 * T_N) |
-       || host pure-CPU ceiling (same levels) | ${f"${r.hostCeiling}%.3f"} | CpuScaleProbe, best-of-2 per level |
-       || efficiency normalized to host ceiling | ${f"${r.normalizedEfficiency}%.3f"} | engine / host |${
+       || host pure-CPU ceiling (same levels) | ${f"${r.hostCeiling}%.3f"} | CpuScaleProbe, min of ${r.probeDrawsN.size} interleaved rounds |
+       || efficiency normalized to host ceiling | ${
+        if (r.normalizedValid) f"${r.normalizedEfficiency}%.3f"
+        else "n/a (probe ceiling " + f"${r.hostCeiling}%.3f" +
+          " < engine " + f"${r.efficiency}%.3f" +
+          " - probe under-measured; raw gate stands)"} | engine / host |${
         best.map { case (b, n) =>
           s"\n|| best efficiency observed (${n} runs) | ${f"$b%.3f"} | BENCH/history.jsonl |" }.getOrElse("")}
        |""".stripMargin
@@ -249,11 +284,16 @@ object ScalingBench {
     if (protocolRun)
       java.nio.file.Files.writeString(out.resolve("BASELINE.md"), md)
     System.err.println(md)
+    // normalized efficiency is omitted when > 1: the probe under-measured
+    // the ceiling and the ratio is meaningless (VERDICT r03 #4)
+    val normJson =
+      if (r.normalizedValid)
+        s""","normalized_efficiency":${f"${r.normalizedEfficiency}%.3f"}"""
+      else ""
     println(
       s"""{"rows":${r.rows},"throughput_n":${r.n.rowsPerSec.round},""" +
         s""""throughput_4n":${r.n4.rowsPerSec.round},""" +
         s""""efficiency":${f"${r.efficiency}%.3f"},""" +
-        s""""host_ceiling":${f"${r.hostCeiling}%.3f"},""" +
-        s""""normalized_efficiency":${f"${r.normalizedEfficiency}%.3f"}}""")
+        s""""host_ceiling":${f"${r.hostCeiling}%.3f"}$normJson}""")
   }
 }
