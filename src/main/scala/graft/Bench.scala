@@ -18,7 +18,8 @@ object Bench {
     "st_sessionize", "f5_regex_valid",
     "text_quality", "text_fingerprint", "text_repetition",
     "sample_stratified",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_pairs_capped",
+    "dedup_exact", "dedup_first_seen", "dedup_chunk_fraction",
+    "dedup_minhash_pairs", "dedup_minhash_pairs_capped",
     "dedup_clusters", "pipeline_curate",
     "dedup_simhash", "dedup_simhash_pairs_capped",
     "dedup_jaccard_pairs", "dedup_jaccard_pairs_capped",

@@ -121,4 +121,18 @@ object TextFunctions {
 
   /** Content fingerprint: polynomial hash over the whole text. */
   def fingerprint(text: Column): Column = polyHash(text)
+
+  /** Fingerprints of consecutive `w`-word chunks — the building block of
+    * chunk-level passage dedup (the bounded-cost approximation of
+    * suffix-array substring dedup; Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — public algorithm
+    * family). The final chunk may be shorter; chunk count =
+    * ceil(|words| / w). One codegen'd projection, no shuffle. */
+  def chunkHashes(text: Column, w: Int): Column = {
+    val ws = words(text)
+    transform(
+      // Column `/` is double division — floor back to int for sequence()
+      sequence(lit(0), floor((size(ws) - 1) / w).cast("int")),
+      i => polyHash(concat_ws(" ", slice(ws, i * w + 1, lit(w)))))
+  }
 }

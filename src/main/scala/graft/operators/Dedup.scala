@@ -34,6 +34,47 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("members"))
       .filter(col("n_dups") > 1)
 
+  /** Chunk-level duplicated-PASSAGE detection: per document, the number
+    * and fraction of its consecutive `chunkWords`-word chunks whose
+    * fingerprint also occurs in at least one OTHER document — the
+    * bounded-cost approximation of suffix-array substring dedup (near-
+    * verbatim passages shared across documents that whole-document
+    * hashing cannot see; Lee et al. 2021 family, public algorithm).
+    * Reference analog: content-checksum duplicate detection generalized
+    * below document granularity (checksum gate, manifest_processor
+    * .py:283-305).
+    *
+    * Scale shape: chunking is one codegen'd projection (|tokens|/w rows
+    * after the explode — an order of magnitude below word granularity);
+    * cross-doc chunk counting is ONE map-side-combinable aggregation on
+    * the chunk hash; the membership join back rides the same hash key;
+    * the per-doc roll-up is the final aggregation. No pair space is ever
+    * materialized — cost is linear in corpus chunks regardless of how
+    * duplicated the corpus is. */
+  def chunkDupFractions(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.chunkHashes
+    val chunked = df.select(
+      col(idCol).as("doc_id"),
+      explode(chunkHashes(col(textCol), chunkWords)).as("chunk_hash"))
+    val crossDocChunks = chunked
+      .groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("chunk_hash"), lit(1L).as("is_dup"))
+    chunked
+      .join(crossDocChunks, Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks"))
+          .as("dup_fraction"))
+  }
+
   /** (id, minhash signature) for every doc. k = signature length.
     *
     * ONE codegen'd projection (native [[graft.functions.MinhashSig]]): the

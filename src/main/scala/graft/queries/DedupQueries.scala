@@ -34,6 +34,14 @@ object DedupQueries {
         .select("doc_id", "content_md5", "n_dups")
     }),
 
+    // Chunk-level duplicated-passage fractions: per doc, how many of its
+    // 10-word chunks also occur in another doc (substring-dedup
+    // approximation — catches shared passages whole-doc hashing misses)
+    "dedup_chunk_fraction" -> ((s, dir) => {
+      Dedup.chunkDupFractions(docs(s, dir), "doc_id", "text",
+        chunkWords = 10)
+    }),
+
     // Deterministic survivor selection — the BATCH form of the streaming
     // first-seen dedup's tie-break (StreamingValidation.dedupStream picks
     // the (source, n_tok)-least occurrence of a duplicated key so the
@@ -282,6 +290,27 @@ object DedupQueries {
              FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
          SELECT d.doc_id, g.content_md5, g.n_dups
          FROM documents d JOIN g ON md5(d.text) = g.content_md5""",
+    "dedup_chunk_fraction" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+          chunks AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(CAST((len(ws)-1)//10 AS INT) + 1),
+                     i -> ${TextQueries.sqlPolyHash(
+                       "array_to_string(ws[(i*10+1):(i*10+10)], ' ')")}))
+                     AS chunk_hash
+            FROM w),
+          dup AS (SELECT chunk_hash FROM chunks
+                  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1)
+          SELECT doc_id, COUNT(*) AS n_chunks,
+                 CAST(SUM(CASE WHEN chunk_hash IN
+                     (SELECT chunk_hash FROM dup) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup_chunks,
+                 CAST(SUM(CASE WHEN chunk_hash IN
+                     (SELECT chunk_hash FROM dup) THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*) AS dup_fraction
+          FROM chunks GROUP BY 1""",
     "dedup_first_seen" ->
       """SELECT content_md5, source, n_chars, doc_id, n_copies FROM (
            SELECT md5(text) AS content_md5, source, n_chars, doc_id,

@@ -106,29 +106,54 @@ object StreamingValidation {
     * only a key's first occurrence is emitted. Explicit keyed state via
     * flatMapGroupsWithState (one boolean per key — the custom-state
     * incremental answer to the batch path's two-pass uniqueness). State
-    * grows with distinct keys; a production deployment bounds it with a
-    * state-TTL/timeout policy, which this operator deliberately leaves to
-    * configuration (dropping state silently re-admits duplicates).
+    * grows with distinct keys; `stateTtlMs` bounds it EXPLICITLY — a
+    * key idle longer than the TTL drops its seen-bit and a later
+    * duplicate is re-admitted (the unavoidable tradeoff of bounded
+    * state; the default None keeps exact semantics and unbounded state,
+    * because silently re-admitting duplicates must be a deliberate
+    * deployment choice, not a hidden default).
     * The within-batch survivor rule (arg-min tie-break below) is the same
     * rule the batch query `dedup_first_seen` cross-verifies against a
     * DuckDB oracle (DedupQueries) — streaming and batch pick the SAME
     * winner for any duplicate set that arrives in one batch. */
-  def dedupStream(seqs: Dataset[Sequence]): Dataset[Sequence] = {
+  /** The dedup state-transition function, factored out so the TTL logic
+    * is unit-testable against `TestGroupState` (driving processing-time
+    * timeouts through a live MemoryStream query is wall-clock-dependent
+    * and can spin `processAllAvailable`). */
+  private[streaming] def dedupStateFn(stateTtlMs: Option[Long])(
+      key: String, it: Iterator[Sequence],
+      state: GroupState[Boolean]): Iterator[Sequence] =
+    if (state.hasTimedOut) {
+      // idle past the TTL: drop the seen-bit (bounded state)
+      state.remove()
+      Iterator.empty
+    } else if (state.exists) {
+      // refresh the TTL on every sighting: a key only expires after
+      // a full TTL of SILENCE, not TTL after first-seen
+      stateTtlMs.foreach(state.setTimeoutDuration)
+      Iterator.empty
+    } else {
+      state.update(true)
+      stateTtlMs.foreach(state.setTimeoutDuration)
+      // duplicates WITHIN one micro-batch have no defined arrival
+      // order after the shuffle — pick the (source, n_tok)-least
+      // occurrence so the survivor is deterministic across runs
+      // and partitionings, not whichever row the iterator yields
+      Iterator.single(it.minBy(s => (s.source, s.n_tok)))
+    }
+
+  def dedupStream(
+      seqs: Dataset[Sequence],
+      stateTtlMs: Option[Long] = None): Dataset[Sequence] = {
     import seqs.sparkSession.implicits._
+    val timeoutConf = stateTtlMs match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
     seqs
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (_: String, it: Iterator[Sequence], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            // duplicates WITHIN one micro-batch have no defined arrival
-            // order after the shuffle — pick the (source, n_tok)-least
-            // occurrence so the survivor is deterministic across runs
-            // and partitionings, not whichever row the iterator yields
-            Iterator.single(it.minBy(s => (s.source, s.n_tok)))
-          })
+        OutputMode.Append(), timeoutConf)(dedupStateFn(stateTtlMs))
   }
 
   /** One ingestion event for the stateful sessionizer. */

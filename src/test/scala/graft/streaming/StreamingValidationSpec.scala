@@ -270,6 +270,56 @@ class StreamingValidationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup stream state TTL: an idle key expires and its next " +
+      "duplicate is re-admitted; an active key refreshes its TTL") {
+    import graft.model.Sequence
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+    def s(id: String, src: String) = Sequence(id, Array(1), 1, src)
+    val fn = StreamingValidation.dedupStateFn(Some(100L)) _
+    def fresh() = TestGroupState.create[Boolean](
+      org.apache.spark.api.java.Optional.empty[Boolean](),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+
+    // first sighting: emitted, state armed with the TTL
+    val st1 = fresh()
+    val out1 = fn("DA", Iterator(s("DA", "s2"), s("DA", "s1")), st1).toSeq
+    assert(out1.map(_.source) === Seq("s1")) // deterministic in-batch min
+    assert(st1.exists && st1.getTimeoutTimestampMs.get() === 1100L)
+
+    // duplicate while state lives: dropped AND the TTL is refreshed
+    // (a key expires only after a full TTL of silence)
+    val st2 = TestGroupState.create[Boolean](
+      org.apache.spark.api.java.Optional.of(java.lang.Boolean.TRUE),
+      GroupStateTimeout.ProcessingTimeTimeout, 2000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    assert(fn("DA", Iterator(s("DA", "s3")), st2).isEmpty)
+    assert(st2.exists && st2.getTimeoutTimestampMs.get() === 2100L)
+
+    // timeout fires: the seen-bit is dropped (bounded state)...
+    val st3 = TestGroupState.create[Boolean](
+      org.apache.spark.api.java.Optional.of(java.lang.Boolean.TRUE),
+      GroupStateTimeout.ProcessingTimeTimeout, 3000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    assert(fn("DA", Iterator.empty, st3).isEmpty)
+    assert(st3.isRemoved)
+
+    // ...so the key's next sighting is a fresh first-seen (re-admitted)
+    val st4 = fresh()
+    assert(fn("DA", Iterator(s("DA", "s9")), st4).map(_.source).toSeq
+      === Seq("s9"))
+
+    // without a TTL the state never arms a timeout (exact semantics)
+    val noTtl = StreamingValidation.dedupStateFn(None) _
+    val st5 = TestGroupState.create[Boolean](
+      org.apache.spark.api.java.Optional.empty[Boolean](),
+      GroupStateTimeout.NoTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    assert(noTtl("DA", Iterator(s("DA", "s1")), st5).nonEmpty)
+    assert(!st5.getTimeoutTimestampMs.isPresent)
+  }
+
   test("watermarked windowed violation-rate aggregation") {
     val events = Seq(
       ("cardiac", java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), true),
