@@ -44,10 +44,13 @@ object Dedup {
     * below document granularity (checksum gate, manifest_processor
     * .py:283-305).
     *
-    * Scale shape: chunking is one codegen'd projection (|tokens|/w rows
-    * after the explode — an order of magnitude below word granularity);
-    * cross-doc chunk counting is ONE map-side-combinable aggregation on
-    * the chunk hash; the membership join back rides the same hash key;
+    * Scale shape: the text column is decoded ONCE (a join-back
+    * formulation scans and chunks it twice); chunking is one codegen'd
+    * projection (|tokens|/w rows after the explode — an order of
+    * magnitude below word granularity). ONE exchange on the chunk hash
+    * serves both the per-(chunk, doc) multiplicity aggregation and the
+    * docs-per-chunk window (same partitioning, jaccardPairs' df-cap
+    * pattern — chunk hashes are high-cardinality, so no hot reducer);
     * the per-doc roll-up is the final aggregation. No pair space is ever
     * materialized — cost is linear in corpus chunks regardless of how
     * duplicated the corpus is. */
@@ -56,19 +59,24 @@ object Dedup {
       chunkWords: Int = 10): DataFrame = {
     import graft.functions.TextFunctions.chunkHashes
     val chunked = df.select(
-      col(idCol).as("doc_id"),
-      explode(chunkHashes(col(textCol), chunkWords)).as("chunk_hash"))
-    val crossDocChunks = chunked
-      .groupBy("chunk_hash")
-      .agg(countDistinct("doc_id").as("n_docs"))
-      .filter(col("n_docs") > 1)
-      .select(col("chunk_hash"), lit(1L).as("is_dup"))
+        col(idCol).as("doc_id"),
+        explode(chunkHashes(col(textCol), chunkWords)).as("chunk_hash"))
+      .repartition(col("chunk_hash"))
     chunked
-      .join(crossDocChunks, Seq("chunk_hash"), "left")
+      // per (chunk, doc) multiplicity: hashpartitioning(chunk_hash)
+      // already satisfies this grouping (subset of the keys) — no
+      // second exchange
+      .groupBy("chunk_hash", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+      // distinct docs per chunk: a window over the SAME partitioning
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk_hash"))))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"))
+        sum(col("n_occ")).as("n_chunks"),
+        sum(when(col("n_docs") > 1, col("n_occ")).otherwise(0L))
+          .as("n_dup_chunks"))
       .select(
         col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         (col("n_dup_chunks").cast("double") / col("n_chunks"))

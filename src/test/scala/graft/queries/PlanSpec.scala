@@ -80,6 +80,21 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("chunk passage dedup decodes text ONCE: one chunk-hash exchange " +
+      "serves the multiplicity agg and the docs-per-chunk window, no " +
+      "join, no second scan") {
+    val df = graft.SparkEntry.queries("dedup_chunk_fraction")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    // exactly two exchanges: the chunk-hash clustering + the final
+    // per-doc aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      plan.take(3000))
+  }
+
   test("IVF centroid assignment is a pure projection: no exchange, no " +
       "window, no cross join before the probe join") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
