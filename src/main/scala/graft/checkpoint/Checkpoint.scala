@@ -176,4 +176,25 @@ object Checkpoint {
       .map(_.getString(0))
       .toSet
   }
+
+  /** PER-PARTITION-lineage skip set: a partition is done iff some
+    * checkpoint entry under `rulesetHash` carries that partition's OWN
+    * current snapshot id (BASELINE's "per-partition lineage" taken
+    * literally — a new or re-uploaded partition re-validates exactly
+    * itself; every untouched partition keeps its checkpoint). */
+  def completedPartitionsBySnapshot(
+      spark: SparkSession,
+      path: String,
+      rulesetHash: String,
+      partitionSnapshots: Map[String, String]): Set[String] = {
+    val cp = read(spark, path)
+    cp.filter(col("ruleset_hash") === rulesetHash)
+      .select("partition", "snapshot_id")
+      .distinct()
+      .collect()
+      .filter(r => partitionSnapshots.get(r.getString(0))
+        .contains(r.getString(1)))
+      .map(_.getString(0))
+      .toSet
+  }
 }

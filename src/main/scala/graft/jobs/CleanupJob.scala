@@ -109,7 +109,8 @@ object CleanupJob {
     val storeExists = exists(storeDir)
 
     // (a) content lineage: latest promoted snapshot per source vs the
-    // CURRENT staging snapshot
+    // CURRENT staging snapshot — per SOURCE partition, so an unrelated
+    // later upload does not un-verify this source's promotion
     val promotionsOk: String => Boolean = {
       val promoPath = TransferJob.promotionsPath(storeDir)
       if (promoted.isEmpty || !exists(promoPath)) _ => false
@@ -117,8 +118,8 @@ object CleanupJob {
         val latest = spark.read.parquet(promoPath)
           .select("source", "snapshot_id")
           .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-        val stagingSnap = TableIO.snapshotId(spark, inputPath)
-        s => latest.get(s).contains(stagingSnap)
+        val snapOf = TransferJob.currentSnapOf(spark, inputPath)
+        s => latest.get(s).contains(snapOf(s))
       }
     }
 

@@ -94,6 +94,18 @@ object TransferJob {
     * shared by [[run]] and [[promotableWithLineage]] so the transfer gate
     * and the cleanup authorization cannot drift apart (they authorize
     * destructive actions). */
+  /** Current lineage id per source: the partition's OWN snapshot id for
+    * hive layouts (so an unrelated new submission does not stale-block
+    * every other source), the whole-table id otherwise. */
+  private[jobs] def currentSnapOf(
+      spark: SparkSession, inputPath: String): String => String = {
+    val partSnaps = TableIO.partitionSnapshotIds(spark, inputPath, "source")
+    lazy val global = partSnaps
+      .map(TableIO.snapshotIdFromPartitions)
+      .getOrElse(TableIO.snapshotId(spark, inputPath))
+    s => partSnaps.flatMap(_.get(s)).getOrElse(global)
+  }
+
   private[jobs] def lineageBlocks(
       spark: SparkSession,
       inputPath: String,
@@ -101,9 +113,9 @@ object TransferJob {
     val latest = latestCheckpointSnapshots(spark, validationOutDir)
     if (latest.isEmpty) _ => None // no checkpoint manifest: verdict gate only
     else {
-      val snapId = TableIO.snapshotId(spark, inputPath)
+      val snapOf = currentSnapOf(spark, inputPath)
       s => latest.get(s) match {
-        case Some(sid) if sid == snapId => None
+        case Some(sid) if sid == snapOf(s) => None
         case Some(_) => Some("STALE_LINEAGE")
         case None => Some("NO_LINEAGE")
       }
@@ -182,13 +194,14 @@ object TransferJob {
 
       // record WHICH input snapshot each source's store generation came
       // from — the content-lineage fact CleanupJob needs before deleting
-      // staging (a count comparison cannot distinguish generations)
-      val snapId = TableIO.snapshotId(spark, cfg.inputPath)
+      // staging (a count comparison cannot distinguish generations).
+      // Per-SOURCE ids: a later unrelated upload must not make this
+      // promotion look stale to cleanup.
+      val snapOf = currentSnapOf(spark, cfg.inputPath)
+      val promotedAt = java.time.Instant.now().toString
       TableIO.writePartitioned(
-        pass.toDF("source")
-          .withColumn("snapshot_id", lit(snapId))
-          .withColumn("promoted_at",
-            lit(java.time.Instant.now().toString)),
+        pass.map(s => (s, snapOf(s), promotedAt))
+          .toDF("source", "snapshot_id", "promoted_at"),
         promotionsPath(cfg.storeDir))
 
       // K4: regenerate the manifest TSV from the STORE (one tiny agg)

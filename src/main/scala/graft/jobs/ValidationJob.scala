@@ -75,7 +75,19 @@ object ValidationJob {
       tLast = now
     }
 
-    val snapshotId = TableIO.snapshotId(spark, cfg.inputPath)
+    // PER-PARTITION snapshot lineage (BASELINE: "per-Iceberg-partition
+    // lineage (snapshot-id, ...)"): each source partition carries its OWN
+    // content id, so resume re-validates exactly the partitions whose
+    // files changed — a new submission neither re-validates nor blocks
+    // the untouched ones. The whole-table id derives from the same single
+    // directory walk. Non-hive layouts fall back to table-granular ids.
+    val partSnaps: Map[String, String] = TableIO
+      .partitionSnapshotIds(spark, cfg.inputPath, "source")
+      .getOrElse(Map.empty)
+    val snapshotId =
+      if (partSnaps.nonEmpty) TableIO.snapshotIdFromPartitions(partSnaps)
+      else TableIO.snapshotId(spark, cfg.inputPath)
+    def snapOf(src: String): String = partSnaps.getOrElse(src, snapshotId)
     phase("snapshot_id")
     // Checkpoint lineage = rule set + rule-INPUT configuration (ADVICE r02):
     // a drift rule with no baseline rolls up NOT_COMPLETED, which does not
@@ -113,8 +125,12 @@ object ValidationJob {
     // Resume: drop partitions already validated under this exact
     // (snapshot, rule set) lineage. The filter is on the partition column,
     // so Catalyst prunes their files from the scan entirely.
-    val done = Checkpoint.completedPartitions(
-      spark, checkpointPath(cfg.outDir), snapshotId, rulesetHash)
+    val done =
+      if (partSnaps.nonEmpty)
+        Checkpoint.completedPartitionsBySnapshot(
+          spark, checkpointPath(cfg.outDir), rulesetHash, partSnaps)
+      else Checkpoint.completedPartitions(
+        spark, checkpointPath(cfg.outDir), snapshotId, rulesetHash)
     val allParts = TableIO.partitionValues(spark, cfg.inputPath, "source")
       .getOrElse(
         all.select("source").distinct().as[String].collect().toSeq.sorted)
@@ -351,7 +367,9 @@ object ValidationJob {
         }
         CheckpointEntry(
           partition = src,
-          snapshot_id = snapshotId,
+          // the partition's OWN snapshot id: resume and the transfer
+          // lineage gate both compare per partition
+          snapshot_id = snapOf(src),
           ruleset_hash = rulesetHash,
           verdict = verdict,
           metrics = s"""{"n_rules":${vs.size},"wall_ms":$wallMs}""",

@@ -203,7 +203,46 @@ object TableIO {
     * metadata pass — at millions of files this is the first thing an
     * Iceberg catalog (snapshot id from table metadata, zero listing)
     * replaces, which is exactly the TableIO slot-in point. */
-  def snapshotId(spark: SparkSession, path: String): String = {
+  def snapshotId(spark: SparkSession, path: String): String =
+    listingInventory(spark, path) match {
+      case None => emptyListingId
+      case Some(files) => md5Hex(files.sorted.mkString("\n"))
+    }
+
+  /** Per-PARTITION snapshot ids for a hive-layout table: one content id
+    * per `partitionCol=` directory, derived from that directory's own
+    * file inventory. This is the per-partition half of the Iceberg-
+    * manifest stand-in: checkpoint lineage keyed on a partition's OWN
+    * snapshot re-validates exactly the partitions whose files changed —
+    * a new submission prefix neither re-validates nor lineage-blocks the
+    * untouched ones. None for non-hive layouts (callers fall back to the
+    * whole-table id). */
+  def partitionSnapshotIds(
+      spark: SparkSession, path: String,
+      partitionCol: String): Option[Map[String, String]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val prefix = partitionCol + "="
+    val dirs = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+    if (dirs.isEmpty) return None
+    Some(dirs.map { d =>
+      val value = unescapePathName(d.getName.stripPrefix(prefix))
+      val id = listingInventory(spark, d.toString) match {
+        case None => emptyListingId
+        case Some(files) => md5Hex(files.sorted.mkString("\n"))
+      }
+      value -> id
+    }.toMap)
+  }
+
+  /** (path:length) inventory of every data file under `path`; None if the
+    * path does not exist. */
+  private def listingInventory(
+      spark: SparkSession, path: String): Option[Seq[String]] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
@@ -215,7 +254,7 @@ object TableIO {
       // per run at the bench layout); java.nio walks the same tree in tens
       // of ms. Identical (path, length) inventory either way.
       val root = java.nio.file.Paths.get(uri.getPath)
-      if (!java.nio.file.Files.exists(root)) return emptyListingId
+      if (!java.nio.file.Files.exists(root)) return None
       val stream = java.nio.file.Files.walk(root)
       try {
         stream.forEach { q =>
@@ -226,6 +265,7 @@ object TableIO {
         }
       } finally stream.close()
     } else {
+      if (!fs.exists(p)) return None
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val st = it.next()
@@ -234,10 +274,20 @@ object TableIO {
           files += s"${st.getPath.toUri.getPath}:${st.getLen}"
       }
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(files.sorted.mkString("\n").getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
+    Some(files.toSeq)
   }
+
+  private def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  /** Whole-table snapshot id derived from per-partition ids — one
+    * directory walk serves both granularities (the walk is the cost an
+    * Iceberg catalog removes; never pay it twice per run). */
+  def snapshotIdFromPartitions(partSnaps: Map[String, String]): String =
+    md5Hex(partSnaps.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString("\n"))
 
   private def emptyListingId: String = {
     val md = java.security.MessageDigest.getInstance("MD5")

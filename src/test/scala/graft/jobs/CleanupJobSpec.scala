@@ -28,7 +28,10 @@ class CleanupJobSpec extends SparkSpec {
     val parts = graft.sources.TableIO
       .partitionValues(spark, s"$dir/input", "source").get
     val promoted = parts.take(2)
-    val snap = graft.sources.TableIO.snapshotId(spark, s"$dir/input")
+    // per-partition lineage (r04): the promotion row must carry the
+    // SOURCE's own partition snapshot id
+    def partSnap(src: String) = graft.sources.TableIO
+      .partitionSnapshotIds(spark, s"$dir/input", "source").get(src)
 
     // store holds ONLY the first promoted source's full rows, and the
     // promotions log records it against the CURRENT staging snapshot; the
@@ -36,7 +39,7 @@ class CleanupJobSpec extends SparkSpec {
     spark.read.parquet(s"$dir/input")
       .filter(col("source") === promoted.head)
       .write.mode("overwrite").partitionBy("source").parquet(s"$dir/store")
-    writePromotion(s"$dir/store", promoted.head, snap)
+    writePromotion(s"$dir/store", promoted.head, partSnap(promoted.head))
 
     // leftovers under the validation outDir: a STALE _temporary dir, an
     // orphaned reclaim tombstone, and a STALE lock
@@ -109,7 +112,8 @@ class CleanupJobSpec extends SparkSpec {
     orig.take(4).toDS().write.mode("overwrite").partitionBy("source")
       .parquet(s"$dir/store") // store now holds the corrected generation
     writePromotion(s"$dir/store",
-      "mito", graft.sources.TableIO.snapshotId(spark, s"$dir/input"))
+      "mito", graft.sources.TableIO
+        .partitionSnapshotIds(spark, s"$dir/input", "source").get("mito"))
     val r2 = CleanupJob.run(spark, s"$dir/input", s"$dir/store", Seq("mito"))
     assert(r2.cleaned === Seq("mito"))
   }

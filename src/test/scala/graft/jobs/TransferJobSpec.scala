@@ -104,16 +104,19 @@ class TransferJobSpec extends SparkSpec {
     val cfg = TransferJob.Config(
       s"$dir/input", s"$dir/out", s"$dir/store", s"$dir/manifest_txt")
     val r = TransferJob.run(spark, cfg)
-    // ALL sources share the table-level snapshot id, so the whole table is
-    // stale until re-validated — nothing promotes on the old verdicts
-    assert(r.promoted.isEmpty, r.toString)
-    assert(r.blockReasons.values.flatten.exists(_ == "STALE_LINEAGE"))
+    // PER-PARTITION lineage (r04): only mito — the partition whose files
+    // changed — is stale; every untouched source promotes on its
+    // existing verdict instead of the whole table blocking
+    assert(!r.promoted.contains("mito"), r.toString)
+    assert(r.promoted.nonEmpty, r.toString)
+    assert(r.blockReasons("mito").contains("STALE_LINEAGE"))
 
-    // re-validating the changed input (resume validates only what the new
-    // lineage requires) unblocks promotion, minus the now-failing source
-    ValidationJob.run(spark, ValidationJob.Config(
+    // re-validation under per-partition lineage touches ONLY mito...
+    val v2 = ValidationJob.run(spark, ValidationJob.Config(
       s"$dir/input", s"$dir/manifest", s"$dir/out",
       baselinePath = Some(s"$dir/baseline")))
+    assert(v2.validatedPartitions === Seq("mito"), v2.toString)
+    // ...which now carries an invalid row, so it FAILs instead of STALE
     val r2 = TransferJob.run(spark, cfg)
     assert(r2.promoted.nonEmpty)
     assert(!r2.promoted.contains("mito"))

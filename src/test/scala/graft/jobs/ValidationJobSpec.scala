@@ -203,11 +203,26 @@ class ValidationJobSpec extends SparkSpec {
     Seq(Sequence("D999999999999", Array(1, 2, 3), 3, "newsrc"))
       .toDS().write.mode("append").partitionBy("source").parquet(s"$dir/input")
     val r2 = ValidationJob.run(spark, cfg)
-    // snapshot changed -> full re-validate is acceptable but all partitions
-    // must end checkpointed; verify newsrc got a verdict.
+    // PER-PARTITION lineage (r04): exactly the new partition validates;
+    // every untouched partition keeps its checkpoint
+    assert(r2.validatedPartitions === Seq("newsrc"), r2.toString)
+    assert(r2.skippedPartitions.toSet === r1.validatedPartitions.toSet)
     val ver = spark.read.parquet(ValidationJob.verdictsPath(cfg.outDir))
     assert(ver.filter($"source" === "newsrc").count() > 0)
-    assert(r1.validatedPartitions.nonEmpty && r2.validatedPartitions.nonEmpty)
+    assert(r1.validatedPartitions.nonEmpty)
+
+    // a re-UPLOADED partition (same name, new files) re-validates exactly
+    // itself
+    spark.read.parquet(s"$dir/input").as[Sequence]
+      .filter($"source" === "cardiac")
+      .write.mode("overwrite").parquet(s"$dir/tmp_cardiac")
+    graft.sources.TableIO.deletePartitions(
+      spark, s"$dir/input", "source", Seq("cardiac"))
+    spark.read.parquet(s"$dir/tmp_cardiac").as[Sequence]
+      .repartition(2) // different file layout -> different partition id
+      .write.mode("append").partitionBy("source").parquet(s"$dir/input")
+    val r3 = ValidationJob.run(spark, cfg)
+    assert(r3.validatedPartitions === Seq("cardiac"), r3.toString)
   }
 
   test("per-partition locks: disjoint submission scopes proceed, " +
