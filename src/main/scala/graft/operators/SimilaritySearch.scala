@@ -303,6 +303,155 @@ object SimilaritySearch {
         count(lit(1)).as("n"))
   }
 
+  /** Product-quantization codebooks: `subspaces` independent k-means
+    * codebooks, one per contiguous dim-slice of the vector (Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search" — public
+    * algorithm). Returns [sub][cid][dim] sub-centroids.
+    *
+    * Determinism contract (what makes trained PQ oracle-able):
+    *  - sub-assignment maximizes `dot(x_m, c) - |c|²/2` (⇔ argmin L2²,
+    *    no division so zero-norm subvectors are safe), ordered-fold dot,
+    *    (score desc, cid asc) tie-break;
+    *  - means accumulate 2^-20-quantized int64 sums ([[KmeansQuant]]) —
+    *    exact, order-independent; empty clusters keep their centroid;
+    *  - init: the first k corpus vectors by id, sliced per subspace.
+    *
+    * Scale shape: ONE corpus scan per Lloyd iteration trains ALL
+    * subspaces (each row explodes to its M sub-assignments, then to
+    * (sub, cid, dim) partial sums — map-side combined to ≤ M×k×subDim
+    * rows per task); the driver holds M×k×subDim doubles. */
+  def pqCodebooksSeq(corpus: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.Row
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
+    val subDim = dims / subspaces
+
+    var cents: Seq[Seq[Seq[Double]]] = {
+      val firstK = corpus.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect().toSeq
+        .map { case Row(v: scala.collection.Seq[_]) =>
+          v.map(x => x.asInstanceOf[Float].toDouble).toSeq
+        }
+      (0 until subspaces).map(s =>
+        firstK.map(_.slice(s * subDim, (s + 1) * subDim)))
+    }
+
+    for (_ <- 1 to iters) {
+      val bySub: Map[(Int, Long), Seq[Row]] =
+        pqSums(corpus, vecCol, cents).collect()
+          .toSeq.groupBy(r => (r.getInt(0), r.getLong(1)))
+      cents = cents.zipWithIndex.map { case (subCents, sub) =>
+        subCents.zipWithIndex.map { case (prev, cid) =>
+          bySub.get((sub, cid.toLong)) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2))
+                .map(r => (r.getLong(3) / KmeansQuant) / r.getLong(4))
+            case None => prev
+          }
+        }
+      }
+    }
+    cents
+  }
+
+  /** Sub-assignment argmax as a projection: the cid maximizing
+    * `dot(sv, c) - |c|²/2` over the subspace's literal centroids. */
+  private def pqArgmax(sv: Column, subCents: Seq[Seq[Double]]): Column =
+    element_at(
+      sort_array(
+        array(subCents.zipWithIndex.map { case (cv, cid) =>
+          val halfSq = cv.foldLeft(0.0)((acc, x) => acc + x * x) / 2.0
+          struct(
+            (dot(sv, typedlit(cv)) - lit(halfSq)).as("score"),
+            lit(-cid.toLong).as("negcid"))
+        }: _*),
+        asc = false), 1)("negcid") * -1
+
+  /** Pre-projected subvector columns sv0..sv{M-1}, carrying `keep`. */
+  private def withSubvectors(df: DataFrame, vecCol: String,
+      subspaces: Int, subDim: Int, keep: Seq[Column]): DataFrame =
+    df.select(keep ++ (0 until subspaces).map(s =>
+      slice(col(vecCol), s * subDim + 1, subDim).as(s"sv$s")): _*)
+
+  /** One PQ training iteration's distributed half: quantized per-
+    * (sub, cid, dim) sums + counts, all subspaces in one scan. */
+  private[graft] def pqSums(corpus: DataFrame, vecCol: String,
+      cents: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = cents.size
+    val subDim = cents.head.head.size
+    withSubvectors(corpus, vecCol, m, subDim, Nil)
+      .select((0 until m).map(s =>
+        struct(pqArgmax(col(s"sv$s"), cents(s)).as("cid"),
+          col(s"sv$s").as("sv")).as(s"a$s")): _*)
+      .select(posexplode(array((0 until m).map(s => col(s"a$s")): _*))
+        .as(Seq("sub", "a")))
+      // extracts get their OWN projection after the generator
+      // (ExtractGenerator drops struct aliases otherwise)
+      .select(col("sub"), col("a.cid").as("cid"), col("a.sv").as("sv"))
+      .select(col("sub"), col("cid"),
+        posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy("sub", "cid", "dim")
+      .agg(
+        sum(floor(col("x").cast("double") * KmeansQuant).cast("long"))
+          .as("s"),
+        count(lit(1)).as("n"))
+  }
+
+  /** PQ encoding: each vector compressed to its M sub-centroid codes —
+    * a pure projection. The encoded table is the PQ payoff at scale:
+    * M small ints per row instead of `dims` floats (16-32× less IO for
+    * every downstream scoring scan). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = cents.size
+    val subDim = cents.head.head.size
+    withSubvectors(corpus, vecCol, m, subDim,
+        Seq(col(idCol).as("vec_id")))
+      .select(col("vec_id"),
+        array((0 until m).map(s =>
+          pqArgmax(col(s"sv$s"), cents(s))): _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each probe
+    * precomputes one quantized lookup table per subspace
+    * (`floor(dot(q_m, c) · 2^20)` — int64, so the per-row score is an
+    * EXACT integer sum, order-free and engine-independent), and every
+    * corpus row is scored by M table lookups on its codes — never a
+    * full-vector fold. Probes broadcast; per-probe top-k is the bounded
+    * [[graft.functions.TopKByScoreAggregate]]. Returns
+    * (probe_id, rank, neighbor_id, approx_ip_q) with the quantized
+    * approximate inner product as the score. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = cents.size
+    val subDim = cents.head.head.size
+    val encoded = pqEncode(corpus, idCol, vecCol, cents)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val tables = array((0 until m).map { s =>
+      array(cents(s).map { cv =>
+        floor(dot(slice(col("pv"), s * subDim + 1, subDim), typedlit(cv))
+          * lit(KmeansQuant)).cast("long")
+      }: _*)
+    }: _*)
+    val p = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+      .select(col("probe_id"), tables.as("tabs"))
+    val score = (0 until m).map { s =>
+      element_at(element_at(col("tabs"), s + 1),
+        (element_at(col("codes"), s + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val scored = encoded
+      .join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        // < 2^30 after quantization × M: the double round-trip through
+        // the top-k aggregate is exact
+        score.cast("double").as("cos"))
+    topKPerProbe(scored, k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("cos").cast("long").as("approx_ip_q"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= minCos, candidates
     * restricted to same SRP bucket (the scale path for embedding dedup).
     *

@@ -67,6 +67,22 @@ object SimilarityQueries {
         k = 3, nprobe = 2, codebookOpt = Some(cb))
     }),
 
+    // PRODUCT-QUANTIZED top-k (IVF-PQ's compression half): 4 subspaces
+    // x 16 dims, k=4 sub-centroids each, trained 2 Lloyd iterations;
+    // corpus scored by asymmetric-distance table lookups on its 4-code
+    // encoding (16 ints/row instead of 64 floats — the 100 TB memory/IO
+    // path). Fully deterministic: quantized int64 training AND quantized
+    // int64 score tables, so the oracle replays training, encoding and
+    // ADC search bit-for-bit.
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = SimilaritySearch.pqCodebooksSeq(
+        e, "vec_id", "embedding", subspaces = 4, k = 4, iters = 2)
+      SimilaritySearch.pqTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, cents)
+    }),
+
     // embedding near-dup pairs: cosine >= 0.4, exact all-pairs path
     // (small-corpus extra; the verified scale path is the _lsh variant)
     "dedup_embedding_pairs" -> ((s, dir) => {
@@ -176,7 +192,86 @@ object SimilarityQueries {
                CROSS JOIN (SELECT unnest(range(64)) AS dim) d) g
          LEFT JOIN $sums USING (cid, dim))"""
 
+  // PQ sub-assignment score: dot(sv, c) - |c|^2/2 (argmin L2^2 without
+  // division) — mirrors SimilaritySearch.pqArgmax exactly
+  private def pqScoreSql(sv: String, cv: String): String =
+    s"(${dotSql(sv, cv)} - ${dotSql(cv, cv)}/2.0)"
+
+  /** One PQ Lloyd step over the `esub` subvector CTE: per-(vec, sub)
+    * assignment, quantized per-(sub, cid, dim) sums, new centroids with
+    * empty clusters kept. */
+  private def pqStepSql(prevList: String, assigned: String,
+      sums: String, out: String): String =
+    s"""$assigned AS (
+         SELECT vec_id, sub, sv, cid FROM (
+           SELECT e.vec_id, e.sub, e.sv, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.sub
+                    ORDER BY ${pqScoreSql("e.sv", "c.cvec")} DESC,
+                             c.cid ASC) AS r
+           FROM esub e JOIN $prevList c USING (sub)) WHERE r = 1),
+       $sums AS (
+         SELECT sub, cid, dim,
+                SUM(CAST(floor(CAST(sv[dim+1] AS DOUBLE)*1048576.0)
+                    AS BIGINT)) AS s,
+                COUNT(*) AS n
+         FROM $assigned, (SELECT unnest(range(16)) AS dim) sd
+         GROUP BY 1, 2, 3),
+       $out AS (
+         SELECT sub, cid, dim,
+                COALESCE((CAST(s AS DOUBLE)/1048576.0)/n,
+                         cvec[CAST(dim AS INT)+1]) AS val
+         FROM (SELECT p.sub, p.cid, d.dim, p.cvec
+               FROM $prevList p
+               CROSS JOIN (SELECT unnest(range(16)) AS dim) d) g
+         LEFT JOIN $sums USING (sub, cid, dim))"""
+
   val oracles: Map[String, String] = Map(
+    "ann_pq_topk" ->
+      s"""WITH esub AS (
+            SELECT vec_id, sub,
+                   embedding[(sub*16+1):(sub*16+16)] AS sv
+            FROM embeddings, (SELECT unnest(range(4)) AS sub) ss),
+          c0 AS (
+            SELECT sub,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY sub
+                     ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                   [CAST(x AS DOUBLE) for x in sv] AS cvec
+            FROM esub
+            WHERE vec_id IN (SELECT vec_id FROM embeddings
+                             ORDER BY vec_id LIMIT 4)),
+          ${pqStepSql("c0", "a1", "s1", "c1")},
+          c1l AS (SELECT sub, cid, list(val ORDER BY dim) AS cvec
+                  FROM c1 GROUP BY 1, 2),
+          ${pqStepSql("c1l", "a2", "s2", "c2")},
+          cents AS (SELECT sub, cid, list(val ORDER BY dim) AS cvec
+                    FROM c2 GROUP BY 1, 2),
+          codes AS (
+            SELECT vec_id, sub, cid FROM (
+              SELECT e.vec_id, e.sub, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.sub
+                       ORDER BY ${pqScoreSql("e.sv", "c.cvec")} DESC,
+                                c.cid ASC) AS r
+              FROM esub e JOIN cents c USING (sub)) WHERE r = 1),
+          tabs AS (
+            SELECT e.vec_id AS probe_id, c.sub, c.cid,
+                   CAST(floor(${dotSql("e.sv", "c.cvec")}*1048576.0)
+                     AS BIGINT) AS q
+            FROM esub e JOIN cents c USING (sub)
+            WHERE e.vec_id < 10),
+          scored AS (
+            SELECT t.probe_id, k.vec_id AS neighbor_id,
+                   SUM(t.q) AS score
+            FROM codes k JOIN tabs t ON t.sub = k.sub AND t.cid = k.cid
+            WHERE t.probe_id <> k.vec_id
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT probe_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id,
+                 CAST(score AS BIGINT) AS approx_ip_q
+          FROM ranked WHERE rank <= 3""",
     "ann_kmeans_codebook" ->
       s"""WITH c0 AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)

@@ -152,4 +152,62 @@ class SimilaritySpec extends SparkSpec {
     assert(res.forall(_.getLong(0) == 0L))
     assert(res.exists(_.getLong(2) == 1L)) // co-bucketed near-dup found
   }
+
+  test("PQ: codebooks train per subspace, encoding is in-range, and " +
+      "ADC top-k equals a driver-side reference (quantized int64 " +
+      "tables, exact integer score sums)") {
+    val Q = SimilaritySearch.KmeansQuant
+    // 4-dim vectors, 2 subspaces x 2 dims, 2 clusters per subspace
+    val data: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(1.0f, 0.1f, 0.0f, 0.9f), 1L -> Seq(0.1f, 1.0f, 0.9f, 0.0f),
+      2L -> Seq(0.9f, 0.2f, 0.1f, 1.0f), 3L -> Seq(0.2f, 1.1f, 1.0f, 0.1f),
+      4L -> Seq(1.1f, 0.0f, 0.0f, 1.1f), 5L -> Seq(0.0f, 0.9f, 1.1f, 0.2f))
+    val df = data.map { case (id, v) => (id, v.toArray) }
+      .toDF("vec_id", "embedding")
+    val cents = SimilaritySearch.pqCodebooksSeq(
+      df, "vec_id", "embedding", subspaces = 2, k = 2, iters = 2)
+    assert(cents.size === 2 && cents.forall(_.size === 2) &&
+      cents.forall(_.forall(_.size === 2)))
+
+    val codes = SimilaritySearch.pqEncode(df, "vec_id", "embedding", cents)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSeq).toMap
+    assert(codes.size === data.size)
+    assert(codes.values.forall(c => c.size == 2 && c.forall(x =>
+      x >= 0 && x < 2)))
+
+    // driver-side reference: same arithmetic, single-threaded
+    def dotD(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (u, v) => u * v }.foldLeft(0.0)(_ + _)
+    def argmax(sv: Seq[Double], sc: Seq[Seq[Double]]): Int =
+      sc.zipWithIndex.map { case (c, i) =>
+        (dotD(sv, c) - c.foldLeft(0.0)((a, x) => a + x * x) / 2.0, i)
+      }.sortBy { case (s, i) => (-s, i) }.head._2
+    val refCodes = data.map { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      id -> (0 until 2).map(s =>
+        argmax(v.slice(s * 2, s * 2 + 2), cents(s)).toLong)
+    }.toMap
+    assert(codes === refCodes)
+
+    val got = SimilaritySearch.pqTopK(
+        df, df.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 3, cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val refScores = data.filter(_._1 != 0L).map { case (id, _) =>
+      val q = data.head._2.map(_.toDouble)
+      val score = (0 until 2).map { s =>
+        val tab = cents(s).map(c =>
+          math.floor(dotD(q.slice(s * 2, s * 2 + 2), c) * Q).toLong)
+        tab(refCodes(id)(s).toInt)
+      }.sum
+      (id, score)
+    }.sortBy { case (id, s) => (-s, id) }.take(3)
+    val want = refScores.zipWithIndex.map { case ((id, s), i) =>
+      (0L, i + 1, id, s)
+    }
+    assert(got.sortBy(_._2).toSeq === want)
+  }
 }
