@@ -161,22 +161,8 @@ object SimilaritySearch {
           (cid, cv.map(_.asInstanceOf[Float].toDouble).toSeq)
         })
 
-    // per-row centroid scores, sorted (cos desc, cid asc) — struct sort on
-    // (ccos, -cid) descending gives exactly that order. The row's norm is
-    // a shared column (non-cheap + referenced |codebook| times, so
-    // CollapseProject leaves it materialized once) and each centroid's
-    // norm is a driver-side constant: 1 fold per (row, centroid) instead
-    // of 3.
     def centScores(vec: Column, vnorm: Column): Column =
-      sort_array(
-        array(codebook.map { case (cid, cv) =>
-          val cnorm = math.sqrt(
-            cv.foldLeft(0.0)((acc, x) => acc + x * x))
-          struct(
-            (dot(vec, typedlit(cv)) / (vnorm * lit(cnorm))).as("ccos"),
-            lit(-cid).as("negcid"))
-        }: _*),
-        asc = false)
+      coarseScores(codebook)(vec, vnorm)
 
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -200,6 +186,24 @@ object SimilaritySearch {
         cosineWithNorms(col("pv"), col("cv"), col("pn"), col("cn")).as("cos"))
     topKPerProbe(scored, k)
   }
+
+  /** Per-row coarse-centroid scores, sorted (cos desc, cid asc) — struct
+    * sort on (ccos, -cid) descending gives exactly that order. The row's
+    * norm is a shared column (non-cheap + referenced |codebook| times, so
+    * CollapseProject leaves it materialized once) and each centroid's
+    * norm is a driver-side constant: 1 fold per (row, centroid) instead
+    * of 3. */
+  private def coarseScores(codebook: Seq[(Long, Seq[Double])])(
+      vec: Column, vnorm: Column): Column =
+    sort_array(
+      array(codebook.map { case (cid, cv) =>
+        val cnorm = math.sqrt(
+          cv.foldLeft(0.0)((acc, x) => acc + x * x))
+        struct(
+          (dot(vec, typedlit(cv)) / (vnorm * lit(cnorm))).as("ccos"),
+          lit(-cid).as("negcid"))
+      }: _*),
+      asc = false)
 
   /** Input quantization scale for k-means mean accumulation: a power of
     * TWO, so `x * Quant` is exact for every float input (scaling by 2^20
@@ -446,6 +450,68 @@ object SimilaritySearch {
       .select(col("probe_id"), col("neighbor_id"),
         // < 2^30 after quantization × M: the double round-trip through
         // the top-k aggregate is exact
+        score.cast("double").as("cos"))
+    topKPerProbe(scored, k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("cos").cast("long").as("approx_ip_q"))
+  }
+
+  /** IVF-PQ: the composed 10^12-row ANN path — a trained COARSE codebook
+    * partitions the corpus into inverted lists, every vector stores only
+    * its M PQ codes (+ its list id), and a probe ADC-scores just its
+    * `nprobe` nearest lists via quantized integer table lookups. This
+    * encodes raw vectors (IVFFlat-style); the residual-encoding variant
+    * (PQ over x − coarse_centroid, one sub-codebook set per list) trades
+    * more training state for tighter quantization and slots into the
+    * same plan shape.
+    *
+    * Scale shape: ONE corpus scan produces (id, list, codes) — both the
+    * coarse argmax and the PQ encoding are projections against literal
+    * centroids; probes broadcast with their quantized score tables; the
+    * only per-candidate work is M integer lookups, on the nprobe/nlists
+    * fraction of the corpus, into the bounded top-k aggregate. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int,
+      coarse: Seq[(Long, Seq[Double])],
+      pq: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = pq.size
+    val subDim = pq.head.head.size
+
+    // one scan: coarse list id + PQ codes, all projections
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      .select(col("neighbor_id"),
+        (element_at(coarseScores(coarse)(col("cv"), col("cn")), 1)("negcid")
+          * -1).as("cid"),
+        col("cv"))
+      .select(col("neighbor_id"), col("cid"),
+        array((0 until m).map(s =>
+          pqArgmax(slice(col("cv"), s * subDim + 1, subDim), pq(s))): _*)
+          .as("codes"))
+
+    val tables = array((0 until m).map { s =>
+      array(pq(s).map { cv =>
+        floor(dot(slice(col("pv"), s * subDim + 1, subDim), typedlit(cv))
+          * lit(KmeansQuant)).cast("long")
+      }: _*)
+    }: _*)
+    val probeLists = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        norm(col(vecCol)).as("pn"))
+      .select(col("probe_id"), col("pv"),
+        explode(transform(
+          slice(coarseScores(coarse)(col("pv"), col("pn")), 1, nprobe),
+          s => s("negcid") * -1)).as("cid"))
+      .select(col("probe_id"), col("cid"), tables.as("tabs"))
+
+    val score = (0 until m).map { s =>
+      element_at(element_at(col("tabs"), s + 1),
+        (element_at(col("codes"), s + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val scored = broadcast(probeLists).join(assigned, Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
         score.cast("double").as("cos"))
     topKPerProbe(scored, k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"),

@@ -83,6 +83,21 @@ object SimilarityQueries {
         k = 3, cents)
     }),
 
+    // The COMPOSED IVF-PQ path: trained coarse codebook partitions the
+    // corpus into inverted lists, PQ codes compress every vector, probes
+    // ADC-score only their 2 nearest lists — train(×2) → encode → search
+    // end-to-end under one oracle.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val coarse = SimilaritySearch.kmeansCodebookSeq(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      val pq = SimilaritySearch.pqCodebooksSeq(
+        e, "vec_id", "embedding", subspaces = 4, k = 4, iters = 2)
+      SimilaritySearch.ivfPqTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nprobe = 2, coarse, pq)
+    }),
+
     // embedding near-dup pairs: cosine >= 0.4, exact all-pairs path
     // (small-corpus extra; the verified scale path is the _lsh variant)
     "dedup_embedding_pairs" -> ((s, dir) => {
@@ -226,6 +241,82 @@ object SimilarityQueries {
          LEFT JOIN $sums USING (sub, cid, dim))"""
 
   val oracles: Map[String, String] = Map(
+    "ann_ivfpq_topk" ->
+      s"""WITH c0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS cid,
+                   [CAST(x AS DOUBLE) for x in embedding] AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 4)),
+          ${kmeansStepSql("c0", "a1", "s1", "c1")},
+          c1l AS (SELECT cid, list(val ORDER BY dim) AS cvec
+                  FROM c1 GROUP BY cid),
+          ${kmeansStepSql("c1l", "a2", "s2", "c2")},
+          kcents AS (SELECT cid, list(val ORDER BY dim) AS cvec
+                     FROM c2 GROUP BY cid),
+          assigned AS (
+            SELECT neighbor_id, kcid FROM (
+              SELECT e.vec_id AS neighbor_id, c.cid AS kcid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+                                c.cid ASC) AS crank
+              FROM embeddings e, kcents c) WHERE crank = 1),
+          plists AS (
+            SELECT probe_id, kcid FROM (
+              SELECT e.vec_id AS probe_id, c.cid AS kcid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+                                c.cid ASC) AS crank
+              FROM embeddings e, kcents c WHERE e.vec_id < 10)
+            WHERE crank <= 2),
+          esub AS (
+            SELECT vec_id, sub,
+                   embedding[(sub*16+1):(sub*16+16)] AS sv
+            FROM embeddings, (SELECT unnest(range(4)) AS sub) ss),
+          p0 AS (
+            SELECT sub,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY sub
+                     ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                   [CAST(x AS DOUBLE) for x in sv] AS cvec
+            FROM esub
+            WHERE vec_id IN (SELECT vec_id FROM embeddings
+                             ORDER BY vec_id LIMIT 4)),
+          ${pqStepSql("p0", "pa1", "ps1", "pc1")},
+          pc1l AS (SELECT sub, cid, list(val ORDER BY dim) AS cvec
+                   FROM pc1 GROUP BY 1, 2),
+          ${pqStepSql("pc1l", "pa2", "ps2", "pc2")},
+          pqcents AS (SELECT sub, cid, list(val ORDER BY dim) AS cvec
+                      FROM pc2 GROUP BY 1, 2),
+          codes AS (
+            SELECT vec_id, sub, cid FROM (
+              SELECT e.vec_id, e.sub, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.sub
+                       ORDER BY ${pqScoreSql("e.sv", "c.cvec")} DESC,
+                                c.cid ASC) AS r
+              FROM esub e JOIN pqcents c USING (sub)) WHERE r = 1),
+          tabs AS (
+            SELECT e.vec_id AS probe_id, c.sub, c.cid,
+                   CAST(floor(${dotSql("e.sv", "c.cvec")}*1048576.0)
+                     AS BIGINT) AS q
+            FROM esub e JOIN pqcents c USING (sub)
+            WHERE e.vec_id < 10),
+          scored AS (
+            SELECT t.probe_id, a.neighbor_id, SUM(t.q) AS score
+            FROM plists pl
+            JOIN assigned a ON a.kcid = pl.kcid
+            JOIN codes k ON k.vec_id = a.neighbor_id
+            JOIN tabs t ON t.probe_id = pl.probe_id
+                       AND t.sub = k.sub AND t.cid = k.cid
+            WHERE pl.probe_id <> a.neighbor_id
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT probe_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id,
+                 CAST(score AS BIGINT) AS approx_ip_q
+          FROM ranked WHERE rank <= 3""",
     "ann_pq_topk" ->
       s"""WITH esub AS (
             SELECT vec_id, sub,
