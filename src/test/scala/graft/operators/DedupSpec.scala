@@ -250,4 +250,26 @@ class DedupSpec extends SparkSpec {
       k = 16, bands = 4, minEstSim = 0.0)
     assert(uncapped.count() === 190) // 20 choose 2
   }
+
+  test("chunk passage dedup: cross-doc shared chunks counted per " +
+      "instance, within-doc-only repeats excluded, short tail chunked") {
+    // chunkWords=3: d1 = [A B C][D E F], d2 = [A B C][X Y Z], d3 shares
+    // nothing cross-doc but repeats its own chunk twice; d4 = 4 words ->
+    // chunks [P Q R][S] (short tail)
+    val docs = Seq(
+      (1L, "A B C D E F"),
+      (2L, "A B C X Y Z"),
+      (3L, "M N O M N O"),
+      (4L, "P Q R S"))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDupFractions(docs, "doc_id", "text",
+        chunkWords = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))  // [A B C] shared with d2
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((2L, 0L, 0.0)))  // self-repeat is NOT cross-doc
+    assert(got(4L) === ((2L, 0L, 0.0)))  // [P Q R] + short [S]
+  }
 }

@@ -110,6 +110,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("PQ search scores via broadcast table lookups: no exchange on " +
+      "the corpus before the probe join, no window, bounded top-k") {
+    for (q <- Seq("ann_pq_topk", "ann_ivfpq_topk")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Window"), s"$q: ${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(3000)}")
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"), s"$q: ${plan.take(3000)}")
+      // corpus side reaches the probe join unshuffled: the only
+      // exchanges are the final top-k aggregation's
+      assert(plan.contains("partial_topk_by_score"), s"$q: ${plan.take(3000)}")
+    }
+  }
+
   test("top-k ranking runs as a BOUNDED partial aggregate, not a window " +
       "(VERDICT r02 #7: no single-reducer-per-probe sort)") {
     for (q <- Seq("ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk")) {
