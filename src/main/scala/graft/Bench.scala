@@ -23,7 +23,8 @@ object Bench {
     "dedup_clusters", "pipeline_curate",
     "dedup_simhash", "dedup_simhash_pairs_capped",
     "dedup_jaccard_pairs", "dedup_jaccard_pairs_capped",
-    "dedup_embedding_pairs_lsh",
+    "dedup_embedding_pairs_lsh", "dedup_semantic",
+    "dedup_incremental_bloom",
     "j10_snapshot_equality", "s8_results_json",
     "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk",
     "ann_kmeans_codebook", "ann_ivf_trained_topk", "ann_pq_topk",

@@ -557,4 +557,57 @@ object SimilaritySearch {
         cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with a TRAINED k-means codebook, then within each
+    * cluster drop every item that has a cosine >= `minCos` neighbor ranked
+    * before it. Rank = (centroid-cosine ASC, id ASC): of an ε-similar
+    * group the LEAST centroid-typical member survives — the paper's
+    * keep-low-centroid-similarity rule, made deterministic with the id
+    * tie-break. Returns every corpus row as (vec_id, cid, kept).
+    *
+    * Unlike [[embeddingDupPairs]] (random SRP buckets, pair OUTPUT), the
+    * blocking key here is a trained partition of the space and the output
+    * is the keep/drop DECISION — the form a curation pipeline consumes.
+    *
+    * Scale shape: assignment + centroid-cosine is a pure projection
+    * against literal centroids (zero exchanges — [[ivfTopK]]'s pattern);
+    * ONE explicit exchange on cid is reused by both self-join branches;
+    * the within-cluster join is quadratic in cluster size, which `k`
+    * controls by construction (E|cluster| = N/k — SemDeDup runs k ~ sqrt N;
+    * a genuinely degenerate cluster means the codebook is undertrained,
+    * so there is deliberately no silent drop-cap here). The final
+    * dropped-id anti-probe is a plain left join on id: dropped ids are a
+    * corpus-bounded subset, co-shuffled with the corpus on the id key. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, minCos: Double,
+      codebookOpt: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+    val codebook = codebookOpt.getOrElse(
+      kmeansCodebookSeq(corpus, idCol, vecCol, k, iters))
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("n"))
+      .select(col("vec_id"), col("v"), col("n"),
+        element_at(coarseScores(codebook)(col("v"), col("n")), 1).as("best"))
+      .select(col("vec_id"), col("v"), col("n"),
+        (col("best")("negcid") * -1).as("cid"),
+        col("best")("ccos").as("ccos"))
+    val parts = assigned.repartition(col("cid"))
+    val r = parts.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"), col("ccos").as("ccos_b"))
+    val dropped = parts
+      .select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"),
+        col("n").as("na"), col("ccos").as("ccos_a"))
+      .join(r, Seq("cid"))
+      .filter(struct(col("ccos_a"), col("id_a")) <
+        struct(col("ccos_b"), col("id_b")))
+      .filter(cosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))
+        >= minCos)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.select(col("vec_id"), col("cid"), col("ccos"))
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"), col("ccos"),
+        col("dup").isNull.as("kept"))
+  }
 }

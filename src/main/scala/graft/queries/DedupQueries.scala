@@ -61,6 +61,23 @@ object DedupQueries {
           col("n_copies"))
     }),
 
+    // INCREMENTAL dedup of a new batch against accumulated history via a
+    // Bloom sketch (odd doc_ids arriving, even doc_ids accumulated):
+    // bloom-negative rows bypass the anti-join entirely; only sketch
+    // positives are confirmed exactly, so the result EQUALS the plain
+    // anti-join the oracle runs — the sketch is pure pruning
+    // (reference analog: per-key ETag membership gate,
+    // manifest_processor.py:283-305 / dynamodb.py:22-40).
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+      val history = d.filter(col("doc_id") % 2 === 0)
+      val sk = graft.operators.BloomDedup.sketch(
+        history, "content_md5", expectedItems = 10000, fpp = 0.01)
+      graft.operators.BloomDedup.newKeys(
+        d.filter(col("doc_id") % 2 === 1), history, "content_md5", sk)
+    }),
+
     // MinHash signatures (first 50 docs): the LSH building block
     "dedup_minhash_sig" -> ((s, dir) => {
       Dedup.minhashSignatures(
@@ -284,6 +301,13 @@ object DedupQueries {
   private val textFpSql = TextQueries.sqlPolyHash("text")
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental_bloom" ->
+      """SELECT d.doc_id, md5(d.text) AS content_md5
+         FROM documents d
+         WHERE d.doc_id % 2 = 1
+           AND NOT EXISTS (SELECT 1 FROM documents h
+                           WHERE h.doc_id % 2 = 0
+                             AND md5(h.text) = md5(d.text))""",
     "dedup_exact" ->
       """WITH g AS (SELECT md5(text) AS content_md5,
                     COUNT(*) AS n_dups

@@ -117,6 +117,16 @@ object SimilarityQueries {
         maxBucketSize = 60)
     }),
 
+    // SEMANTIC dedup (SemDeDup): trained k-means clusters (the exact
+    // codebook ann_kmeans_codebook verifies) block the corpus; within a
+    // cluster every item with a cos>=0.4 neighbor ranked before it
+    // (centroid-cos ASC, id ASC — keep the least typical) is dropped.
+    // The oracle replays training, assignment, ranking and the drop rule.
+    "dedup_semantic" -> ((s, dir) => {
+      SimilaritySearch.semanticDedup(
+        emb(s, dir), "vec_id", "embedding", k = 4, iters = 2, minCos = 0.4)
+    }),
+
     // multimodal feature extraction through the batched codec stage
     // (FakeCodec emits integer-valued floats, so even the mapPartitions
     // stage has a full DuckDB oracle; payloads are the utf-8 bytes of
@@ -475,6 +485,36 @@ object SimilarityQueries {
             FROM scored)
           SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
           FROM ranked WHERE rank <= 3""",
+    "dedup_semantic" ->
+      s"""WITH c0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS cid,
+                   [CAST(x AS DOUBLE) for x in embedding] AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 4)),
+          ${kmeansStepSql("c0", "a1", "s1", "c1")},
+          c1l AS (SELECT cid, list(val ORDER BY dim) AS cvec
+                  FROM c1 GROUP BY cid),
+          ${kmeansStepSql("c1l", "a2", "s2", "c2")},
+          cents AS (SELECT cid, list(val ORDER BY dim) AS cvec
+                    FROM c2 GROUP BY cid),
+          assigned AS (
+            SELECT vec_id, embedding, cid, ccos FROM (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     ${cosSql("e.embedding", "c.cvec")} AS ccos,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+                                c.cid ASC) AS crank
+              FROM embeddings e, cents c) WHERE crank = 1),
+          dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b USING (cid)
+            WHERE (a.ccos < b.ccos OR
+                   (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+              AND ${cosSql("a.embedding", "b.embedding")} >= 0.4)
+          SELECT a.vec_id, a.cid, a.ccos,
+                 (d.vec_id IS NULL) AS kept
+          FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""",
     "dedup_embedding_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  ${cosSql("a.embedding", "b.embedding")} AS cos

@@ -210,4 +210,57 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got.sortBy(_._2).toSeq === want)
   }
+
+  test("semanticDedup: within-cluster near-dups drop all but the least " +
+      "centroid-typical member; cross-cluster twins both survive") {
+    // codebook pins two clusters on the axes; no training needed
+    val codebook = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 1.0)))
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f)),   // cluster 0, ccos = 1 (most typical)
+      (1L, Array(0.95f, 0.05f)), // cluster 0, near-dup of 0, less typical
+      (2L, Array(0.9f, 0.1f)),   // cluster 0, near-dup of 0 and 1
+      (3L, Array(0.0f, 1.0f)),   // cluster 1, geometry ~ vec 0's but
+      (4L, Array(0.05f, 0.95f)), //   different cluster: same dedup story
+      (5L, Array(-1.0f, 0.0f))   // cluster 1 (ccos 0 beats cluster 0's -1)
+    ).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.semanticDedup(
+        data, "vec_id", "embedding", k = 2, iters = 0, minCos = 0.9,
+        codebookOpt = Some(codebook))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    // cluster 0: vec 2 is LEAST typical (lowest ccos) -> ranked first,
+    // kept; 0 and 1 are tau-neighbors of a ranked-before member -> dropped
+    assert(got(0L) === ((0L, false)))
+    assert(got(1L) === ((0L, false)))
+    assert(got(2L) === ((0L, true)))
+    // cluster 1: same pattern, 4 is less typical -> kept, 3 dropped
+    assert(got(3L) === ((1L, false)))
+    assert(got(4L) === ((1L, true)))
+    // opposite vector lands in cluster 1 but has no neighbor within tau
+    assert(got(5L) === ((1L, true)))
+  }
+
+  test("semanticDedup rank is transitivity-free: dropping needs a " +
+      "ranked-BEFORE tau-neighbor, not membership in a dropped chain") {
+    // a-b similar, b-c similar, a-c NOT: SemDeDup's per-item rule keeps
+    // the first-ranked item and drops anything tau-near it; c is only
+    // near b (ranked before c), so c drops too even though its survivor
+    // a is not its neighbor -- pin the exact one-sided existence rule
+    val codebook = Seq((0L, Seq(1.0, 0.0)))
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f)),       // 0 deg: ccos highest -> ranked LAST
+      (1L, Array(0.9703f, 0.2419f)), // 14 deg
+      (2L, Array(0.8829f, 0.4695f))  // 28 deg: ranked first, kept
+    ).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.semanticDedup(
+        data, "vec_id", "embedding", k = 1, iters = 0, minCos = 0.97,
+        codebookOpt = Some(codebook))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // cos(0,1)=cos(1,2)=cos14deg~0.9703 >= tau; cos(0,2)=cos28deg~0.883
+    assert(got(2L) === true)   // ranked first
+    assert(got(1L) === false)  // neighbor 2 ranked before it
+    assert(got(0L) === false)  // neighbor 1 ranked before it (not 2!)
+  }
 }

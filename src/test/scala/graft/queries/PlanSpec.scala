@@ -127,6 +127,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: cluster assignment is a projection (no exchange " +
+      "before the cid repartition), no window, no cartesian") {
+    val df = graft.SparkEntry.queries("dedup_semantic")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window ["), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only hash-partitioning exchanges are the explicit cid
+    // repartition (reused by both self-join branches), the dropped-id
+    // distinct, and the final id probe join's
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#"
+      .r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(c => c == "cid" || c == "vec_id"),
+      exchanges.toString + "\n" + plan.take(3000))
+  }
+
+  test("incremental bloom dedup: might_contain pushes to the scan side; " +
+      "exactly one (anti) join in the plan") {
+    val df = graft.SparkEntry.queries("dedup_incremental_bloom")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("might_contain"), plan.take(3000))
+    assert("(?i)join".r.findAllIn(plan).size === 1, plan.take(3000))
+  }
+
   test("top-k ranking runs as a BOUNDED partial aggregate, not a window " +
       "(VERDICT r02 #7: no single-reducer-per-probe sort)") {
     for (q <- Seq("ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk")) {
