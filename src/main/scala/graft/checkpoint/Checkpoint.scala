@@ -159,6 +159,46 @@ object Checkpoint {
     }
   }
 
+  def sketchesPath(outDir: String): String = s"$outDir/_sketches"
+
+  /** Persist per-partition key sketches (one row per (partition, rule)):
+    * the membership side of the CROSS-RUN uniqueness gate — the
+    * Spark-native stand-in for the reference's global ETag table
+    * (dynamodb.py:22-40). Dynamic overwrite per partition: a re-validated
+    * partition replaces exactly its own sketch (content lineage travels in
+    * snapshot_id, so stale sketches are detectable), and two concurrent
+    * disjoint-scope runs commit disjoint partitions safely. `part_value`
+    * carries the exact partition string — the hive partition column is
+    * only the directory key (partition columns are TYPE-INFERRED on read;
+    * a numeric-looking source name would come back as a long). */
+  def writeSketches(
+      spark: SparkSession, outDir: String,
+      rows: Seq[(String, String, String, String, Array[Byte])]): Unit = {
+    import spark.implicits._
+    if (rows.isEmpty) return
+    graft.sources.TableIO.writePartitioned(
+      rows.toDF("part_value", "snapshot_id", "rule_id", "key_col", "sketch")
+        .withColumn("partition", col("part_value"))
+        .coalesce(1),
+      sketchesPath(outDir), partitionCol = "partition", recluster = false)
+  }
+
+  /** Sketches for one rule, keyed by exact partition value. */
+  def readSketches(
+      spark: SparkSession, outDir: String,
+      ruleId: String): Map[String, (String, Array[Byte])] = {
+    val p = new org.apache.hadoop.fs.Path(sketchesPath(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    spark.read.parquet(sketchesPath(outDir))
+      .filter(col("rule_id") === ruleId)
+      .select("part_value", "snapshot_id", "sketch")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getAs[Array[Byte]]("sketch"))))
+      .toMap
+  }
+
   /** Partitions already validated for (snapshotId, rulesetHash) — the skip
     * set for a resumed run. Latest entry wins per partition. */
   def completedPartitions(

@@ -39,6 +39,14 @@ object ValidationJob {
         * gate is submission-local (manifest_processor.py:283-305); run
         * unrestricted on a fresh checkpoint for global uniqueness. */
       partitions: Option[Seq[String]] = None,
+      /** Per-partition capacity of the cross-run uniqueness sketches
+        * (CrossRunUniqueRule). Size to the expected partition row count;
+        * ~1.2 MB of sketch per 10^6 keys at fpp=0.001. Over-filled
+        * sketches only RAISE the false-positive rate — the confirm join
+        * keeps the reported violations exact regardless, at the cost of
+        * more confirm-scan traffic. */
+      sketchExpectedItems: Long = 1000000L,
+      sketchFpp: Double = 0.001,
       /** Cache the fact table across the rule-family passes. OFF by
         * default since the r03 fusion: the only repeat reads of the fact
         * table are two NARROW column scans (uniqueness passes — doc_id
@@ -230,6 +238,68 @@ object ValidationJob {
     val rowsValidated = fin.rowCount.getOrElse(seqs.count())
     phase("stats_finish")
 
+    // CROSS-RUN uniqueness (CrossRunUniqueRule): the reference's duplicate
+    // gate is store-GLOBAL — every new upload's key is checked against the
+    // accumulated ETag record (manifest_processor.py:283-305,
+    // dynamodb.py:22-40) — while uniqueViolations evaluates within this
+    // run's scope. The persisted per-partition sketches of previously-
+    // validated partitions route the new scope's keys: bloom-negative keys
+    // (the overwhelming majority) never touch history at all, and bloom
+    // positives are CONFIRMED against a partition-pruned NARROW scan of
+    // the history key column — reported violations are exact at any fpp.
+    // Skipped entirely on a fresh checkpoint (no history → vacuous PASS,
+    // zero extra work). History partitions with no lineage-matching
+    // sketch make the check NOT_COMPLETED, never a silent partial PASS.
+    val crossRules = cfg.rules.crossRunRules
+    val histSorted = done.toSeq.sorted
+    var xrunNotCompleted = Set.empty[(String, String)]
+    val xrunCaches =
+      scala.collection.mutable.ListBuffer.empty[Dataset[_]]
+    val xrunVioFrames = crossRules.flatMap { rule =>
+      if (histSorted.isEmpty) None
+      else {
+        val sketches = Checkpoint.readSketches(spark, cfg.outDir, rule.id)
+        val covered = histSorted.filter(s =>
+          sketches.get(s).exists(_._1 == snapOf(s)))
+        if (covered.size < histSorted.size) {
+          xrunNotCompleted ++= todo.map(s => (s, rule.id))
+          None
+        } else {
+          val merged = covered.map(s => sketches(s)._2)
+            .reduce(graft.operators.BloomDedup.merge)
+          val cands = seqs
+            .select(col("source"), col(rule.key).cast("string").as("xk"))
+            .filter(col("xk").isNotNull &&
+              graft.operators.BloomDedup.mightContain(merged, col("xk")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          xrunCaches += cands
+          // short-circuit: when the sketch fired nothing (the common
+          // incremental case), history is never scanned
+          if (cands.count() == 0) None
+          else {
+            val histKeys = all
+              .filter(col("source").isin(covered.map(x => x: Any): _*))
+              .select(col(rule.key).cast("string").as("xk"),
+                col("source").as("dup_in"))
+              .filter(col("xk").isNotNull)
+            Some(cands.join(histKeys, Seq("xk"))
+              .groupBy(col("xk"), col("source"))
+              .agg(count(lit(1)).as("n_prior_copies"),
+                slice(sort_array(collect_set(col("dup_in"))), 1,
+                  RuleEngine.DupEvidenceCap).as("dup_in_sources"))
+              .select(
+                col("xk").as("doc_id"),
+                lit(rule.id).as("rule_id"),
+                to_json(struct(col("n_prior_copies"),
+                  col("dup_in_sources"))).as("observed"),
+                col("source"),
+                lit(rule.severity).as("severity")))
+          }
+        }
+      }
+    }
+    phase("cross_run_unique")
+
     // driver-derived violations (RI / drift / manifest) obey the same
     // partition restriction, applied driver-side on the tiny seq.
     // Coalesced to ONE slice so the union stays clustered enough to write
@@ -238,7 +308,17 @@ object ValidationJob {
     val driverVios = fin.driverViolations
       .filter(v => todoSet(v.source) ||
         (!allPartsSet(v.source) && inScope(v.source)))
-    val vio = scanVio.toDF()
+    // cross-run duplicates: a small distributed frame (the duplicated
+    // slice of the NEW scope only), persisted so the two write chains and
+    // the count reuse one materialization of the confirm join
+    val xrunVio = xrunVioFrames.reduceOption(_ unionByName _).map { f =>
+      val p = f.repartition(nPart, col("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      xrunCaches += p
+      p
+    }
+    val xrunCount = xrunVio.map(_.count()).getOrElse(0L)
+    val vio = xrunVio.fold(scanVio.toDF())(scanVio.toDF().unionByName(_))
       .unionByName(spark.createDataset(driverVios).coalesce(1).toDF())
       .as[Violation]
     // NOTE (ADVICE r02): `violations` counts EVERY violation attributable
@@ -246,7 +326,7 @@ object ValidationJob {
     // the data (the `!isin(allParts)` clause above) — not just rows from
     // `todo` partitions. Consumers diffing this count across engine
     // versions should compare under this (widened, r02+) definition.
-    val vioCount = scanVioCount + driverVios.size
+    val vioCount = scanVioCount + xrunCount + driverVios.size
 
     val doneSources = done.toSet
     // fin.sources = data sources (already todo-filtered) ∪ ALL manifest
@@ -318,7 +398,8 @@ object ValidationJob {
       // violations, collect once, and reuse the collected rows for the
       // write, the run log, AND the checkpoint — zero re-reads.
       val rows = RuleEngine.rollUpVerdicts(
-          spark, runSources, cfg.rules, vio, fin.stats, fin.notCompleted)
+          spark, runSources, cfg.rules, vio, fin.stats,
+          fin.notCompleted ++ xrunNotCompleted)
         .collect().toSeq
       TableIO.writePartitioned(
         spark.createDataset(rows).coalesce(1).toDF(),
@@ -335,16 +416,38 @@ object ValidationJob {
       rows
     }
 
+    // Per-partition key sketches for FUTURE runs' cross-run gate: one
+    // narrow (source, key) scan of the new scope, one small row per
+    // (partition, rule). Written before the checkpoint like every other
+    // output — a crash replay overwrites its own partitions (dynamic
+    // overwrite), and a partition's sketch travels with its snapshot id
+    // so staleness is detectable.
+    val sketchChain = Future {
+      val rows = crossRules.flatMap { rule =>
+        seqs.filter(col(rule.key).isNotNull)
+          .groupBy(col("source"))
+          .agg(graft.operators.BloomDedup.sketchAgg(
+            col(rule.key).cast("string"),
+            cfg.sketchExpectedItems, cfg.sketchFpp).as("sk"))
+          .collect()
+          .map(r => (r.getString(0), snapOf(r.getString(0)), rule.id,
+            rule.key, r.getAs[Array[Byte]]("sk")))
+      }
+      Checkpoint.writeSketches(spark, cfg.outDir, rows)
+    }
+
     import scala.concurrent.duration.Duration
-    // Join BOTH chains before anything can unwind: if one chain fails
-    // while the other is mid-write, bailing out immediately would abandon
+    // Join ALL chains before anything can unwind: if one chain fails
+    // while another is mid-write, bailing out immediately would abandon
     // the in-flight write after its stale partitions were already deleted
-    // (and swallow its error). Both outcomes are observed; the violations
+    // (and swallow its error). All outcomes are observed; the violations
     // chain's error wins (table integrity first).
     val vioOutcome = scala.util.Try(Await.result(vioChain, Duration.Inf))
     val verdictOutcome = scala.util.Try(Await.result(verdictChain, Duration.Inf))
+    val sketchOutcome = scala.util.Try(Await.result(sketchChain, Duration.Inf))
     vioOutcome.get
     val verdictRows = verdictOutcome.get
+    sketchOutcome.get
     phase("write_violations+verdicts")
 
     val wallMs = (System.nanoTime() - t0) / 1000000
@@ -381,6 +484,7 @@ object ValidationJob {
     phase("checkpoint_write")
 
     scanVio.unpersist(blocking = false)
+    xrunCaches.foreach(_.unpersist(blocking = false))
     if (useCache) seqs.unpersist(blocking = false)
     RunReport(snapshotId, rulesetHash, todo,
       done.toSeq.filter(inScope).sorted,

@@ -48,13 +48,20 @@ object BloomDedup {
     * keys at fpp=0.01, a driver-scale artifact like the IVF codebook). */
   def sketch(history: DataFrame, keyCol: String, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
-    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(GraftColumnBridge.expression(col(keyCol)))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val row = history.select(GraftColumnBridge.column(agg).as("bloom")).head()
+    val row = history
+      .select(sketchAgg(col(keyCol), expectedItems, fpp).as("bloom")).head()
     if (row.isNullAt(0)) serialize(BloomFilter.create(expectedItems, fpp))
     else row.getAs[Array[Byte]](0)
+  }
+
+  /** The sketch as an aggregate Column — the groupBy form (e.g. one
+    * sketch per table partition in one narrow scan). */
+  def sketchAgg(key: Column, expectedItems: Long,
+      fpp: Double = 0.01): Column = {
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    GraftColumnBridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(GraftColumnBridge.expression(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
   }
 
   /** `might_contain(sketch, xxhash64(key))` as a codegen'd predicate —

@@ -44,6 +44,18 @@ final case class UniqueRule(id: String, severity: String, key: String)
   def descriptor: String = s"$id|$severity|unique($key)"
 }
 
+/** CROSS-RUN key uniqueness: new-scope keys checked against partitions
+  * validated by PRIOR runs, via their persisted Bloom sketches — the
+  * reference's duplicate gate is store-GLOBAL (a per-key DynamoDB ETag
+  * lookup, manifest_processor.py:283-305 / dynamodb.py:22-40), while
+  * [[UniqueRule]] evaluates within one run's scope. Sketch routing keeps
+  * the check exact: bloom positives are confirmed against a
+  * partition-pruned narrow scan of history before anything is reported. */
+final case class CrossRunUniqueRule(id: String, severity: String, key: String)
+    extends RuleSpec {
+  def descriptor: String = s"$id|$severity|cross_run_unique($key)"
+}
+
 /** Referential integrity of `col` against the broadcast manifest dimension:
   * values present in the data but absent from the manifest are
   * warning-severity (reference treats extra files as warn-only,
@@ -98,6 +110,8 @@ final case class DriftRule(
 final case class RuleSet(rules: Seq[RuleSpec]) {
   def rowRules: Seq[RowRule] = rules.collect { case r: RowRule => r }
   def uniqueRules: Seq[UniqueRule] = rules.collect { case r: UniqueRule => r }
+  def crossRunRules: Seq[CrossRunUniqueRule] =
+    rules.collect { case r: CrossRunUniqueRule => r }
   def refRules: Seq[RefIntegrityRule] = rules.collect {
     case r: RefIntegrityRule => r
   }
@@ -127,6 +141,7 @@ object Rules {
   val RConsistentNtok = "R_CONSISTENT_NTOK"
   val RTokenRange = "R_TOKEN_RANGE"
   val RUniqueDocId = "R_UNIQUE_DOC_ID"
+  val RCrossRunUnique = "R_CROSS_RUN_UNIQUE"
   val RRefIntegrity = "R_REF_INTEGRITY_SOURCE"
   val RStats = "R_STATS"
   val RDriftNtokKs = "R_DRIFT_NTOK_KS"
@@ -165,6 +180,7 @@ object Rules {
         array_min(col("tokens")).as("min_tok"),
         array_max(col("tokens")).as("max_tok")))),
     UniqueRule(RUniqueDocId, Severity.Error, "doc_id"),
+    CrossRunUniqueRule(RCrossRunUnique, Severity.Error, "doc_id"),
     RefIntegrityRule(RRefIntegrity, Severity.Error),
     ManifestRule(RManifest, Severity.Error),
     StatsRule(RStats, Severity.Error),

@@ -225,6 +225,72 @@ class ValidationJobSpec extends SparkSpec {
     assert(r3.validatedPartitions === Seq("cardiac"), r3.toString)
   }
 
+  test("cross-run uniqueness: a new partition duplicating history keys " +
+      "fails R_CROSS_RUN_UNIQUE with exact evidence; all-new keys pass") {
+    val dir = tmpDir("vjob_xrun")
+    writeInput(dir)
+    val cfg = ValidationJob.Config(s"$dir/input", s"$dir/manifest",
+      s"$dir/out")
+    val r1 = ValidationJob.run(spark, cfg)
+    assert(r1.validatedPartitions.nonEmpty)
+    // fresh full run: no history -> vacuous PASS, never NOT_COMPLETED
+    val ver1 = spark.read.parquet(ValidationJob.verdictsPath(cfg.outDir))
+    assert(ver1.filter($"rule_id" === "R_CROSS_RUN_UNIQUE" &&
+      $"status" =!= Status.Pass).count() === 0)
+
+    // two ids that exist in history (from two different sources), one new
+    val hist = spark.read.parquet(s"$dir/input").as[Sequence].collect()
+    val dupA = hist.head
+    val dupB = hist.find(_.source != dupA.source).get
+    Seq(
+      Sequence(dupA.doc_id, Array(1, 2), 2, "newsrc"),
+      Sequence(dupB.doc_id, Array(3), 1, "newsrc"),
+      Sequence("D999999999998", Array(4), 1, "newsrc"))
+      .toDS().write.mode("append").partitionBy("source").parquet(s"$dir/input")
+
+    val r2 = ValidationJob.run(spark, cfg)
+    assert(r2.validatedPartitions === Seq("newsrc"), r2.toString)
+
+    val xv = spark.read.parquet(ValidationJob.violationsPath(cfg.outDir))
+      .filter($"rule_id" === "R_CROSS_RUN_UNIQUE")
+    val rows = xv.select("doc_id", "source", "observed").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // EXACTLY the two history duplicates, attributed to the new source,
+    // with the prior partition named in the evidence — no false positives
+    // from the sketch (the confirm join is exact)
+    assert(rows.map(_._1).sorted.toSeq ===
+      Seq(dupA.doc_id, dupB.doc_id).sorted)
+    assert(rows.forall(_._2 === "newsrc"))
+    assert(rows.find(_._1 == dupA.doc_id).get._3.contains(dupA.source))
+    val ver2 = spark.read.parquet(ValidationJob.verdictsPath(cfg.outDir))
+    assert(ver2.filter($"source" === "newsrc" &&
+      $"rule_id" === "R_CROSS_RUN_UNIQUE" &&
+      $"status" === Status.Fail).count() === 1)
+
+    // a second new partition with ALL-new keys: cross-run check passes
+    // (and history now includes newsrc via its own sketch)
+    Seq(Sequence("D999999999997", Array(5), 1, "newsrc2"))
+      .toDS().write.mode("append").partitionBy("source").parquet(s"$dir/input")
+    val r3 = ValidationJob.run(spark, cfg)
+    assert(r3.validatedPartitions === Seq("newsrc2"), r3.toString)
+    val ver3 = spark.read.parquet(ValidationJob.verdictsPath(cfg.outDir))
+    assert(ver3.filter($"source" === "newsrc2" &&
+      $"rule_id" === "R_CROSS_RUN_UNIQUE" &&
+      $"status" === Status.Pass).count() === 1)
+
+    // and a key duplicating the FIRST new partition's key now fires
+    // against newsrc (sketch accumulated across runs)
+    Seq(Sequence("D999999999998", Array(6), 1, "newsrc3"))
+      .toDS().write.mode("append").partitionBy("source").parquet(s"$dir/input")
+    val r4 = ValidationJob.run(spark, cfg)
+    assert(r4.validatedPartitions === Seq("newsrc3"), r4.toString)
+    val xv4 = spark.read.parquet(ValidationJob.violationsPath(cfg.outDir))
+      .filter($"rule_id" === "R_CROSS_RUN_UNIQUE" &&
+        $"source" === "newsrc3")
+    assert(xv4.count() === 1)
+    assert(xv4.head().getAs[String]("observed").contains("newsrc"))
+  }
+
   test("per-partition locks: disjoint submission scopes proceed, " +
       "overlapping scopes are refused (VERDICT r03 #4)") {
     import graft.checkpoint.Checkpoint
