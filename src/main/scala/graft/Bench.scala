@@ -17,6 +17,7 @@ object Bench {
     "a9_verdict_rollup", "o_topk_users", "w_first_per_key",
     "st_sessionize", "f5_regex_valid",
     "text_quality", "text_fingerprint", "text_repetition",
+    "text_freq_score",
     "sample_stratified",
     "dedup_exact", "dedup_first_seen", "dedup_chunk_fraction",
     "dedup_minhash_pairs", "dedup_minhash_pairs_capped",

@@ -13,7 +13,7 @@ import graft.drift.Drift
  * Commands:
  *   gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] [unknownRate] [driftSrc:shift]
  *     writes input/ manifest/ baseline/ under outDir (seeded, deterministic)
- *   validate <inputDir> <manifestDir> <outDir> [baselineDir] [refSnapshotDir] [--partitions=a,b]
+ *   validate <inputDir> <manifestDir> <outDir> [baselineDir] [refSnapshotDir] [--partitions=a,b] [--sketch-items=N] [--sketch-fpp=p]
  *     runs the rule set, writes violations/ verdicts/ checkpoint/, prints a
  *     one-line JSON run report
  */
@@ -80,7 +80,19 @@ object Main {
             case a if a.startsWith("--partitions=") =>
               a.stripPrefix("--partitions=").split(",").toSeq
           }
-          val rest = rest0.filterNot(_.startsWith("--partitions="))
+          // --sketch-items=N / --sketch-fpp=p size the cross-run
+          // uniqueness sketches (per-partition expected key count;
+          // over-filling only raises confirm-scan traffic, never
+          // correctness — ValidationJob.Config doc)
+          val sketchItems = rest0.collectFirst {
+            case a if a.startsWith("--sketch-items=") =>
+              a.stripPrefix("--sketch-items=").toLong
+          }
+          val sketchFpp = rest0.collectFirst {
+            case a if a.startsWith("--sketch-fpp=") =>
+              a.stripPrefix("--sketch-fpp=").toDouble
+          }
+          val rest = rest0.filterNot(_.startsWith("--"))
           // optional 5th arg: reference snapshot for the J10 cross-snapshot
           // token-equality rule (rule set extends automatically)
           val refSnap = rest.lift(1)
@@ -91,6 +103,8 @@ object Main {
             baselinePath = rest.headOption,
             refSnapshotPath = refSnap,
             partitions = scope,
+            sketchExpectedItems = sketchItems.getOrElse(1000000L),
+            sketchFpp = sketchFpp.getOrElse(0.001),
             rules =
               if (refSnap.isDefined) graft.rules.Rules.withSnapshotEquality
               else graft.rules.Rules.standard))

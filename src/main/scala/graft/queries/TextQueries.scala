@@ -118,6 +118,42 @@ object TextQueries {
             lit("repetitive")).otherwise(lit("ok")))
     }),
 
+    // CORPUS-TRAINED frequency scoring (the CCNet-style LM-filter proxy,
+    // Wenzek et al. 2020, made oracle-exact): train a top-K unigram
+    // frequency table over the corpus, score each doc by how much of its
+    // mass the common vocabulary covers — garbage/noise docs score near
+    // zero, natural text high. Train = one vocab-bounded word groupBy
+    // (map-side combined; top-K is driver-held like the IVF codebooks);
+    // score = a pure projection against the literal map (zero scoring
+    // shuffles — the 100 TB path). Integer numerators keep it
+    // bit-portable: freq_hits is an exact int64 sum, the only float op is
+    // one final division.
+    "text_freq_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val wc = d.select(explode(words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .persist()
+      val total = wc.agg(sum(col("c"))).head().getLong(0)
+      val topk = wc.orderBy(col("c").desc, col("w").asc).limit(256)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      wc.unpersist(blocking = false)
+      val m = typedlit(topk)
+      val w = words(col("text"))
+      val hit = transform(w, x => coalesce(element_at(m, x), lit(0L)))
+      d.select(
+          col("doc_id"),
+          size(w).cast("long").as("n_words"),
+          aggregate(hit, lit(0L),
+            (a, b) => a + when(b > 0, 1L).otherwise(0L))
+            .as("known_words"),
+          aggregate(hit, lit(0L), (a, b) => a + b).as("freq_hits"))
+        .withColumn("freq_score",
+          when(col("n_words") > 0,
+            col("freq_hits").cast("double") /
+              (col("n_words") * lit(total)).cast("double"))
+            .otherwise(lit(0.0)))
+    }),
+
     // multimodal metadata path: opaque binary payload + typed metadata
     // (decode itself is the stubbed FakeCodec; this query checks the
     // oracle-able part: byte length and mime routing)
@@ -198,6 +234,30 @@ object TextQueries {
                 CASE WHEN dup_word_frac > 0.6 OR dup_3gram_frac > 0.2
                      THEN 'repetitive' ELSE 'ok' END AS rep_class
          FROM fr""",
+    "text_freq_score" ->
+      """WITH wc AS (
+           SELECT w, COUNT(*) AS c
+           FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+           GROUP BY 1),
+         tot AS (SELECT SUM(c) AS t FROM wc),
+         topk AS (SELECT w, c FROM wc ORDER BY c DESC, w ASC LIMIT 256),
+         docw AS (
+           SELECT doc_id, unnest(string_split(text,' ')) AS w
+           FROM documents),
+         agg AS (
+           SELECT d.doc_id,
+                  COUNT(*) AS n_words,
+                  SUM(CASE WHEN t.c IS NOT NULL THEN 1 ELSE 0 END)
+                    AS known_words,
+                  SUM(COALESCE(t.c, 0)) AS freq_hits
+           FROM docw d LEFT JOIN topk t ON d.w = t.w
+           GROUP BY 1)
+         SELECT doc_id, n_words, known_words, freq_hits,
+                CASE WHEN n_words > 0
+                     THEN CAST(freq_hits AS DOUBLE) /
+                          (n_words * (SELECT t FROM tot))
+                     ELSE 0.0 END AS freq_score
+         FROM agg""",
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,

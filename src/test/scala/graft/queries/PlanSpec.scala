@@ -154,6 +154,20 @@ class PlanSpec extends SparkSpec {
     assert("(?i)join".r.findAllIn(plan).size === 1, plan.take(3000))
   }
 
+  test("trained frequency scoring is a pure projection: no join, no " +
+      "exchange in the scoring plan (top-K vocab is a literal map)") {
+    val df = graft.SparkEntry.queries("text_freq_score")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // match join OPERATORS, not the word "join" (which appears inside
+    // the vocabulary map literal — the corpus contains it)
+    assert(!("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|" +
+      "BroadcastNestedLoopJoin|CartesianProduct").r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
   test("top-k ranking runs as a BOUNDED partial aggregate, not a window " +
       "(VERDICT r02 #7: no single-reducer-per-probe sort)") {
     for (q <- Seq("ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk")) {
