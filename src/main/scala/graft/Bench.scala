@@ -50,9 +50,13 @@ object Bench {
     // observation as the scaling protocol, BENCH/BASELINE.md): single-shot
     // timings at sf0.1 varied up to 3x run-to-run on an idle 32-core guest.
     // Min-of-reps recovers the engine's actual cost per query.
+    // 5 reps (was 3): today's noise waves inflated EVERY query's min-of-3
+    // ~1.5-2x across runs hours apart while the ALU probe read clean —
+    // more draws per query is the only lever that widens quiet-slot
+    // coverage inside one bench invocation, at ~+1 min total
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_QUERY_REPS")
-        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3))
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(5))
     // flaky-rep bookkeeping (ADVICE r03): a query that fails SOME reps
     // still reports its min over the successful ones, but the failure is
     // surfaced — in the per-query log line AND the headline JSON — instead

@@ -138,8 +138,18 @@ object Main {
           val pruned = rest.collectFirst {
             case a if a.startsWith("--prune-logs=") =>
               graft.jobs.CleanupJob.pruneRunLogs(
-                spark, valOut, a.stripPrefix("--prune-logs=").toInt)
+                spark, valOut, a.stripPrefix("--prune-logs=").toInt,
+                dryRun = dry)
           }.getOrElse(Nil)
+          // --compact-checkpoint: fold per-run checkpoint generations
+          // into one base segment (resume cost stays O(1) files);
+          // under --dry-run reports the would-fold count untouched
+          val compacted =
+            if (rest.contains("--compact-checkpoint"))
+              graft.checkpoint.Checkpoint.compact(
+                spark, graft.jobs.ValidationJob.checkpointPath(valOut),
+                dryRun = dry)
+            else 0
           // full gate incl. lineage: stale verdicts over a re-uploaded
           // input must not authorize deleting the corrected staging copy
           val promoted = graft.jobs.TransferJob
@@ -150,6 +160,7 @@ object Main {
             s"""{"cleaned":${jarr(r.cleaned)},"kept":${jarr(r.kept)},""" +
               s""""leftovers_removed":${r.leftoversRemoved.size},""" +
               s""""pruned_run_ids":${jarr(pruned)},""" +
+              s""""compacted_checkpoint_segs":$compacted,""" +
               s""""dry_run":$dry}""")
 
         case _ =>
@@ -160,7 +171,8 @@ object Main {
               "[refSnapshotDir] | " +
               "transfer <inputDir> <validationOutDir> <storeDir> " +
               "<manifestTsvDir> | " +
-              "cleanup <inputDir> <validationOutDir> <storeDir> [--dry-run] [--prune-logs=k]")
+              "cleanup <inputDir> <validationOutDir> <storeDir> [--dry-run] " +
+              "[--prune-logs=k] [--compact-checkpoint]")
           sys.exit(2)
       }
     } finally spark.stop()

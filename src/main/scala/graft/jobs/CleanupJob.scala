@@ -39,11 +39,13 @@ object CleanupJob {
     * (|runs| × |sources| × |rules| rows); generations present in
     * violations_log but absent from run_log (a crashed run's partial
     * write) are left for the replay that overwrites them.
-    * Returns the dropped run_ids. */
+    * Returns the dropped run_ids (with dryRun: the ids that WOULD drop,
+    * nothing touched). */
   def pruneRunLogs(
       spark: SparkSession,
       validationOutDir: String,
-      keepRuns: Int): Seq[String] = {
+      keepRuns: Int,
+      dryRun: Boolean = false): Seq[String] = {
     require(keepRuns >= 1, "keepRuns must be >= 1")
     import org.apache.spark.sql.functions._
     val runLogPath = ValidationJob.runLogPath(validationOutDir)
@@ -67,7 +69,7 @@ object CleanupJob {
         .map(_._2))
       .toSet
     val drop = rows.map(_._1).distinct.filterNot(keep).toSeq.sorted
-    if (drop.nonEmpty) {
+    if (drop.nonEmpty && !dryRun) {
       TableIO.deletePartitions(
         spark, ValidationJob.violationsLogPath(validationOutDir),
         "run_id", drop)

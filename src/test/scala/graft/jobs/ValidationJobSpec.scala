@@ -291,6 +291,52 @@ class ValidationJobSpec extends SparkSpec {
     assert(xv4.head().getAs[String]("observed").contains("newsrc"))
   }
 
+  test("checkpoint compaction folds per-run generations into one base " +
+      "segment; resume and later appends are unaffected") {
+    import graft.checkpoint.Checkpoint
+    val dir = tmpDir("vjob_compact")
+    writeInput(dir)
+    val cfg = ValidationJob.Config(s"$dir/input", s"$dir/manifest",
+      s"$dir/out")
+    ValidationJob.run(spark, cfg)
+    // two incremental runs -> three run_seg generations
+    for (i <- 1 to 2) {
+      Seq(Sequence(s"D99999999999$i", Array(i), 1, s"inc$i"))
+        .toDS().write.mode("append").partitionBy("source")
+        .parquet(s"$dir/input")
+      ValidationJob.run(spark, cfg)
+    }
+    val cpPath = ValidationJob.checkpointPath(cfg.outDir)
+    def segs() = new java.io.File(cpPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("run_seg="))
+      .map(_.getName).sorted.toSeq
+    assert(segs().size === 3)
+    val before = Checkpoint.read(spark, cpPath)
+      .collect().sortBy(e => (e.partition, e.snapshot_id)).toSeq
+
+    // dry run reports the would-fold count without touching anything
+    assert(Checkpoint.compact(spark, cpPath, dryRun = true) === 3)
+    assert(segs().size === 3)
+
+    assert(Checkpoint.compact(spark, cpPath) === 3)
+    assert(segs().size === 1)
+    assert(segs().head.startsWith("run_seg=base-"))
+    val after = Checkpoint.read(spark, cpPath)
+      .collect().sortBy(e => (e.partition, e.snapshot_id)).toSeq
+    assert(after === before)
+
+    // resume still skips everything, and the NEXT run appends cleanly
+    val r = ValidationJob.run(spark, cfg)
+    assert(r.validatedPartitions.isEmpty)
+    assert(Checkpoint.compact(spark, cpPath) === 0) // single seg: no-op
+    Seq(Sequence("D999999999909", Array(9), 1, "inc3"))
+      .toDS().write.mode("append").partitionBy("source")
+      .parquet(s"$dir/input")
+    val r2 = ValidationJob.run(spark, cfg)
+    assert(r2.validatedPartitions === Seq("inc3"))
+    assert(segs().size === 2) // base + the new run's own segment
+  }
+
   test("per-partition locks: disjoint submission scopes proceed, " +
       "overlapping scopes are refused (VERDICT r03 #4)") {
     import graft.checkpoint.Checkpoint
