@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.words
+import graft.functions.TopKByScoreAggregate
+import graft.operators.AsOfJoin
+
+/**
+ * Training-corpus preparation operators over `documents` plus the
+ * temporal as-of lookup over `events` — the beyond-reference slice of
+ * the inventory (sequence packing, corpus n-gram statistics, BM25
+ * relevance, temporal attribution). Every query keeps its arithmetic
+ * either integer-exact or as a fixed sequence of exactly-rounded IEEE
+ * ops mirrored verbatim in the DuckDB oracle, so all four have full
+ * row/schema/hash oracles.
+ */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** BM25 query vocabulary: fixed, high-frequency corpus terms so df
+    * spans a real range at every SF. */
+  private val bm25Terms =
+    Seq("table", "row", "scan", "key", "hash", "value", "spark", "sort")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GPT-style sequence packing (concat-and-chunk): within each source,
+    // documents are concatenated in doc_id order and cut into fixed
+    // 64-word training sequences; the output is the doc -> chunk-span
+    // index a training loader consumes. Pure integer arithmetic over ONE
+    // window per source — a single hash exchange, no joins. At 100 TB
+    // the packing unit is (source, shard) so no single window partition
+    // holds a whole source; the per-source form here is the unit that
+    // composes.
+    "seq_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_words"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_words")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_words"),
+          expr("cum_before div 64").as("first_chunk"),
+          expr("(cum_before + n_words - 1) div 64").as("last_chunk"))
+        .withColumn("n_chunks",
+          col("last_chunk") - col("first_chunk") + lit(1L))
+    }),
+
+    // corpus-level top-50 bigrams: the n-gram frequency table behind
+    // contamination screens and boilerplate detection. Bigrams are a
+    // codegen'd projection (two aligned slices zipped — no sequence()
+    // range, which mis-steps on 1-word docs); the count groupBy gets
+    // map-side partial aggregation and the top-50 is TakeOrdered, so
+    // the exchange carries |vocab-bigram| partials, never corpus rows.
+    "ngram_topk" -> ((s, dir) => {
+      docs(s, dir)
+        .select(words(col("text")).as("ws"))
+        .select(explode(expr(
+          "zip_with(slice(ws, 1, greatest(size(ws)-1, 0)), " +
+            "slice(ws, 2, greatest(size(ws)-1, 0)), " +
+            "(a, b) -> concat(a, ' ', b))")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(50)
+    }),
+
+    // BM25 (k1=1.2, b=0.75) per-(term, doc) relevance with corpus-trained
+    // df, top-5 docs per term. Scale shape — train then score, like
+    // text_freq_score: ONE stats scan folds N, total length AND all 8
+    // per-term document frequencies into a single driver row (the naive
+    // explode/groupBy/self-join form scans the corpus three times and
+    // computes the tf aggregation twice); scoring is then a pure
+    // projection — per-term tf from an array filter, df/avgdl/N as
+    // literals — so the whole query is 2 scans, ZERO joins, and the only
+    // row exchange is the bounded TopKByScoreAggregate's 8-group
+    // partial (<= k map-side state, no per-term window reducer).
+    // Float discipline: idf avoids ln() — the rational
+    // (N - df + 0.5)/(df + 0.5) form — and every double op is written in
+    // the same association order as the oracle SQL, so each
+    // exactly-rounded IEEE step matches bit-for-bit.
+    "bm25_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val st = d.agg(
+        count(lit(1)),
+        sum(size(col("ws")).cast("long")) +:
+          bm25Terms.map(t =>
+            sum(when(array_contains(col("ws"), t), 1L).otherwise(0L))): _*)
+        .head()
+      val nDocs = st.getLong(0).toDouble
+      val avgdl = st.getLong(1).toDouble / st.getLong(0).toDouble
+      val dfMap = bm25Terms.zipWithIndex
+        .map { case (t, i) => t -> st.getLong(2 + i).toDouble }.toMap
+      val perTerm = array(bm25Terms.map(t =>
+        struct(lit(t).as("w"),
+          size(filter(col("ws"), x => x === lit(t))).cast("long")
+            .as("tf"))): _*)
+      d.select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+          explode(perTerm).as("e"))
+        .select(col("doc_id"), col("dl"),
+          col("e.w").as("w"), col("e.tf").as("tf"))
+        .where(col("tf") > 0)
+        .withColumn("df", element_at(typedlit(dfMap), col("w")))
+        .withColumn("score",
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              (lit(1.2) * (lit(0.25) +
+                (lit(0.75) * (col("dl").cast("double") / lit(avgdl))))))) *
+            (((lit(nDocs) - col("df")) + lit(0.5)) / (col("df") + lit(0.5))))
+        .groupBy(col("w").as("term"))
+        .agg(TopKByScoreAggregate
+          .topK(col("score"), col("doc_id"), 5).as("tk"))
+        .select(col("term"), posexplode(col("tk")).as(Seq("r0", "e")))
+        .select(col("term"), (col("r0") + 1).cast("int").as("rank"),
+          col("e.neighbor_id").as("doc_id"), col("e.cos").as("score"))
+    }),
+
+    // J12 as-of join: each purchase attributed to the user's latest
+    // strictly-prior click (union + one window — see operators/AsOfJoin
+    // for why this beats the range-join plan at scale).
+    "j12_asof_join" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      AsOfJoin.asOf(
+        left = e.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        right = e.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id"),
+        keys = Seq("user_id"), ts = "ts", tie = "event_id",
+        payload = Seq("event_id", "ts"))
+        .select("event_id", "user_id", "matched_event_id", "matched_ts")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "seq_pack" ->
+      """WITH d AS (SELECT source, doc_id,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
+           FROM documents),
+         c AS (SELECT *, COALESCE(SUM(n_words) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+               FROM d)
+         SELECT source, doc_id, n_words,
+                cum_before // 64 AS first_chunk,
+                (cum_before + n_words - 1) // 64 AS last_chunk,
+                ((cum_before + n_words - 1) // 64) - (cum_before // 64) + 1
+                  AS n_chunks
+         FROM c""",
+    "ngram_topk" ->
+      """WITH d AS (SELECT string_split(text,' ') AS ws FROM documents),
+         b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+               FROM d, unnest(range(1, len(ws))) AS t(i))
+         SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
+         ORDER BY n DESC, bigram ASC LIMIT 50""",
+    "bm25_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+         dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+         tf AS (SELECT doc_id, w, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+                WHERE w IN ('table','row','scan','key',
+                            'hash','value','spark','sort')
+                GROUP BY 1,2),
+         df AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                         AS avgdl
+                FROM dl),
+         sc AS (SELECT tf.w AS term, tf.doc_id,
+                  ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                   (CAST(tf.tf AS DOUBLE) +
+                    (1.2 * (0.25 +
+                      (0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))))) *
+                  (((st.n_docs - df.df) + 0.5) / (df.df + 0.5)) AS score
+                FROM tf JOIN dl USING (doc_id) JOIN df ON tf.w = df.w, st)
+         SELECT term, rank, doc_id, score FROM (
+           SELECT term, doc_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY term
+                    ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+           FROM sc) WHERE rank <= 5""",
+    "j12_asof_join" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN event_type='purchase' THEN 0 ELSE 1 END AS side
+           FROM events WHERE event_type IN ('purchase','click')),
+         w AS (
+           SELECT user_id, ts, event_id, event_type,
+                  last_value(CASE WHEN event_type='click' THEN event_id END
+                    IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS matched_event_id,
+                  last_value(CASE WHEN event_type='click' THEN ts END
+                    IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS matched_ts
+           FROM ev)
+         SELECT event_id, user_id, matched_event_id, matched_ts
+         FROM w WHERE event_type='purchase'"""
+  )
+}

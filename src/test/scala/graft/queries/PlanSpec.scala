@@ -210,6 +210,46 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("as-of join runs as union + ONE keyed window exchange — no join " +
+      "operator, no per-key range explosion") {
+    val plan = executedPlan("j12_asof_join").split("== Initial Plan ==").head
+    assert(!("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|" +
+      "BroadcastNestedLoopJoin|CartesianProduct").r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      plan.take(3000))
+    // the event_type filters reach both parquet scans
+    assert(plan.contains("EqualTo(event_type,purchase)"), plan.take(3000))
+    assert(plan.contains("EqualTo(event_type,click)"), plan.take(3000))
+  }
+
+  test("sequence packing is one scan + one per-source window exchange") {
+    val plan = executedPlan("seq_pack").split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      plan.take(3000))
+  }
+
+  test("bigram top-k: map-side partial count + TakeOrdered (the corpus " +
+      "never reaches a global sort)") {
+    val plan = executedPlan("ngram_topk").split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("bm25 scoring pass: one scan, zero joins (df/avgdl/N are trained " +
+      "literals), bounded top-k — no window") {
+    val plan = executedPlan("bm25_score").split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|" +
+      "BroadcastNestedLoopJoin|CartesianProduct").r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert(!plan.contains("Window ["), plan.take(3000))
+    assert(plan.contains("partial_topk_by_score"), plan.take(3000))
+  }
+
   test("fused engine: the stats aggregate rides the row-rule scan as " +
       "observed metrics (one tokens decode, VERDICT r02 #1)") {
     import graft.model.BaselineBin
