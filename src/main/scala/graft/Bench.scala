@@ -29,7 +29,9 @@ object Bench {
     "j10_snapshot_equality", "s8_results_json",
     "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk",
     "ann_kmeans_codebook", "ann_ivf_trained_topk", "ann_pq_topk",
-    "ann_ivfpq_topk")
+    "ann_ivfpq_topk",
+    "seq_pack", "ngram_topk", "bm25_score", "j12_asof_join",
+    "mix_sample", "seq_pack_stats", "quality_deciles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -120,6 +120,68 @@ object CorpusQueries {
           col("e.neighbor_id").as("doc_id"), col("e.cos").as("score"))
     }),
 
+    // deterministic source mixing: each source sampled to its target
+    // fraction by CONTENT-HASH THRESHOLD (fp mod 10000 < frac*10000) —
+    // the scale form of weighted data mixing. No top-k, no per-source
+    // state, no shuffle: one projection + filter, reproducible across
+    // runs and cluster sizes because membership depends only on content.
+    "mix_sample" -> ((s, dir) => {
+      // per-source mille-rate (parts per 10000); sources absent from the
+      // map fall back to 500 (5%)
+      val rates = Map("src0" -> 5000L, "src1" -> 2500L, "src2" -> 1000L)
+      val rate = coalesce(
+        element_at(typedlit(rates), col("source")), lit(500L))
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .where(pmod(col("fp"), lit(10000L)) < rate)
+    }),
+
+    // packing-efficiency report over the seq_pack layout: per source,
+    // how many 64-word training sequences the corpus fills and what
+    // fraction of the last chunk is padding. Plain partial-aggregated
+    // groupBy — one exchange carrying |sources| partials.
+    "seq_pack_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"),
+          size(words(col("text"))).cast("long").as("n_words"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"))
+        .withColumn("n_chunks",
+          expr("(total_words + 63) div 64"))
+        .withColumn("pad_words",
+          col("n_chunks") * lit(64L) - col("total_words"))
+        .withColumn("pad_frac",
+          col("pad_words").cast("double") /
+            (col("n_chunks") * lit(64L)).cast("double"))
+    }),
+
+    // quality stratification: nearest-rank decile thresholds of n_chars
+    // TRAINED corpus-wide, then bucketing is a projection. The histogram
+    // (|distinct n_chars| rows) is aggregated distributed and collapsed
+    // driver-side — same trained-literal pattern as text_freq_score and
+    // the k-means codebooks; the integer rule cum*10 >= d*n avoids any
+    // float quantile definition mismatch. Output: docs per
+    // (source, decile) — the mixing table a curriculum sampler consumes.
+    "quality_deciles" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hist = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+        .orderBy("n_chars").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val n = hist.map(_._2).sum
+      val cums = hist.scanLeft(0L)(_ + _._2).tail
+      // thr(d) = min value whose cumulative count reaches d/10 of n
+      val thrs = (1 to 9).map { dec =>
+        hist(cums.indexWhere(c => c * 10 >= dec * n))._1
+      }
+      val decile = thrs.foldLeft(lit(0L)) { (acc, t) =>
+        acc + when(col("n_chars") > t, 1L).otherwise(0L)
+      }
+      d.select(col("source"), decile.as("decile"))
+        .groupBy("source", "decile").agg(count(lit(1)).as("n"))
+    }),
+
     // J12 as-of join: each purchase attributed to the user's latest
     // strictly-prior click (union + one window — see operators/AsOfJoin
     // for why this beats the range-join plan at scale).
@@ -184,6 +246,38 @@ object CorpusQueries {
                   CAST(ROW_NUMBER() OVER (PARTITION BY term
                     ORDER BY score DESC, doc_id ASC) AS INT) AS rank
            FROM sc) WHERE rank <= 5""",
+    "mix_sample" ->
+      s"""WITH f AS (SELECT source, doc_id,
+             ${TextQueries.sqlPolyHash("text")} AS fp FROM documents)
+         SELECT source, doc_id, fp FROM f
+         WHERE fp % 10000 < CASE source WHEN 'src0' THEN 5000
+           WHEN 'src1' THEN 2500 WHEN 'src2' THEN 1000 ELSE 500 END""",
+    "seq_pack_stats" ->
+      """WITH a AS (SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS BIGINT)
+               AS total_words
+           FROM documents GROUP BY 1)
+         SELECT source, n_docs, total_words,
+                (total_words + 63) // 64 AS n_chunks,
+                ((total_words + 63) // 64) * 64 - total_words AS pad_words,
+                CAST(((total_words + 63) // 64) * 64 - total_words AS DOUBLE)
+                  / CAST(((total_words + 63) // 64) * 64 AS DOUBLE)
+                  AS pad_frac
+         FROM a""",
+    "quality_deciles" ->
+      """WITH h AS (SELECT n_chars AS v, COUNT(*) AS c
+                    FROM documents GROUP BY 1),
+         cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+         tot AS (SELECT COUNT(*) AS n FROM documents),
+         t AS (SELECT d, MIN(v) AS thr
+               FROM cum, tot, unnest(range(1,10)) AS r(d)
+               WHERE cum * 10 >= d * n GROUP BY d),
+         b AS (SELECT source,
+                 (SELECT COUNT(*) FROM t WHERE documents.n_chars > t.thr)
+                   AS decile
+               FROM documents)
+         SELECT source, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n
+         FROM b GROUP BY 1,2""",
     "j12_asof_join" ->
       """WITH ev AS (
            SELECT user_id, ts, event_id, event_type,

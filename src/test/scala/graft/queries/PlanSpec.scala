@@ -250,6 +250,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_topk_by_score"), plan.take(3000))
   }
 
+  test("hash-threshold mixing is a pure projection filter: no exchange, " +
+      "no join, no aggregation") {
+    val plan = executedPlan("mix_sample").split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(!("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|" +
+      "BroadcastNestedLoopJoin|CartesianProduct").r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("packing stats and decile bucketing: one scan + one partial-agg " +
+      "exchange each, no join, no window (deciles score against trained " +
+      "literal thresholds)") {
+    for (q <- Seq("seq_pack_stats", "quality_deciles")) {
+      val plan = executedPlan(q).split("== Initial Plan ==").head
+      assert("Scan parquet".r.findAllIn(plan).size === 1,
+        s"$q\n" + plan.take(3000))
+      assert(!plan.contains("Join"), s"$q\n" + plan.take(3000))
+      assert(!plan.contains("Window ["), s"$q\n" + plan.take(3000))
+      assert(plan.contains("partial_count") ||
+        plan.contains("partial_sum") || plan.contains("HashAggregate"),
+        s"$q\n" + plan.take(3000))
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"$q\n" + plan.take(3000))
+    }
+  }
+
   test("fused engine: the stats aggregate rides the row-rule scan as " +
       "observed metrics (one tokens decode, VERDICT r02 #1)") {
     import graft.model.BaselineBin
