@@ -31,7 +31,9 @@ object Bench {
     "ann_kmeans_codebook", "ann_ivf_trained_topk", "ann_pq_topk",
     "ann_ivfpq_topk",
     "seq_pack", "ngram_topk", "bm25_score", "j12_asof_join",
-    "mix_sample", "seq_pack_stats", "quality_deciles")
+    "mix_sample", "seq_pack_stats", "quality_deciles",
+    "text_entropy", "src_kl", "oov_rate", "len_outliers",
+    "leak_prefix_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      SnapshotQueries.queries ++ CorpusQueries.queries
+      SnapshotQueries.queries ++ CorpusQueries.queries ++
+      DistributionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      SnapshotQueries.oracles ++ CorpusQueries.oracles
+      SnapshotQueries.oracles ++ CorpusQueries.oracles ++
+      DistributionQueries.oracles
 }

@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{fingerprint, words}
+
+/**
+ * Distribution- and vocabulary-level validation over the `documents`
+ * table: the token-payload analogs of the reference's per-column stats
+ * and drift rules (validate_file_data.py's per-file metrics, generalized
+ * to whole-corpus distributions).
+ *
+ * Exactness convention (shared with the drift engine): every
+ * transcendental is quantized ONCE per distinct integer argument —
+ * `qln(c) = floor(ln(c) * 1e6)` as BIGINT — and all aggregation happens
+ * in integer space, so sums are order-independent and the only floating
+ * division is the final displayed value (one exactly-rounded IEEE op).
+ * JVM `Math.log` and DuckDB `ln` were verified bit-identical under this
+ * quantization over 1..2e6 and sampled 1e13..9e15 (the full argument
+ * range these queries produce at any test SF). At 10^12-row scale the
+ * `c*N` products would exceed 2^53; there the same queries quantize
+ * `ln(c) + ln(N)` per factor instead (coarser but still deterministic) —
+ * the sandbox keeps the single-product form because the oracle replays
+ * it bit-for-bit.
+ */
+object DistributionQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** floor(ln(x) * 1e6) as BIGINT — the shared quantized log. */
+  private def qln(x: Column): Column =
+    floor(log(x.cast("double")) * lit(1e6)).cast("long")
+
+  /** run * qln(run), guarded at run = 0 (empty fold state). */
+  private def qterm(run: Column): Column =
+    when(run === 0L, 0L).otherwise(run * qln(run))
+
+  /** Per-(source, word) occurrence counts — the unigram frequency table
+    * `src_kl` and `oov_rate` both start from. One exchange with map-side
+    * partial aggregation: what crosses the wire is |sources × vocab|
+    * partials, never corpus words. */
+  private def sourceWordCounts(d: DataFrame): DataFrame =
+    d.select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-document Shannon entropy of the word distribution — the
+    // degenerate-generation / boilerplate quality signal (low entropy =
+    // repetitive doc). ZERO-shuffle: entropy is a per-row statistic, so
+    // instead of exploding the corpus through an exchange, each row
+    // sorts its own word array and folds run-lengths with the HOF
+    // `aggregate` — O(n log n) per row, embarrassingly parallel at any
+    // scale. qsum = Σ c·qln(c) over within-doc word counts c;
+    // H = (n·qln(n) − qsum) / (n·1e6) in nats.
+    "text_entropy" -> ((s, dir) => {
+      val ws = words(col("text"))
+      val folded = aggregate(
+        array_sort(ws),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+        (st, x) => {
+          val same = x === st.getField("prev")
+          struct(
+            x.as("prev"),
+            when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+            when(same, st.getField("acc"))
+              .otherwise(st.getField("acc") + qterm(st.getField("run")))
+              .as("acc"))
+        },
+        st => st.getField("acc") + qterm(st.getField("run")))
+      docs(s, dir)
+        .select(col("doc_id"), size(ws).cast("long").as("n_words"),
+          folded.as("qsum"))
+        .select(col("doc_id"), col("n_words"), col("qsum"),
+          ((qln(col("n_words")) * col("n_words") - col("qsum")).cast("double")
+            / (col("n_words").cast("double") * lit(1e6))).as("entropy"))
+    }),
+
+    // Per-source unigram KL divergence against the whole-corpus
+    // distribution — the vocabulary-drift check (a shifted source scores
+    // high). KL_s = Σ_w (c_sw/n_s)·ln(c_sw·N / (n_s·c_w)), aggregated as
+    // integer kl_qsum = Σ c_sw·(qln(c_sw·N) − qln(n_s·c_w)). The word
+    // exchange happens ONCE (sourceWordCounts); everything after is
+    // vocab-sized: corpus counts and per-source totals re-aggregate the
+    // partials, then broadcast back.
+    "src_kl" -> ((s, dir) => {
+      val sw = sourceWordCounts(docs(s, dir))
+      val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+      val ns = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+      val tot = cw.agg(sum("c_w").as("n_total"))
+      sw.join(broadcast(cw), "w")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("source"), col("n_s"))
+        .agg(sum(col("c_sw") *
+          (qln(col("c_sw") * col("n_total")) - qln(col("n_s") * col("c_w"))))
+          .as("kl_qsum"))
+        .select(col("source"), col("n_s").as("n_words"), col("kl_qsum"),
+          (col("kl_qsum").cast("double")
+            / (col("n_s").cast("double") * lit(1e6))).as("kl"))
+    }),
+
+    // Out-of-vocabulary rate per source against a corpus-derived top-16
+    // vocabulary (count desc, word asc — a fully deterministic rank) —
+    // the token-payload form of referential integrity: occurrences whose
+    // word falls outside the sanctioned vocab. Reuses the ONE word
+    // exchange; the vocab is |32| rows (TakeOrdered, broadcast back), so
+    // the anti-join never shuffles the corpus side again.
+    "oov_rate" -> ((s, dir) => {
+      val sw = sourceWordCounts(docs(s, dir))
+      val vocab = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+        .orderBy(col("c_w").desc, col("w").asc).limit(16).select("w")
+      val ns = sw.groupBy("source").agg(sum("c_sw").as("n_words"))
+      val oov = sw.join(broadcast(vocab), Seq("w"), "left_anti")
+        .groupBy("source").agg(sum("c_sw").as("oov_words"))
+      ns.join(oov, Seq("source"), "left")
+        .na.fill(0L, Seq("oov_words"))
+        .select(col("source"), col("n_words"), col("oov_words"),
+          (col("oov_words").cast("double") / col("n_words").cast("double"))
+            .as("oov_rate"))
+    }),
+
+    // Robust per-source outlier flagging on document length: median +
+    // MAD (median absolute deviation), flag docs with |x − med| > 2.5·MAD.
+    // Exact percentiles over integer n_chars interpolate on .5 steps and
+    // MAD on .25 steps — every value and the 2.5·MAD threshold (an .125
+    // step) are exactly representable doubles, so the comparison is
+    // deterministic across engines. Two aggregation passes (MAD needs the median first), each
+    // producing |sources| rows broadcast back — the corpus itself never
+    // shuffles. Percentile state is bounded by distinct n_chars values
+    // per source, not row count.
+    "len_outliers" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        col("n_chars"))
+      val med = d.groupBy("source")
+        .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+      val dev = d.join(broadcast(med), "source")
+        .withColumn("dev", abs(col("n_chars").cast("double") - col("med")))
+      val mad = dev.groupBy("source")
+        .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "source")
+        .filter(col("dev") > lit(2.5) * col("mad"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("med"), col("dev"), col("mad"))
+    }),
+
+    // Cross-source boilerplate/leakage matrix: for every source pair,
+    // how many distinct 8-word prefixes they share — the "same template
+    // leaked into both subsets" audit behind train/eval splits. One
+    // exchange for the distinct (source, prefix-fp) set, then a
+    // fp-keyed self-join whose group sizes are bounded by |sources|
+    // (each group holds at most one row per source after the distinct).
+    "leak_prefix_matrix" -> ((s, dir) => {
+      val pre = docs(s, dir)
+        .select(col("source"),
+          fingerprint(array_join(slice(words(col("text")), 1, 8), " "))
+            .as("fp8"))
+        .distinct()
+      pre.as("a").join(pre.as("b"),
+          col("a.fp8") === col("b.fp8") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                    FROM documents),
+         c AS (SELECT doc_id, COUNT(*) AS c FROM t GROUP BY doc_id, w),
+         a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                 CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE))*1e6) AS BIGINT))
+                   AS BIGINT) AS qsum
+               FROM c GROUP BY doc_id)
+         SELECT doc_id, n_words, qsum,
+           CAST(CAST(floor(ln(CAST(n_words AS DOUBLE))*1e6) AS BIGINT)
+                  * n_words - qsum AS DOUBLE)
+             / (CAST(n_words AS DOUBLE) * 1e6) AS entropy
+         FROM a""",
+    "src_kl" ->
+      """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS w
+                    FROM documents),
+         sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+                FROM t GROUP BY source, w),
+         cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+         ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+                FROM sw GROUP BY source),
+         tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_total FROM cw)
+         SELECT sw.source, ns.n_s AS n_words,
+           CAST(SUM(c_sw *
+             (CAST(floor(ln(CAST(c_sw * n_total AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(n_s * c_w AS DOUBLE))*1e6) AS BIGINT)))
+             AS BIGINT) AS kl_qsum,
+           CAST(SUM(c_sw *
+             (CAST(floor(ln(CAST(c_sw * n_total AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(n_s * c_w AS DOUBLE))*1e6) AS BIGINT)))
+             AS DOUBLE) / (CAST(ns.n_s AS DOUBLE) * 1e6) AS kl
+         FROM sw JOIN cw USING (w) JOIN ns ON sw.source = ns.source, tot
+         GROUP BY sw.source, ns.n_s""",
+    "oov_rate" ->
+      """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS w
+                    FROM documents),
+         sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+                FROM t GROUP BY source, w),
+         vocab AS (SELECT w FROM (SELECT w, SUM(c_sw) AS c_w FROM sw
+                   GROUP BY w ORDER BY c_w DESC, w ASC LIMIT 16)),
+         ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_words
+                FROM sw GROUP BY source),
+         oov AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS oov_words
+                 FROM sw WHERE w NOT IN (SELECT w FROM vocab)
+                 GROUP BY source)
+         SELECT ns.source, ns.n_words,
+           COALESCE(oov.oov_words, 0) AS oov_words,
+           CAST(COALESCE(oov.oov_words, 0) AS DOUBLE)
+             / CAST(ns.n_words AS DOUBLE) AS oov_rate
+         FROM ns LEFT JOIN oov ON ns.source = oov.source""",
+    "len_outliers" ->
+      """WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+                      FROM documents GROUP BY source),
+         dev AS (SELECT d.source, d.doc_id, d.n_chars, med.med,
+                   abs(CAST(d.n_chars AS DOUBLE) - med.med) AS dev
+                 FROM documents d JOIN med ON d.source = med.source),
+         mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad
+                 FROM dev GROUP BY source)
+         SELECT dev.source, dev.doc_id, dev.n_chars, dev.med, dev.dev,
+                mad.mad
+         FROM dev JOIN mad ON dev.source = mad.source
+         WHERE dev.dev > 2.5 * mad.mad""",
+    "leak_prefix_matrix" ->
+      s"""WITH pre AS (SELECT DISTINCT source,
+             ${TextQueries.sqlPolyHash(
+               "array_to_string(list_slice(string_split(text,' '),1,8),' ')")}
+               AS fp8
+           FROM documents)
+         SELECT a.source AS source_a, b.source AS source_b,
+                COUNT(*) AS n_shared
+         FROM pre a JOIN pre b
+           ON a.fp8 = b.fp8 AND a.source < b.source
+         GROUP BY 1, 2"""
+  )
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Distribution/vocabulary validation: the quantized-log entropy and KL
+  * queries against a driver-side reference, the MAD outlier invariant,
+  * and the zero-shuffle plan shape of the per-row entropy fold. */
+class DistributionQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def qln(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+
+  test("text_entropy matches a driver-side reference on every doc") {
+    val got = graft.SparkEntry.queries("text_entropy")(spark, sf)
+      .select("doc_id", "n_words", "qsum", "entropy")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val ws = r.getString(1).split(" ", -1)
+      val counts = ws.groupBy(identity).map(_._2.length.toLong)
+      val qsum = counts.map(c => c * qln(c)).sum
+      val n = ws.length.toLong
+      val ent = (qln(n) * n - qsum).toDouble / (n.toDouble * 1e6)
+      val (gn, gq, ge) = got(r.getLong(0))
+      assert(gn == n && gq == qsum && ge == ent, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("text_entropy is a zero-shuffle per-row fold") {
+    val df = graft.SparkEntry.queries("text_entropy")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty, plan.toString.take(2000))
+  }
+
+  test("src_kl is non-negative (up to quantization) and detects a shifted source") {
+    val base = (1 to 400).map(i => ("even", s"w${i % 8} w${(i + 1) % 8}"))
+    val skew = (1 to 400).map(_ => ("skewed", "w0 w0"))
+    val out = tmpDir("klq")
+    (base ++ skew).toDF("source", "text").write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    val kl = graft.SparkEntry.queries("src_kl")(spark, out)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl("even") >= -1e-5 && kl("skewed") >= -1e-5)
+    assert(kl("skewed") > kl("even") + 0.1,
+      s"shifted source must dominate: $kl")
+  }
+
+  test("oov_rate is in [0,1] and zero when the vocab covers the corpus") {
+    val rows = graft.SparkEntry.queries("oov_rate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // corpus with <=16 distinct words: everything is in-vocab
+    val out = tmpDir("oov")
+    (1 to 100).map(i => (s"s${i % 3}", s"a b c w${i % 4}"))
+      .toDF("source", "text").write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    graft.SparkEntry.queries("oov_rate")(spark, out).collect()
+      .foreach(r => assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+  }
+
+  test("len_outliers returns exactly the rows beyond 2.5 MAD") {
+    val rows = graft.SparkEntry.queries("len_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 is known to contain >2.5-MAD docs")
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 2.5 * r.getDouble(5),
+        s"flagged row must satisfy the threshold: $r")
+    }
+    // injected extreme row is flagged
+    val out = tmpDir("mad")
+    val docs = (1 to 99).map(i => ("s", i.toLong, 100L + (i % 5))) :+
+      (("s", 999L, 100000L))
+    docs.toDF("source", "doc_id", "n_chars")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val flagged = graft.SparkEntry.queries("len_outliers")(spark, out)
+      .select("doc_id").as[Long].collect()
+    assert(flagged.contains(999L))
+  }
+
+  test("leak_prefix_matrix finds an injected cross-source shared prefix") {
+    val out = tmpDir("leak")
+    val shared = "a b c d e f g h tail"
+    val docs = Seq(
+      ("sA", 1L, shared), ("sB", 2L, shared + " more"),
+      ("sA", 3L, "p q r s t u v w x"), ("sC", 4L, "z y x w v u t s r"))
+    docs.toDF("source", "doc_id", "text")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val m = graft.SparkEntry.queries("leak_prefix_matrix")(spark, out)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.toSeq == Seq(("sA", "sB", 1L)), m.mkString(","))
+  }
+}
