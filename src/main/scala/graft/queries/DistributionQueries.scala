@@ -161,6 +161,77 @@ object DistributionQueries {
           col("a.fp8") === col("b.fp8") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift: each source's n_chars
+    // distribution vs the REST of the corpus (the north-star's KS check
+    // in its oracled two-sample form; the engine's R_DRIFT_NTOK_KS is
+    // the one-sample-vs-baseline variant). INTEGER-exact: at every
+    // distinct corpus value, D_num = |c1cum·n2 − c2cum·n1| — max over
+    // the grid, one final division. The corpus collapses to
+    // per-(source, value) counts with map-side combine; the grid is
+    // |sources| × |distinct values| (bounded by the value domain, not
+    // row count), so the windows run on dimension-table volume.
+    "drift_ks_twosample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("source"), col("n_chars"))
+      val sv = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c1"))
+      val pv = sv.groupBy("n_chars").agg(sum("c1").as("cv"))
+        .withColumn("cvcum", sum(col("cv")).over(
+          Window.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ns = sv.groupBy("source").agg(sum("c1").as("n1"))
+      val tot = pv.agg(sum(col("cv")).as("n_total"))
+      val grid = ns.crossJoin(broadcast(pv.select("n_chars", "cvcum")))
+        .join(sv, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c1"))
+        .withColumn("c1cum", sum(col("c1")).over(
+          Window.partitionBy(col("source")).orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .withColumn("n2", col("n_total") - col("n1"))
+        .withColumn("d_num",
+          abs(col("c1cum") * col("n2") - (col("cvcum") - col("c1cum")) * col("n1")))
+      grid.groupBy(col("source"), col("n1"), col("n2"))
+        .agg(max(col("d_num")).as("ks_num"))
+        .select(col("source"), col("n1"), col("n2"), col("ks_num"),
+          (col("ks_num").cast("double")
+            / (col("n1") * col("n2")).cast("double")).as("ks"))
+    }),
+
+    // Two-sample chi-square drift on fixed-width n_chars bins (width
+    // 100): source vs rest-of-corpus. Per bin the term is
+    // (o1·n2 − o2·n1)² / (n1·n2·(o1+o2)) — the inner difference and the
+    // denominator are exact integers in double range; squaring and
+    // dividing are two exactly-rounded IEEE ops. The cross-bin sum is
+    // the one order-sensitive float reduction, so it folds LEFT-TO-RIGHT
+    // over the bin-sorted list in both engines (HOF aggregate here,
+    // list_reduce over an ORDER BY bin list in DuckDB). Bin count is
+    // fixed, so collect_list state is bounded.
+    "drift_chi2_twosample" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("source"), (col("n_chars") / lit(100)).cast("long").as("bin"))
+      val sb = d.groupBy("source", "bin").agg(count(lit(1)).as("o1"))
+      val pb = sb.groupBy("bin").agg(sum("o1").as("ob"))
+      val ns = sb.groupBy("source").agg(sum("o1").as("n1"))
+      val tot = pb.agg(sum(col("ob")).as("n_total"))
+      val terms = ns.crossJoin(broadcast(pb))
+        .join(sb, Seq("source", "bin"), "left")
+        .na.fill(0L, Seq("o1"))
+        .crossJoin(broadcast(tot))
+        .withColumn("n2", col("n_total") - col("n1"))
+        .withColumn("o2", col("ob") - col("o1"))
+        .withColumn("diff",
+          (col("o1") * col("n2") - col("o2") * col("n1")).cast("double"))
+        .withColumn("term", col("diff") * col("diff")
+          / (col("n1") * col("n2") * (col("o1") + col("o2"))).cast("double"))
+      terms.groupBy(col("source"), col("n1"), col("n2"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("bin"), col("term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("chi2"),
+          count(lit(1)).as("n_bins"))
+        .select(col("source"), col("n1"), col("n2"), col("n_bins"), col("chi2"))
     })
   )
 
@@ -237,6 +308,55 @@ object DistributionQueries {
                 COUNT(*) AS n_shared
          FROM pre a JOIN pre b
            ON a.fp8 = b.fp8 AND a.source < b.source
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "drift_ks_twosample" ->
+      """WITH sv AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c1
+                     FROM documents GROUP BY source, n_chars),
+         pv AS (SELECT n_chars, CAST(SUM(c1) AS BIGINT) AS cv,
+                  CAST(SUM(SUM(c1)) OVER (ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cvcum
+                FROM sv GROUP BY n_chars),
+         ns AS (SELECT source, CAST(SUM(c1) AS BIGINT) AS n1
+                FROM sv GROUP BY source),
+         tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS n_total FROM pv),
+         grid AS (SELECT ns.source, ns.n1, pv.n_chars, pv.cvcum,
+                    COALESCE(sv.c1, 0) AS c1
+                  FROM ns CROSS JOIN pv
+                  LEFT JOIN sv ON sv.source = ns.source
+                             AND sv.n_chars = pv.n_chars),
+         cum AS (SELECT source, n1, n_chars, cvcum,
+                   CAST(SUM(c1) OVER (PARTITION BY source ORDER BY n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS c1cum
+                 FROM grid)
+         SELECT source, n1, (n_total - n1) AS n2,
+           MAX(abs(c1cum * (n_total - n1) - (cvcum - c1cum) * n1)) AS ks_num,
+           CAST(MAX(abs(c1cum * (n_total - n1) - (cvcum - c1cum) * n1))
+             AS DOUBLE) / CAST(n1 * (n_total - n1) AS DOUBLE) AS ks
+         FROM cum, tot GROUP BY source, n1, n_total""",
+    "drift_chi2_twosample" ->
+      """WITH sb AS (SELECT source, n_chars // 100 AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS o1
+                     FROM documents GROUP BY source, bin),
+         pb AS (SELECT bin, CAST(SUM(o1) AS BIGINT) AS ob
+                FROM sb GROUP BY bin),
+         ns AS (SELECT source, CAST(SUM(o1) AS BIGINT) AS n1
+                FROM sb GROUP BY source),
+         tot AS (SELECT CAST(SUM(ob) AS BIGINT) AS n_total FROM pb),
+         terms AS (SELECT ns.source, ns.n1, (n_total - ns.n1) AS n2, pb.bin,
+                     CAST(COALESCE(sb.o1,0) * (n_total - ns.n1)
+                          - (pb.ob - COALESCE(sb.o1,0)) * ns.n1 AS DOUBLE)
+                       AS diff,
+                     CAST(ns.n1 * (n_total - ns.n1) * pb.ob AS DOUBLE) AS den
+                   FROM ns CROSS JOIN pb
+                   LEFT JOIN sb ON sb.source = ns.source AND sb.bin = pb.bin,
+                   tot)
+         SELECT source, n1, n2, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list(diff * diff / den ORDER BY bin)),
+             (a, b) -> a + b) AS chi2
+         FROM terms GROUP BY source, n1, n2"""
   )
 }

@@ -93,6 +93,51 @@ class DistributionQueriesSpec extends SparkSpec {
     assert(flagged.contains(999L))
   }
 
+  test("drift_ks_twosample: bounded in [0,1], zero-ish for identical halves, " +
+      "and an injected shifted source dominates") {
+    val rows = graft.SparkEntry.queries("drift_ks_twosample")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ks = r.getDouble(4)
+      assert(ks >= 0.0 && ks <= 1.0, r.toString)
+    }
+    // identical distributions -> KS 0; shifted source -> KS near 1
+    val out = tmpDir("ks")
+    // the complement ("rest of corpus") includes every other source, so
+    // keep the shifted source SMALL: matched sources then face a rest
+    // that is mostly their own distribution
+    val same = (1 to 200).map(i => ("a", i.toLong, 100L + (i % 10))) ++
+      (1 to 200).map(i => ("b", 1000L + i, 100L + (i % 10)))
+    val shifted = (1 to 20).map(i => ("c", 2000L + i, 900L + (i % 10)))
+    (same ++ shifted).toDF("source", "doc_id", "n_chars")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val ks = graft.SparkEntry.queries("drift_ks_twosample")(spark, out)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(ks("c") == 1.0, s"fully shifted source must reach 1: $ks")
+    assert(ks("a") < 0.15 && ks("b") < 0.15, s"matched halves stay low: $ks")
+  }
+
+  test("drift_chi2_twosample: non-negative, zero for proportional sources, " +
+      "shifted source dominates") {
+    val rows = graft.SparkEntry.queries("drift_chi2_twosample")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0, r.toString))
+    val out = tmpDir("chi2")
+    val same = (1 to 200).map(i => ("a", i.toLong, 100L + 100 * (i % 3))) ++
+      (1 to 200).map(i => ("b", 1000L + i, 100L + 100 * (i % 3)))
+    val shifted = (1 to 20).map(i => ("c", 2000L + i, 900L))
+    (same ++ shifted).toDF("source", "doc_id", "n_chars")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val chi = graft.SparkEntry.queries("drift_chi2_twosample")(spark, out)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(chi("c") > chi("a") * 10 && chi("c") > chi("b") * 10,
+      s"shifted source must dominate: $chi")
+  }
+
   test("leak_prefix_matrix finds an injected cross-source shared prefix") {
     val out = tmpDir("leak")
     val shared = "a b c d e f g h tail"
