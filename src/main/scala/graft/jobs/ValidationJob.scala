@@ -122,13 +122,28 @@ object ValidationJob {
     // against the declared schema, so partitioned and unpartitioned
     // layouts both read identically.
     import org.apache.spark.sql.Encoders
+    // Structural gate BEFORE the enforced-schema read: schema(S).parquet
+    // silently NULLs missing columns and prunes extras, so a renamed or
+    // retyped column would otherwise surface as a wall of row violations
+    // instead of "the table's shape changed". One footer read each.
+    graft.operators.SchemaCheck.requireCompatible(
+      graft.operators.SchemaCheck.parquetSchema(spark, cfg.inputPath),
+      Encoders.product[Sequence].schema, s"input table ${cfg.inputPath}")
     val all = spark.read.schema(Encoders.product[Sequence].schema)
       .parquet(cfg.inputPath).as[Sequence]
+    graft.operators.SchemaCheck.requireCompatible(
+      graft.operators.SchemaCheck.parquetSchema(spark, cfg.manifestPath),
+      Encoders.product[ManifestEntry].schema,
+      s"manifest table ${cfg.manifestPath}")
     val manifest = spark.read.schema(Encoders.product[ManifestEntry].schema)
       .parquet(cfg.manifestPath).as[ManifestEntry]
-    val baseline = cfg.baselinePath.map(p =>
+    val baseline = cfg.baselinePath.map { p =>
+      graft.operators.SchemaCheck.requireCompatible(
+        graft.operators.SchemaCheck.parquetSchema(spark, p),
+        Encoders.product[BaselineBin].schema, s"baseline table $p")
       spark.read.schema(Encoders.product[BaselineBin].schema)
-        .parquet(p).as[BaselineBin])
+        .parquet(p).as[BaselineBin]
+    }
 
     // Resume: drop partitions already validated under this exact
     // (snapshot, rule set) lineage. The filter is on the partition column,
@@ -183,9 +198,13 @@ object ValidationJob {
       else seqs0
     phase("cache_setup")
 
-    val refSnapshot = cfg.refSnapshotPath.map(p =>
+    val refSnapshot = cfg.refSnapshotPath.map { p =>
+      graft.operators.SchemaCheck.requireCompatible(
+        graft.operators.SchemaCheck.parquetSchema(spark, p),
+        Encoders.product[Sequence].schema, s"reference snapshot $p")
       spark.read.schema(Encoders.product[Sequence].schema)
-        .parquet(p).as[Sequence])
+        .parquet(p).as[Sequence]
+    }
     // FUSED evaluation (VERDICT r02 #1): the tokens array — ~96% of the
     // table's bytes — is decoded exactly once. The row-rule scan carries
     // the per-source token stats via observe(); the narrow aggregation

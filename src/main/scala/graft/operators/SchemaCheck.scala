@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/**
+ * Structural (schema-level) validation between a table's actual parquet
+ * schema and the contract schema a run enforces — the table-level analog
+ * of the reference's per-file structure checks (validate_file_data.py's
+ * filetype gate; manifest required-column abort, submission_data.py).
+ *
+ * Why it must run BEFORE the data passes: `spark.read.schema(S).parquet`
+ * silently NULLs columns missing from the files and silently prunes
+ * extras, so a renamed or retyped column would surface as a wall of
+ * row-rule violations (or a mid-job cast failure) instead of the real
+ * story — "the table's shape changed". The gate reads one footer
+ * (driver-side metadata, no data pass) and aborts with the exact column
+ * diff.
+ */
+object SchemaCheck {
+
+  final case class SchemaChange(
+      column: String,
+      change: String, // added | removed | type_changed
+      before: Option[String],
+      after: Option[String])
+
+  val Added = "added"
+  val Removed = "removed"
+  val TypeChanged = "type_changed"
+
+  /** Nullability-normalized type: parquet footers and encoder schemas
+    * disagree on nullable/containsNull for identical logical types, so
+    * compatibility ignores it at every nesting level. */
+  private def norm(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        StructField(f.name, norm(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(norm(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(norm(m.keyType), norm(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Column-level diff `before -> after` (top-level names; nested changes
+    * surface as type_changed on their root column). */
+  def diff(before: StructType, after: StructType): Seq[SchemaChange] = {
+    val b = before.fields.map(f => f.name -> norm(f.dataType)).toMap
+    val a = after.fields.map(f => f.name -> norm(f.dataType)).toMap
+    val removed = before.fields.collect {
+      case f if !a.contains(f.name) =>
+        SchemaChange(f.name, Removed, Some(f.dataType.sql), None)
+    }
+    val added = after.fields.collect {
+      case f if !b.contains(f.name) =>
+        SchemaChange(f.name, Added, None, Some(f.dataType.sql))
+    }
+    val changed = after.fields.collect {
+      case f if b.get(f.name).exists(_ != norm(f.dataType)) =>
+        SchemaChange(f.name, TypeChanged,
+          Some(before(f.name).dataType.sql), Some(f.dataType.sql))
+    }
+    (removed ++ changed ++ added).sortBy(_.column)
+  }
+
+  /** Abort unless every `required` column exists in `actual` with the
+    * same (nullability-normalized) type. EXTRA actual columns are fine —
+    * a snapshot may carry more than the contract reads. */
+  def requireCompatible(
+      actual: StructType,
+      required: StructType,
+      what: String): Unit = {
+    val bad = diff(required, actual).filter(_.change != Added)
+    if (bad.nonEmpty) {
+      val detail = bad.map {
+        case SchemaChange(c, Removed, Some(t), _) => s"$c: missing (need $t)"
+        case SchemaChange(c, TypeChanged, Some(b), Some(a)) =>
+          s"$c: type $a (need $b)"
+        case other => other.toString
+      }.mkString("; ")
+      throw new IllegalStateException(
+        s"schema drift in $what — $detail")
+    }
+  }
+
+  /** Actual footer schema of a parquet table, with partition-column type
+    * inference OFF (numeric-looking partition directory values would
+    * otherwise probe as int and false-alarm against a string contract).
+    * One footer read — metadata only. */
+  def parquetSchema(spark: SparkSession, path: String): StructType = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(path).schema
+    finally spark.conf.set(key, prev)
+  }
+}
