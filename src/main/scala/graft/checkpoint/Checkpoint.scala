@@ -243,6 +243,89 @@ object Checkpoint {
       .toMap
   }
 
+  def statsStatePath(outDir: String): String = s"$outDir/_stats_state"
+  def inventoryPath(outDir: String): String = s"$outDir/_inventory"
+
+  /** Persist each validated partition's mergeable per-source stats state
+    * (see [[graft.drift.SourceStatsAggregate.serializeStates]]) — the
+    * material an APPEND-DELTA run folds a new-files-only scan into, so
+    * stats/drift/RI re-evaluate over the WHOLE partition without
+    * rescanning old files. Dynamic overwrite per partition, lineage in
+    * snapshot_id — the same contract as the key sketches. */
+  def writeStatsState(
+      spark: SparkSession, outDir: String,
+      rows: Seq[(String, String, Array[Byte])]): Unit = {
+    import spark.implicits._
+    if (rows.isEmpty) return
+    graft.sources.TableIO.writePartitioned(
+      rows.toDF("part_value", "snapshot_id", "state")
+        .withColumn("partition", col("part_value"))
+        .coalesce(1),
+      statsStatePath(outDir), partitionCol = "partition", recluster = false)
+  }
+
+  /** partition → (snapshot_id, serialized stats state). */
+  def readStatsState(
+      spark: SparkSession, outDir: String): Map[String, (String, Array[Byte])] = {
+    val p = new org.apache.hadoop.fs.Path(statsStatePath(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    spark.read.parquet(statsStatePath(outDir))
+      .select("part_value", "snapshot_id", "state")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getAs[Array[Byte]]("state"))))
+      .toMap
+  }
+
+  /** Persist each validated partition's `path:length` file inventory —
+    * the list a later append-delta run subtracts from the current listing
+    * to find exactly the NEW files. One row per file; dynamic overwrite
+    * per partition, lineage in snapshot_id (which is itself the md5 of
+    * this sorted list, so inventory and checkpoint cannot desync
+    * silently). */
+  def writeInventory(
+      spark: SparkSession, outDir: String,
+      rows: Seq[(String, String, String)]): Unit = {
+    import spark.implicits._
+    if (rows.isEmpty) return
+    graft.sources.TableIO.writePartitioned(
+      rows.toDF("part_value", "snapshot_id", "file")
+        .withColumn("partition", col("part_value")),
+      inventoryPath(outDir), partitionCol = "partition", recluster = false)
+  }
+
+  /** partition → (snapshot_id, file entries). */
+  def readInventory(
+      spark: SparkSession, outDir: String): Map[String, (String, Seq[String])] = {
+    val p = new org.apache.hadoop.fs.Path(inventoryPath(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    spark.read.parquet(inventoryPath(outDir))
+      .select("part_value", "snapshot_id", "file")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (part, rs) =>
+        part -> ((rs.head.getString(1), rs.map(_.getString(2)).toSeq))
+      }
+  }
+
+  /** Latest checkpointed snapshot id per partition under `rulesetHash` —
+    * the "what did the last completed run see" map append-delta
+    * classification starts from. */
+  def latestSnapshotByPartition(
+      spark: SparkSession,
+      path: String,
+      rulesetHash: String): Map[String, String] = {
+    read(spark, path)
+      .filter(col("ruleset_hash") === rulesetHash)
+      .collect()
+      .groupBy(_.partition)
+      .map { case (part, es) =>
+        part -> es.maxBy(_.completed_at).snapshot_id
+      }
+  }
+
   /** Partitions already validated for (snapshotId, rulesetHash) — the skip
     * set for a resumed run. Latest entry wins per partition. */
   def completedPartitions(

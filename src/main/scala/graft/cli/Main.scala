@@ -13,7 +13,7 @@ import graft.drift.Drift
  * Commands:
  *   gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] [unknownRate] [driftSrc:shift]
  *     writes input/ manifest/ baseline/ under outDir (seeded, deterministic)
- *   validate <inputDir> <manifestDir> <outDir> [baselineDir] [refSnapshotDir] [--partitions=a,b] [--sketch-items=N] [--sketch-fpp=p]
+ *   validate <inputDir> <manifestDir> <outDir> [baselineDir] [refSnapshotDir] [--partitions=a,b] [--sketch-items=N] [--sketch-fpp=p] [--append-delta]
  *     runs the rule set, writes violations/ verdicts/ checkpoint/, prints a
  *     one-line JSON run report
  */
@@ -92,6 +92,9 @@ object Main {
             case a if a.startsWith("--sketch-fpp=") =>
               a.stripPrefix("--sketch-fpp=").toDouble
           }
+          // --append-delta: changed partitions whose files only GREW scan
+          // just the new files (ValidationJob.Config.appendDelta doc)
+          val appendDelta = rest0.contains("--append-delta")
           val rest = rest0.filterNot(_.startsWith("--"))
           // optional 5th arg: reference snapshot for the J10 cross-snapshot
           // token-equality rule (rule set extends automatically)
@@ -105,6 +108,7 @@ object Main {
             partitions = scope,
             sketchExpectedItems = sketchItems.getOrElse(1000000L),
             sketchFpp = sketchFpp.getOrElse(0.001),
+            appendDelta = appendDelta,
             rules =
               if (refSnap.isDefined) graft.rules.Rules.withSnapshotEquality
               else graft.rules.Rules.standard))
@@ -112,6 +116,7 @@ object Main {
             s"""{"snapshot_id":"${report.snapshotId}",""" +
               s""""ruleset_hash":"${report.rulesetHash}",""" +
               s""""validated_partitions":${report.validatedPartitions.size},""" +
+              s""""delta_partitions":${report.deltaPartitions.size},""" +
               s""""skipped_partitions":${report.skippedPartitions.size},""" +
               s""""rows_validated":${report.rowsValidated},""" +
               s""""violations":${report.violations},""" +

@@ -143,110 +143,36 @@ case class SourceStatsAggregate(
 
   override def eval(buf: mutable.HashMap[UTF8String, State]): Any = {
     val rows = buf.toSeq.sortBy(_._1).map { case (src, st) =>
-      val nNtok = st.negN + st.ntokValueHist.sum
-      val vals = new Array[Any](14)
+      val s = summarize(st, ntokBins, ntokBinWidth)
+      val vals = new Array[Any](15)
       vals(0) = src
-      vals(1) = st.nDocs
-      // all-null edge: 0, matching the classic getAs[Int]-on-null coercion
-      vals(2) = if (st.minN == Int.MaxValue) 0 else st.minN
-      vals(3) = if (st.maxN == Int.MinValue) 0 else st.maxN
-      vals(4) = if (nNtok == 0) 0.0 else st.sumN.toDouble / nNtok
-      vals(5) = st.sumN
-      vals(6) = if (st.nDocs == 0) 0.0 else st.nullDoc.toDouble / st.nDocs
-      vals(7) = hllEstimate(st.hll)
-      vals(8) = if (st.minTok == Int.MaxValue) 0 else st.minTok
-      vals(9) = if (st.maxTok == Int.MinValue) 0 else st.maxTok
-      vals(10) = percentile(st, 0.50)
-      vals(11) = percentile(st, 0.95)
-      vals(12) = new GenericArrayData(driftNtokHist(st).map(Long.box))
-      vals(13) = new GenericArrayData(st.tokenHist.map(Long.box))
+      vals(1) = s.nDocs
+      vals(2) = s.minNtok
+      vals(3) = s.maxNtok
+      vals(4) = s.avgNtok
+      vals(5) = s.totalTokens
+      vals(6) = s.nullFracDocId
+      vals(7) = s.approxDistinctDocId
+      vals(8) = s.minTokenId
+      vals(9) = s.maxTokenId
+      vals(10) = s.p50Ntok
+      vals(11) = s.p95Ntok
+      vals(12) = new GenericArrayData(s.ntokHist.map(Long.box))
+      vals(13) = new GenericArrayData(s.tokenHist.map(Long.box))
+      // the raw mergeable state of THIS source alone: persisted per
+      // partition so a later append-delta run can fold new files' stats
+      // into it without rescanning old files
+      vals(14) = serializeStates(Seq(src -> st), bins)
       new GenericInternalRow(vals)
     }
     new GenericArrayData(rows.toArray[Any])
   }
 
-  /** Exact nearest-rank percentile over the value histogram; the negative
-    * tail (tracked as one sentinel) reports -1. */
-  private def percentile(st: State, q: Double): Int = {
-    val n = st.negN + st.ntokValueHist.sum
-    if (n == 0) return 0
-    val target = math.max(1L, math.ceil(q * n).toLong)
-    if (target <= st.negN) return -1
-    var cum = st.negN
-    var v = 0
-    while (v < NtokValueBins) {
-      cum += st.ntokValueHist(v)
-      if (cum >= target) return v
-      v += 1
-    }
-    NtokValueBins - 1
-  }
+  override def serialize(buf: mutable.HashMap[UTF8String, State]): Array[Byte] =
+    serializeStates(buf.toSeq, bins)
 
-  /** Drift-bin histogram folded from the exact value histogram — identical
-    * to per-row min(floorDiv(v, width), bins-1) with negatives dropped,
-    * given width * (bins-1) <= NtokValueBins-1 (64*63 < 4095 holds). */
-  private def driftNtokHist(st: State): Array[Long] = {
-    val out = new Array[Long](ntokBins)
-    var v = 0
-    while (v < NtokValueBins) {
-      val c = st.ntokValueHist(v)
-      if (c != 0)
-        out(math.min(Math.floorDiv(v, ntokBinWidth), ntokBins - 1)) += c
-      v += 1
-    }
-    out
-  }
-
-  override def serialize(buf: mutable.HashMap[UTF8String, State]): Array[Byte] = {
-    val entries = buf.toSeq
-    val keyBytes = entries.map(_._1.getBytes)
-    val perState = 8 * 5 + 4 * 4 + 8 * NtokValueBins + 8 * bins + HllM
-    val size = 4 + entries.zip(keyBytes)
-      .map { case (_, kb) => 4 + kb.length + perState }.sum
-    val bb = java.nio.ByteBuffer.allocate(size)
-    bb.putInt(entries.size)
-    entries.zip(keyBytes).foreach { case ((_, st), kb) =>
-      bb.putInt(kb.length)
-      bb.put(kb)
-      bb.putLong(st.nDocs); bb.putLong(st.nullDoc); bb.putLong(st.sumN)
-      bb.putLong(st.negN)
-      bb.putInt(st.minN); bb.putInt(st.maxN)
-      bb.putInt(st.minTok); bb.putInt(st.maxTok)
-      bb.putLong(0L) // reserved
-      var i = 0
-      while (i < NtokValueBins) { bb.putLong(st.ntokValueHist(i)); i += 1 }
-      i = 0
-      while (i < bins) { bb.putLong(st.tokenHist(i)); i += 1 }
-      bb.put(st.hll)
-    }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, State] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = mutable.HashMap.empty[UTF8String, State]
-    var e = 0
-    while (e < n) {
-      val klen = bb.getInt
-      val kb = new Array[Byte](klen)
-      bb.get(kb)
-      val st = new State(bins)
-      st.nDocs = bb.getLong; st.nullDoc = bb.getLong; st.sumN = bb.getLong
-      st.negN = bb.getLong
-      st.minN = bb.getInt; st.maxN = bb.getInt
-      st.minTok = bb.getInt; st.maxTok = bb.getInt
-      bb.getLong // reserved
-      var i = 0
-      while (i < NtokValueBins) { st.ntokValueHist(i) = bb.getLong; i += 1 }
-      i = 0
-      while (i < bins) { st.tokenHist(i) = bb.getLong; i += 1 }
-      bb.get(st.hll)
-      buf.put(UTF8String.fromBytes(kb), st)
-      e += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, State] =
+    deserializeStates(bytes, bins)
 
   override def dataType: DataType = SourceStatsAggregate.resultType
   override def nullable: Boolean = false
@@ -315,6 +241,137 @@ object SourceStatsAggregate {
     }
   }
 
+  /** Every derived per-source statistic, computed ONCE here for both the
+    * distributed eval and the driver-side merged-state path (append-delta
+    * runs) — a single definition, so the two cannot drift. */
+  final case class Summary(
+      nDocs: Long, minNtok: Int, maxNtok: Int, avgNtok: Double,
+      totalTokens: Long, nullFracDocId: Double, approxDistinctDocId: Long,
+      minTokenId: Int, maxTokenId: Int, p50Ntok: Int, p95Ntok: Int,
+      ntokHist: Array[Long], tokenHist: Array[Long])
+
+  def summarize(st: State, ntokBins: Int, ntokBinWidth: Int): Summary = {
+    val nNtok = st.negN + st.ntokValueHist.sum
+    Summary(
+      nDocs = st.nDocs,
+      // all-null edge: 0, matching the classic getAs[Int]-on-null coercion
+      minNtok = if (st.minN == Int.MaxValue) 0 else st.minN,
+      maxNtok = if (st.maxN == Int.MinValue) 0 else st.maxN,
+      avgNtok = if (nNtok == 0) 0.0 else st.sumN.toDouble / nNtok,
+      totalTokens = st.sumN,
+      nullFracDocId =
+        if (st.nDocs == 0) 0.0 else st.nullDoc.toDouble / st.nDocs,
+      approxDistinctDocId = hllEstimate(st.hll),
+      minTokenId = if (st.minTok == Int.MaxValue) 0 else st.minTok,
+      maxTokenId = if (st.maxTok == Int.MinValue) 0 else st.maxTok,
+      p50Ntok = percentile(st, 0.50),
+      p95Ntok = percentile(st, 0.95),
+      ntokHist = driftNtokHist(st, ntokBins, ntokBinWidth),
+      tokenHist = st.tokenHist.clone())
+  }
+
+  /** Exact nearest-rank percentile over the value histogram; the negative
+    * tail (tracked as one sentinel) reports -1. */
+  def percentile(st: State, q: Double): Int = {
+    val n = st.negN + st.ntokValueHist.sum
+    if (n == 0) return 0
+    val target = math.max(1L, math.ceil(q * n).toLong)
+    if (target <= st.negN) return -1
+    var cum = st.negN
+    var v = 0
+    while (v < NtokValueBins) {
+      cum += st.ntokValueHist(v)
+      if (cum >= target) return v
+      v += 1
+    }
+    NtokValueBins - 1
+  }
+
+  /** Drift-bin histogram folded from the exact value histogram — identical
+    * to per-row min(floorDiv(v, width), bins-1) with negatives dropped,
+    * given width * (bins-1) <= NtokValueBins-1 (64*63 < 4095 holds). */
+  def driftNtokHist(st: State, ntokBins: Int, ntokBinWidth: Int): Array[Long] = {
+    val out = new Array[Long](ntokBins)
+    var v = 0
+    while (v < NtokValueBins) {
+      val c = st.ntokValueHist(v)
+      if (c != 0)
+        out(math.min(Math.floorDiv(v, ntokBinWidth), ntokBins - 1)) += c
+      v += 1
+    }
+    out
+  }
+
+  def serializeStates(
+      entries: Seq[(UTF8String, State)], bins: Int): Array[Byte] = {
+    val keyBytes = entries.map(_._1.getBytes)
+    val perState = 8 * 5 + 4 * 4 + 8 * NtokValueBins + 8 * bins + HllM
+    val size = 4 + entries.zip(keyBytes)
+      .map { case (_, kb) => 4 + kb.length + perState }.sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.putInt(entries.size)
+    entries.zip(keyBytes).foreach { case ((_, st), kb) =>
+      bb.putInt(kb.length)
+      bb.put(kb)
+      bb.putLong(st.nDocs); bb.putLong(st.nullDoc); bb.putLong(st.sumN)
+      bb.putLong(st.negN)
+      bb.putInt(st.minN); bb.putInt(st.maxN)
+      bb.putInt(st.minTok); bb.putInt(st.maxTok)
+      bb.putLong(0L) // reserved
+      var i = 0
+      while (i < NtokValueBins) { bb.putLong(st.ntokValueHist(i)); i += 1 }
+      i = 0
+      while (i < bins) { bb.putLong(st.tokenHist(i)); i += 1 }
+      bb.put(st.hll)
+    }
+    bb.array()
+  }
+
+  def deserializeStates(
+      bytes: Array[Byte], bins: Int): mutable.HashMap[UTF8String, State] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = mutable.HashMap.empty[UTF8String, State]
+    var e = 0
+    while (e < n) {
+      val klen = bb.getInt
+      val kb = new Array[Byte](klen)
+      bb.get(kb)
+      val st = new State(bins)
+      st.nDocs = bb.getLong; st.nullDoc = bb.getLong; st.sumN = bb.getLong
+      st.negN = bb.getLong
+      st.minN = bb.getInt; st.maxN = bb.getInt
+      st.minTok = bb.getInt; st.maxTok = bb.getInt
+      bb.getLong // reserved
+      var i = 0
+      while (i < NtokValueBins) { st.ntokValueHist(i) = bb.getLong; i += 1 }
+      i = 0
+      while (i < bins) { st.tokenHist(i) = bb.getLong; i += 1 }
+      bb.get(st.hll)
+      buf.put(UTF8String.fromBytes(kb), st)
+      e += 1
+    }
+    buf
+  }
+
+  /** Fold many serialized state blobs (per partition, per run) into one
+    * map — the driver-side merge an append-delta run uses to combine the
+    * persisted old-files state with the freshly-observed new-files state.
+    * Exactly the aggregate's own merge arithmetic. */
+  def mergeStateBytes(
+      parts: Seq[Array[Byte]], bins: Int): mutable.HashMap[UTF8String, State] = {
+    val acc = mutable.HashMap.empty[UTF8String, State]
+    parts.foreach { b =>
+      deserializeStates(b, bins).foreach { case (k, os) =>
+        acc.get(k) match {
+          case Some(bs) => bs.mergeFrom(os)
+          case None => acc.put(k, os)
+        }
+      }
+    }
+    acc
+  }
+
   /** FNV-1a 64-bit over the UTF8String's bytes, allocation-free, finished
     * with a 64-bit avalanche mix (the standard fmix64 finalizer): raw
     * FNV-1a barely diffuses the last bytes into the HIGH bits, and HLL
@@ -373,7 +430,9 @@ object SourceStatsAggregate {
     StructField("ntok_hist", ArrayType(LongType, containsNull = false),
       nullable = false),
     StructField("token_hist", ArrayType(LongType, containsNull = false),
-      nullable = false))), containsNull = false)
+      nullable = false),
+    StructField("state", BinaryType, nullable = false))),
+    containsNull = false)
 
   def agg(source: Column, docId: Column, nTok: Column, tokens: Column,
       bins: Int, vocab: Int, ntokBins: Int, ntokBinWidth: Int): Column =

@@ -47,6 +47,25 @@ object ValidationJob {
         * more confirm-scan traffic. */
       sketchExpectedItems: Long = 1000000L,
       sketchFpp: Double = 0.001,
+      /** APPEND-DELTA mode: a changed partition whose current file set is
+        * a strict superset of its last-validated inventory (same paths,
+        * same lengths) re-validates by scanning ONLY the new files — the
+        * Iceberg-snapshot-diff shape of incremental ingestion, where
+        * partitions grow by appended files run over run. Stats / drift /
+        * RI / completeness evaluate over the WHOLE partition by folding
+        * the persisted mergeable stats state into the delta scan's
+        * aggregates (field-exactly what a full rescan computes);
+        * within-delta duplicates surface through the normal uniqueness
+        * pass, old↔new duplicates through the cross-run sketch gate
+        * (booked as R_CROSS_RUN_UNIQUE with prior-copy evidence — a full
+        * rescan books the same docs under R_UNIQUE_DOC_ID; the partition
+        * verdict is identical), and old-files row/uniqueness violations
+        * are preserved from the current violations table. Partitions
+        * ineligible for delta (rewritten/removed files, missing persisted
+        * state or sketch, first sight) fall back to a full rescan
+        * automatically. Incompatible with refSnapshotPath (the equality
+        * join needs both sides complete). */
+      appendDelta: Boolean = false,
       /** Cache the fact table across the rule-family passes. OFF by
         * default since the r03 fusion: the only repeat reads of the fact
         * table are two NARROW column scans (uniqueness passes — doc_id
@@ -64,7 +83,17 @@ object ValidationJob {
       skippedPartitions: Seq[String],
       rowsValidated: Long,
       violations: Long,
-      wallMs: Long)
+      wallMs: Long,
+      /** Subset of validatedPartitions that ran as append-delta (only
+        * their new files were scanned). */
+      deltaPartitions: Seq[String] = Nil)
+
+  /** Everything an eligible append-delta partition carries into the run. */
+  private final case class DeltaPart(
+      oldSnapshotId: String,
+      oldFiles: Seq[String],
+      newFiles: Seq[String],
+      oldState: Array[Byte])
 
   def violationsPath(outDir: String) = s"$outDir/violations"
   def verdictsPath(outDir: String) = s"$outDir/verdicts"
@@ -89,8 +118,10 @@ object ValidationJob {
     // files changed — a new submission neither re-validates nor blocks
     // the untouched ones. The whole-table id derives from the same single
     // directory walk. Non-hive layouts fall back to table-granular ids.
-    val partSnaps: Map[String, String] = TableIO
-      .partitionSnapshotIds(spark, cfg.inputPath, "source")
+    val filesByPart: Option[Map[String, Seq[String]]] =
+      TableIO.partitionFiles(spark, cfg.inputPath, "source")
+    val partSnaps: Map[String, String] = filesByPart
+      .map(_.map { case (v, fls) => v -> TableIO.snapshotIdOfFiles(fls) })
       .getOrElse(Map.empty)
     val snapshotId =
       if (partSnaps.nonEmpty) TableIO.snapshotIdFromPartitions(partSnaps)
@@ -184,9 +215,65 @@ object ValidationJob {
         "_locks/ reclaim automatically)")
     try {
 
+    // APPEND-DELTA classification: a todo partition is delta-eligible iff
+    // its last completed run (same ruleset) left behind a matching
+    // inventory, stats state, and cross-run sketch, and the current file
+    // set strictly extends the old one (same paths, same lengths). Every
+    // condition is checked against the OLD snapshot id, which is itself
+    // the md5 of the old inventory — the artifacts cannot desync silently.
+    val sketchesByRule: Map[String, Map[String, (String, Array[Byte])]] =
+      if (cfg.appendDelta)
+        cfg.rules.crossRunRules.map(r =>
+          r.id -> Checkpoint.readSketches(spark, cfg.outDir, r.id)).toMap
+      else Map.empty
+    val deltaInfo: Map[String, DeltaPart] =
+      if (!cfg.appendDelta || cfg.rules.crossRunRules.isEmpty) Map.empty
+      else {
+        require(cfg.refSnapshotPath.isEmpty,
+          "appendDelta cannot run with a reference snapshot: the " +
+            "cross-snapshot equality join needs both sides complete")
+        val inv = Checkpoint.readInventory(spark, cfg.outDir)
+        val states = Checkpoint.readStatsState(spark, cfg.outDir)
+        val lastSnap = Checkpoint.latestSnapshotByPartition(
+          spark, checkpointPath(cfg.outDir), rulesetHash)
+        todo.flatMap { part =>
+          for {
+            files <- filesByPart.flatMap(_.get(part))
+            oldSnap <- lastSnap.get(part)
+            (invSnap, oldFiles) <- inv.get(part)
+            if invSnap == oldSnap
+            (stSnap, oldState) <- states.get(part)
+            if stSnap == oldSnap
+            if cfg.rules.crossRunRules.forall(r =>
+              sketchesByRule(r.id).get(part).exists(_._1 == oldSnap))
+            oldSet = oldFiles.toSet
+            if oldSet.subsetOf(files.toSet) && files.size > oldFiles.size
+          } yield part -> DeltaPart(
+            oldSnap, oldFiles,
+            files.filterNot(oldSet).sorted, oldState)
+        }.toMap
+      }
+    val deltaParts = deltaInfo.keySet
+    val fullTodo = todo.filterNot(deltaParts)
+    phase("delta_classify")
+
+    def readFiles(entries: Seq[String]) =
+      spark.read.schema(Encoders.product[Sequence].schema)
+        .option("basePath", cfg.inputPath)
+        .parquet(entries.map(TableIO.inventoryEntryPath): _*)
+        .as[Sequence]
+
     val seqs0 =
-      if (done.isEmpty && requested.isEmpty) all
-      else all.filter(col("source").isin(todo.map(x => x: Any): _*))
+      if (deltaParts.isEmpty) {
+        if (done.isEmpty && requested.isEmpty) all
+        else all.filter(col("source").isin(todo.map(x => x: Any): _*))
+      } else {
+        // full partitions read whole; delta partitions read NEW files only
+        val deltaSeqs = readFiles(deltaInfo.values.flatMap(_.newFiles).toSeq)
+        if (fullTodo.isEmpty) deltaSeqs
+        else all.filter(col("source").isin(fullTodo.map(x => x: Any): _*))
+          .unionByName(deltaSeqs)
+      }
 
     // The three rule-family passes rescan the fact table: cached columnar
     // when cfg.cache (inputs that fit memory), direct parquet re-scans
@@ -210,7 +297,9 @@ object ValidationJob {
     // the per-source token stats via observe(); the narrow aggregation
     // pass below reads only (source, doc_id, n_tok).
     val staged = RuleEngine.planStaged(
-      seqs, manifest, cfg.rules, baseline, cfg.vocab, refSnapshot)
+      seqs, manifest, cfg.rules, baseline, cfg.vocab, refSnapshot,
+      mergeStates =
+        deltaInfo.map { case (p, d) => p -> d.oldState })
     phase("plan_build")
 
     val todoSet = todo.toSet
@@ -253,8 +342,18 @@ object ValidationJob {
     phase("violation_passes")
 
     val fin = staged.finish() // observed stats + driver-side rule families
-    // exact per-source counts come free from the observed aggregates
-    val rowsValidated = fin.rowCount.getOrElse(seqs.count())
+    // exact per-source counts come free from the observed aggregates; in
+    // an append-delta run those are MERGED (whole-partition) counts, so
+    // the rows actually scanned = merged total − persisted old totals
+    // (both known driver-side, no extra job)
+    val oldStateDocs =
+      if (deltaInfo.isEmpty) 0L
+      else graft.drift.SourceStatsAggregate
+        .mergeStateBytes(
+          deltaInfo.values.map(_.oldState).toSeq, graft.drift.Drift.tokenBins)
+        .values.map(_.nDocs).sum
+    val rowsValidated =
+      fin.rowCount.map(_ - oldStateDocs).getOrElse(seqs.count())
     phase("stats_finish")
 
     // CROSS-RUN uniqueness (CrossRunUniqueRule): the reference's duplicate
@@ -270,16 +369,24 @@ object ValidationJob {
     // zero extra work). History partitions with no lineage-matching
     // sketch make the check NOT_COMPLETED, never a silent partial PASS.
     val crossRules = cfg.rules.crossRunRules
-    val histSorted = done.toSeq.sorted
+    // delta partitions' OLD content is history too: their persisted
+    // sketches (lineage = the OLD snapshot id, verified at classification)
+    // route delta keys, and the confirm scan reads exactly their OLD
+    // files — new↔old duplicates inside a growing partition surface here.
+    val histSorted = (done.toSeq ++ deltaParts).sorted
+    def histSnapOf(src: String): String =
+      deltaInfo.get(src).map(_.oldSnapshotId).getOrElse(snapOf(src))
     var xrunNotCompleted = Set.empty[(String, String)]
     val xrunCaches =
       scala.collection.mutable.ListBuffer.empty[Dataset[_]]
     val xrunVioFrames = crossRules.flatMap { rule =>
       if (histSorted.isEmpty) None
       else {
-        val sketches = Checkpoint.readSketches(spark, cfg.outDir, rule.id)
+        val sketches =
+          if (cfg.appendDelta) sketchesByRule(rule.id)
+          else Checkpoint.readSketches(spark, cfg.outDir, rule.id)
         val covered = histSorted.filter(s =>
-          sketches.get(s).exists(_._1 == snapOf(s)))
+          sketches.get(s).exists(_._1 == histSnapOf(s)))
         if (covered.size < histSorted.size) {
           xrunNotCompleted ++= todo.map(s => (s, rule.id))
           None
@@ -296,8 +403,22 @@ object ValidationJob {
           // incremental case), history is never scanned
           if (cands.count() == 0) None
           else {
-            val histKeys = all
-              .filter(col("source").isin(covered.map(x => x: Any): _*))
+            val coveredDone = covered.filterNot(deltaParts)
+            val coveredDelta = covered.filter(deltaParts)
+            val doneKeys =
+              if (coveredDone.isEmpty) None
+              else Some(all
+                .filter(col("source").isin(coveredDone.map(x => x: Any): _*))
+                .toDF())
+            // delta history = the partition's OLD files only: the current
+            // directory also holds the new files this run is scanning,
+            // which must not self-match
+            val deltaKeys =
+              if (coveredDelta.isEmpty) None
+              else Some(readFiles(
+                coveredDelta.flatMap(s => deltaInfo(s).oldFiles).toSeq).toDF())
+            val histKeys = (doneKeys.toSeq ++ deltaKeys.toSeq)
+              .reduce(_ unionByName _)
               .select(col(rule.key).cast("string").as("xk"),
                 col("source").as("dup_in"))
               .filter(col("xk").isNotNull)
@@ -337,15 +458,45 @@ object ValidationJob {
       p
     }
     val xrunCount = xrunVio.map(_.count()).getOrElse(0L)
-    val vio = xrunVio.fold(scanVio.toDF())(scanVio.toDF().unionByName(_))
-      .unionByName(spark.createDataset(driverVios).coalesce(1).toDF())
+    // append-delta: OLD files' per-doc violations (row rules, uniqueness,
+    // prior cross-run hits) remain true and are PRESERVED from the current
+    // violations table — only the driver-rule families (stats / RI /
+    // drift / manifest) are dropped, since they re-derive from the merged
+    // aggregates. Materialized EAGERLY (persist + count): the violations
+    // chain deletes these partitions before rewriting them.
+    val preservedVio: Option[DataFrame] =
+      if (deltaParts.isEmpty) None
+      else {
+        val vp = new org.apache.hadoop.fs.Path(violationsPath(cfg.outDir))
+        val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(vp)) None
+        else {
+          val keepIds = (cfg.rules.rowRules.map(_.id) ++
+            cfg.rules.uniqueRules.map(_.id) ++
+            cfg.rules.crossRunRules.map(_.id)).toSeq
+          val p = spark.read.parquet(violationsPath(cfg.outDir))
+            .filter(col("source").isin(deltaParts.toSeq.map(x => x: Any): _*)
+              && col("rule_id").isin(keepIds.map(x => x: Any): _*))
+            .select("doc_id", "rule_id", "observed", "source", "severity")
+            .repartition(nPart, col("source"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          xrunCaches += p
+          Some(p)
+        }
+      }
+    val preservedCount = preservedVio.map(_.count()).getOrElse(0L)
+    val vio = Seq(
+        Some(scanVio.toDF()), xrunVio, preservedVio,
+        Some(spark.createDataset(driverVios).coalesce(1).toDF()))
+      .flatten
+      .reduce(_ unionByName _)
       .as[Violation]
     // NOTE (ADVICE r02): `violations` counts EVERY violation attributable
     // to this run — including manifest-only sources that never appear in
     // the data (the `!isin(allParts)` clause above) — not just rows from
     // `todo` partitions. Consumers diffing this count across engine
     // versions should compare under this (widened, r02+) definition.
-    val vioCount = scanVioCount + xrunCount + driverVios.size
+    val vioCount = scanVioCount + xrunCount + preservedCount + driverVios.size
 
     val doneSources = done.toSet
     // fin.sources = data sources (already todo-filtered) ∪ ALL manifest
@@ -443,16 +594,50 @@ object ValidationJob {
     // so staleness is detectable.
     val sketchChain = Future {
       val rows = crossRules.flatMap { rule =>
-        seqs.filter(col(rule.key).isNotNull)
+        val fresh = seqs.filter(col(rule.key).isNotNull)
           .groupBy(col("source"))
           .agg(graft.operators.BloomDedup.sketchAgg(
             col(rule.key).cast("string"),
             cfg.sketchExpectedItems, cfg.sketchFpp).as("sk"))
           .collect()
-          .map(r => (r.getString(0), snapOf(r.getString(0)), rule.id,
-            rule.key, r.getAs[Array[Byte]]("sk")))
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk"))
+          .toMap
+        // delta partitions: the refreshed sketch must cover old + new
+        // keys — Bloom sketches OR together, so fold the old sketch in
+        // (and carry it alone if the delta files held no non-null keys:
+        // the snapshot id still advanced)
+        val oldOf = (s: String) =>
+          if (deltaInfo.contains(s)) Some(sketchesByRule(rule.id)(s)._2)
+          else None
+        (fresh.keySet ++ deltaParts).toSeq.sorted.map { s =>
+          val sk = (fresh.get(s), oldOf(s)) match {
+            case (Some(f), Some(o)) => graft.operators.BloomDedup.merge(o, f)
+            case (Some(f), None) => f
+            case (None, Some(o)) => o
+            case (None, None) =>
+              throw new IllegalStateException(s"no sketch material for $s")
+          }
+          (s, snapOf(s), rule.id, rule.key, sk)
+        }
       }
       Checkpoint.writeSketches(spark, cfg.outDir, rows)
+    }
+
+    // Persist the merged per-source stats state + the current file
+    // inventory for every validated partition — the material the NEXT
+    // append-delta run starts from. Written before the checkpoint like
+    // every other output (dynamic overwrite per partition; lineage =
+    // the partition's new snapshot id).
+    val stateChain = Future {
+      val stateRows = fin.aggregates
+        .filter(a => todoSet(a.source) && a.stateBytes.nonEmpty)
+        .map(a => (a.source, snapOf(a.source), a.stateBytes))
+      Checkpoint.writeStatsState(spark, cfg.outDir, stateRows)
+      filesByPart.foreach { m =>
+        val invRows = todo.flatMap(p =>
+          m.getOrElse(p, Nil).map(f => (p, snapOf(p), f)))
+        Checkpoint.writeInventory(spark, cfg.outDir, invRows)
+      }
     }
 
     import scala.concurrent.duration.Duration
@@ -464,9 +649,11 @@ object ValidationJob {
     val vioOutcome = scala.util.Try(Await.result(vioChain, Duration.Inf))
     val verdictOutcome = scala.util.Try(Await.result(verdictChain, Duration.Inf))
     val sketchOutcome = scala.util.Try(Await.result(sketchChain, Duration.Inf))
+    val stateOutcome = scala.util.Try(Await.result(stateChain, Duration.Inf))
     vioOutcome.get
     val verdictRows = verdictOutcome.get
     sketchOutcome.get
+    stateOutcome.get
     phase("write_violations+verdicts")
 
     val wallMs = (System.nanoTime() - t0) / 1000000
@@ -507,7 +694,8 @@ object ValidationJob {
     if (useCache) seqs.unpersist(blocking = false)
     RunReport(snapshotId, rulesetHash, todo,
       done.toSeq.filter(inScope).sorted,
-      rowsValidated, vioCount, wallMs)
+      rowsValidated, vioCount, wallMs,
+      deltaPartitions = deltaParts.toSeq.sorted)
 
     } finally
       Checkpoint.releasePartitionLocks(spark, cfg.outDir, lockParts)

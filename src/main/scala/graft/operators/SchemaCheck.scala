@@ -60,7 +60,7 @@ object SchemaCheck {
         SchemaChange(f.name, TypeChanged,
           Some(before(f.name).dataType.sql), Some(f.dataType.sql))
     }
-    (removed ++ changed ++ added).sortBy(_.column)
+    (removed.toSeq ++ changed.toSeq ++ added.toSeq).sortBy(_.column)
   }
 
   /** Abort unless every `required` column exists in `actual` with the

@@ -62,7 +62,12 @@ object RuleEngine {
       p50Ntok: Int,
       p95Ntok: Int,
       ntokHist: Array[Long],
-      tokenHist: Array[Long])
+      tokenHist: Array[Long],
+      /** Serialized mergeable aggregate state for THIS source (see
+        * [[graft.drift.SourceStatsAggregate.serializeStates]]) —
+        * persisted per partition so append-delta runs fold new files'
+        * stats into it instead of rescanning old files. */
+      stateBytes: Array[Byte] = Array.empty)
 
   /** The one stats computation (see
     * [[graft.drift.SourceStatsAggregate]]): every [[SourceAggregate]]
@@ -79,8 +84,29 @@ object RuleEngine {
         r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
         r.getDouble(4), r.getLong(5), r.getDouble(6), r.getLong(7),
         r.getInt(8), r.getInt(9), r.getInt(10), r.getInt(11),
-        r.getSeq[Long](12).toArray, r.getSeq[Long](13).toArray)
+        r.getSeq[Long](12).toArray, r.getSeq[Long](13).toArray,
+        r.getAs[Array[Byte]](14))
     }
+
+  /** Rebuild per-source aggregates from serialized state blobs (one or
+    * more per source — old persisted state plus a delta run's fresh
+    * state), merged with the aggregate's own arithmetic and summarized
+    * through the SAME code path as a distributed eval, so a delta-merged
+    * aggregate is field-exactly what a full rescan would produce. */
+  def aggregatesFromStateBytes(parts: Seq[Array[Byte]]): Seq[SourceAggregate] = {
+    import graft.drift.SourceStatsAggregate
+    val merged = SourceStatsAggregate.mergeStateBytes(parts, Drift.tokenBins)
+    merged.toSeq.sortBy(_._1).map { case (src, st) =>
+      val s = SourceStatsAggregate.summarize(
+        st, Drift.ntokBins, Drift.ntokBinWidth)
+      SourceAggregate(
+        src.toString, s.nDocs, s.minNtok, s.maxNtok, s.avgNtok,
+        s.totalTokens, s.nullFracDocId, s.approxDistinctDocId,
+        s.minTokenId, s.maxTokenId, s.p50Ntok, s.p95Ntok,
+        s.ntokHist, s.tokenHist,
+        SourceStatsAggregate.serializeStates(Seq(src -> st), Drift.tokenBins))
+    }
+  }
 
   /** THE aggregation pass (classic form): one GLOBAL aggregation of the
     * per-source stats state — the by-source grouping lives inside the
@@ -161,7 +187,11 @@ object RuleEngine {
       sources: Seq[String],
       stats: Option[(String, Map[String, String])],
       rowCount: Option[Long],
-      notCompleted: Set[(String, String)])
+      notCompleted: Set[(String, String)],
+      /** The per-source aggregates the driver rules evaluated over —
+        * post-merge in an append-delta run. Each carries its mergeable
+        * stateBytes for persistence. */
+      aggregates: Seq[SourceAggregate] = Nil)
 
   /** A two-stage evaluation plan: `scanViolations` holds every distributed
     * pass (row rules ∪ uniqueness ∪ snapshot equality); `finish()` — legal
@@ -195,7 +225,14 @@ object RuleEngine {
       rules: RuleSet,
       baseline: Option[Dataset[BaselineBin]] = None,
       vocab: Int = graft.gen.SequenceGen.vocabSize,
-      refSnapshot: Option[Dataset[Sequence]] = None): StagedPlan = {
+      refSnapshot: Option[Dataset[Sequence]] = None,
+      /** Append-delta hook: source → persisted old-files stats state.
+        * The scan observes the NEW files' stats only; finish() folds the
+        * persisted state in through the aggregate's own merge arithmetic,
+        * so every driver rule (stats / drift / RI / completeness)
+        * evaluates over the WHOLE partition, field-exactly what a full
+        * rescan would produce. */
+      mergeStates: Map[String, Array[Byte]] = Map.empty): StagedPlan = {
     val spark = seqs.sparkSession
     import spark.implicits._
 
@@ -219,13 +256,25 @@ object RuleEngine {
             snapshotViolations(seqs.toDF(), ref.toDF(), r)))
 
     val finish = () => {
-      val aggs: Seq[SourceAggregate] =
+      val aggs0: Seq[SourceAggregate] =
         if (!needAgg) Nil
         else obs match {
           case Some(o) =>
             parseSourceStats(o.get("source_stats").asInstanceOf[Seq[_]]
               .map(_.asInstanceOf[org.apache.spark.sql.Row]))
           case None => aggregateBySource(seqs.toDF(), vocab)
+        }
+      // fold persisted old-files state into the delta sources' fresh
+      // aggregates (append-delta); non-delta sources pass through
+      val aggs =
+        if (mergeStates.isEmpty || !needAgg) aggs0
+        else {
+          val fresh = aggs0.map(a => a.source -> a).toMap
+          val blobs = mergeStates.toSeq.flatMap { case (s, old) =>
+            old +: fresh.get(s).map(_.stateBytes).toSeq
+          }
+          (aggs0.filterNot(a => mergeStates.contains(a.source)) ++
+            aggregatesFromStateBytes(blobs)).sortBy(_.source)
         }
       driverSide(spark, seqs, aggs, manifest, rules, baseline, refSnapshot,
         needAgg)
@@ -283,7 +332,8 @@ object RuleEngine {
       stats = rules.statsRules.headOption
         .map(r => (r.id, statsMetricsFromAgg(aggs))),
       rowCount = if (needAgg) Some(aggs.map(_.nDocs).sum) else None,
-      notCompleted = notCompleted)
+      notCompleted = notCompleted,
+      aggregates = aggs)
   }
 
   /** Evaluate the full rule set. `baseline` powers drift rules (skipped when

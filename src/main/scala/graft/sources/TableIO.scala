@@ -219,7 +219,19 @@ object TableIO {
     * whole-table id). */
   def partitionSnapshotIds(
       spark: SparkSession, path: String,
-      partitionCol: String): Option[Map[String, String]] = {
+      partitionCol: String): Option[Map[String, String]] =
+    partitionFiles(spark, path, partitionCol).map(_.map {
+      case (value, files) => value -> snapshotIdOfFiles(files)
+    })
+
+  /** Per-partition `path:length` file inventories for a hive-layout table
+    * — the SAME walk [[partitionSnapshotIds]] hashes (call this once and
+    * derive both; the walk is the cost an Iceberg manifest removes).
+    * Append-delta runs subtract a persisted old inventory from this to
+    * find exactly the new files. None for non-hive layouts. */
+  def partitionFiles(
+      spark: SparkSession, path: String,
+      partitionCol: String): Option[Map[String, Seq[String]]] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -231,13 +243,20 @@ object TableIO {
     if (dirs.isEmpty) return None
     Some(dirs.map { d =>
       val value = unescapePathName(d.getName.stripPrefix(prefix))
-      val id = listingInventory(spark, d.toString) match {
-        case None => emptyListingId
-        case Some(files) => md5Hex(files.sorted.mkString("\n"))
-      }
-      value -> id
+      value -> listingInventory(spark, d.toString).getOrElse(Nil)
     }.toMap)
   }
+
+  /** Content id of one partition's inventory — md5 of the sorted
+    * `path:length` entries (the exact arithmetic the checkpoint lineage
+    * has always used). */
+  def snapshotIdOfFiles(files: Seq[String]): String =
+    if (files.isEmpty) emptyListingId
+    else md5Hex(files.sorted.mkString("\n"))
+
+  /** The data-file path of a `path:length` inventory entry. */
+  def inventoryEntryPath(entry: String): String =
+    entry.substring(0, entry.lastIndexOf(':'))
 
   /** (path:length) inventory of every data file under `path`; None if the
     * path does not exist. */
