@@ -33,7 +33,8 @@ object Bench {
     "seq_pack", "ngram_topk", "bm25_score", "j12_asof_join",
     "mix_sample", "seq_pack_stats", "quality_deciles",
     "text_entropy", "src_kl", "oov_rate", "len_outliers",
-    "leak_prefix_matrix", "drift_ks_twosample", "drift_chi2_twosample")
+    "leak_prefix_matrix", "drift_ks_twosample", "drift_chi2_twosample",
+    "ngram_cms_est")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

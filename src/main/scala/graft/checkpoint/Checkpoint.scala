@@ -291,7 +291,8 @@ object Checkpoint {
     if (rows.isEmpty) return
     graft.sources.TableIO.writePartitioned(
       rows.toDF("part_value", "snapshot_id", "file")
-        .withColumn("partition", col("part_value")),
+        .withColumn("partition", col("part_value"))
+        .coalesce(1), // metadata volume: one row per data file
       inventoryPath(outDir), partitionCol = "partition", recluster = false)
   }
 

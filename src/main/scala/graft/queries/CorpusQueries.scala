@@ -69,6 +69,43 @@ object CorpusQueries {
         .limit(50)
     }),
 
+    // Count-min-sketch heavy hitters: estimate the top-10 bigrams'
+    // frequencies from a FIXED 4×1024-counter sketch instead of the
+    // exact per-key counts. The sketch is the scale path for OPEN n-gram
+    // domains (exact counting shuffles one partial per distinct key —
+    // unbounded at 10^12 rows; the sketch's global aggregation
+    // partial-merges a constant 32 KB array with zero key-space
+    // exchanges). Estimates are min-over-rows of affine rehashes of the
+    // portable polynomial hash — all integer arithmetic, replayed
+    // bit-for-bit by the oracle, overestimates included (961 possible
+    // bigrams into 1024 buckets collide deterministically).
+    "ngram_cms_est" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.CountMinAggregate
+      val bg = docs(s, dir)
+        .select(words(col("text")).as("ws"))
+        .select(explode(expr(
+          "zip_with(slice(ws, 1, greatest(size(ws)-1, 0)), " +
+            "slice(ws, 2, greatest(size(ws)-1, 0)), " +
+            "(a, b) -> concat(a, ' ', b))")).as("bigram"))
+        .select(col("bigram"),
+          graft.functions.TextFunctions.fingerprint(col("bigram")).as("h"))
+      val sketch = bg
+        .agg(CountMinAggregate.agg(col("h"), lit(1L), 4, 1024).as("sk"))
+        .head().getSeq[Long](0).toArray
+      val top = bg.groupBy("bigram")
+        .agg(count(lit(1)).as("exact"), min(col("h")).as("h"))
+        .orderBy(col("exact").desc, col("bigram").asc)
+        .limit(10).collect()
+      top.toSeq
+        .map { r =>
+          val est = CountMinAggregate.estimate(
+            sketch, r.getLong(2), 4, 1024)
+          (r.getString(0), r.getLong(1), est, est - r.getLong(1))
+        }
+        .toDF("bigram", "exact", "est", "overestimate")
+    }),
+
     // BM25 (k1=1.2, b=0.75) per-(term, doc) relevance with corpus-trained
     // df, top-5 docs per term. Scale shape — train then score, like
     // text_freq_score: ONE stats scan folds N, total length AND all 8
@@ -220,6 +257,30 @@ object CorpusQueries {
                FROM d, unnest(range(1, len(ws))) AS t(i))
          SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
          ORDER BY n DESC, bigram ASC LIMIT 50""",
+    "ngram_cms_est" ->
+      s"""WITH d AS (SELECT string_split(text,' ') AS ws FROM documents),
+         b0 AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+                FROM d, unnest(range(1, len(ws))) AS t(i)),
+         b AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS exact,
+                 ${TextQueries.sqlPolyHash("bigram")} AS h
+               FROM b0 GROUP BY bigram),
+         rc(r, a, bb) AS (VALUES
+           (0, CAST(31 AS BIGINT), CAST(7 AS BIGINT)),
+           (1, CAST(131 AS BIGINT), CAST(101 AS BIGINT)),
+           (2, CAST(1031 AS BIGINT), CAST(997 AS BIGINT)),
+           (3, CAST(8191 AS BIGINT), CAST(7919 AS BIGINT))),
+         hh AS (SELECT bigram, exact, r,
+                  ((h * a + bb) % 1000000007) % 1024 AS bkt
+                FROM b, rc),
+         cells AS (SELECT r, bkt, CAST(SUM(exact) AS BIGINT) AS cell
+                   FROM hh GROUP BY r, bkt),
+         est AS (SELECT bigram, CAST(MIN(cell) AS BIGINT) AS est
+                 FROM hh JOIN cells USING (r, bkt) GROUP BY bigram),
+         top AS (SELECT bigram, exact FROM b
+                 ORDER BY exact DESC, bigram ASC LIMIT 10)
+         SELECT top.bigram, top.exact, est.est,
+                est.est - top.exact AS overestimate
+         FROM top JOIN est ON top.bigram = est.bigram""",
     "bm25_score" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws
                     FROM documents),
