@@ -469,7 +469,16 @@ object ValidationJob {
       else {
         val vp = new org.apache.hadoop.fs.Path(violationsPath(cfg.outDir))
         val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(vp)) None
+        // a prior run with ZERO violations leaves the table dir present but
+        // file-less; schema inference on an empty parquet dir aborts the read
+        def hasDataFiles: Boolean = {
+          val it = fs.listFiles(vp, true)
+          var found = false
+          while (!found && it.hasNext)
+            found = it.next().getPath.getName.endsWith(".parquet")
+          found
+        }
+        if (!fs.exists(vp) || !hasDataFiles) None
         else {
           val keepIds = (cfg.rules.rowRules.map(_.id) ++
             cfg.rules.uniqueRules.map(_.id) ++

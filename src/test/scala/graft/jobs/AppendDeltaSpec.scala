@@ -140,6 +140,41 @@ class AppendDeltaSpec extends SparkSpec {
     assert(r3.validatedPartitions.isEmpty)
   }
 
+  test("two consecutive appends chain: each delta folds the PREVIOUS " +
+      "merged state and still matches a from-scratch full rescan") {
+    val dir = tmpDir("adelta2")
+    writeInput(dir)
+    def cfg(out: String, delta: Boolean) = ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out_$out", appendDelta = delta)
+    ValidationJob.run(spark, cfg("d", delta = true))
+
+    Seq(Sequence("D999999999980", Array(1, 2), 2, "mito"))
+      .toDS().write.mode("append").partitionBy("source").parquet(s"$dir/input")
+    val r2 = ValidationJob.run(spark, cfg("d", delta = true))
+    assert(r2.deltaPartitions === Seq("mito") && r2.rowsValidated === 1L)
+
+    Seq(
+      Sequence("D999999999981", Array(3, 4, 5), 3, "mito"),
+      Sequence("D999999999980", Array(9), 1, "mito")) // dup of append #1
+      .toDS().write.mode("append").partitionBy("source").parquet(s"$dir/input")
+    val r3 = ValidationJob.run(spark, cfg("d", delta = true))
+    assert(r3.deltaPartitions === Seq("mito") && r3.rowsValidated === 2L)
+
+    // the second delta's duplicate-of-a-previous-delta-row is caught
+    val dv = spark.read.parquet(ValidationJob.violationsPath(s"$dir/out_d"))
+    assert(dv.filter($"rule_id" === "R_CROSS_RUN_UNIQUE")
+      .select("doc_id").as[String].collect().toSet === Set("D999999999980"))
+
+    // from-scratch full rescan of the final table: stats state identical
+    ValidationJob.run(spark, cfg("full", delta = false))
+    val ds = graft.checkpoint.Checkpoint.readStatsState(spark, s"$dir/out_d")
+    val fs = graft.checkpoint.Checkpoint.readStatsState(spark, s"$dir/out_full")
+    assert(ds.keySet === fs.keySet)
+    ds.foreach { case (part, (_, bytes)) =>
+      assert(bytes.sameElements(fs(part)._2), s"stats state differs: $part")
+    }
+  }
+
   test("a REWRITTEN partition is not delta-eligible and falls back to a " +
       "full rescan") {
     val dir = tmpDir("adelta_rw")
