@@ -255,6 +255,21 @@ object ValidationJob {
       }
     val deltaParts = deltaInfo.keySet
     val fullTodo = todo.filterNot(deltaParts)
+    // Delta files come from whatever writer appended them — re-gate their
+    // OWN footers (merged, all of them) against the contract. The
+    // table-level gate above reads one footer, which the old files
+    // dominate, so a retyped new file would otherwise pass the gate and
+    // kill the scan with a raw executor error.
+    if (deltaInfo.nonEmpty) {
+      val newPaths = deltaInfo.values.flatMap(_.newFiles).toSeq.sorted
+        .map(TableIO.inventoryEntryPath)
+      graft.operators.SchemaCheck.requireCompatible(
+        graft.operators.SchemaCheck.parquetSchemaOfFiles(
+          spark, cfg.inputPath, newPaths,
+          s"delta files of ${cfg.inputPath}"),
+        Encoders.product[Sequence].schema,
+        s"delta files of ${cfg.inputPath}")
+    }
     phase("delta_classify")
 
     def readFiles(entries: Seq[String]) =

@@ -94,4 +94,30 @@ object SchemaCheck {
     try spark.read.parquet(path).schema
     finally spark.conf.set(key, prev)
   }
+
+  /** Merged footer schema across an EXPLICIT file list. The table-level
+    * probe above reads one footer, so a single retyped file hiding among
+    * compatible ones escapes it and dies mid-scan as a raw executor
+    * column-convert error. For file sets the run enumerates anyway (an
+    * append-delta's new files), merging every footer closes that hole:
+    * mutually-incompatible files abort here, and the merged schema is
+    * what `requireCompatible` diffs against the contract. Footers merge
+    * in one distributed job — cost scales with the delta, not the table. */
+  def parquetSchemaOfFiles(
+      spark: SparkSession,
+      basePath: String,
+      files: Seq[String],
+      what: String): StructType = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try spark.read
+      .option("mergeSchema", "true").option("basePath", basePath)
+      .parquet(files: _*).schema
+    catch {
+      case e: org.apache.spark.SparkException =>
+        throw new IllegalStateException(
+          s"schema drift in $what — footers do not merge: ${e.getMessage}")
+    } finally spark.conf.set(key, prev)
+  }
 }

@@ -175,6 +175,22 @@ class AppendDeltaSpec extends SparkSpec {
     }
   }
 
+  test("a RETYPED delta file aborts at the schema gate with the column " +
+      "diff, not mid-scan as an executor read error") {
+    val dir = tmpDir("adelta_schema")
+    writeInput(dir)
+    val cfg = ValidationJob.Config(
+      s"$dir/input", s"$dir/manifest", s"$dir/out", appendDelta = true)
+    ValidationJob.run(spark, cfg)
+
+    // a foreign writer appends a file whose tokens are int64, not int32
+    Seq(("D999999999970", Array(1L, 2L), 2)).toDF("doc_id", "tokens", "n_tok")
+      .write.mode("append").parquet(s"$dir/input/source=mito")
+    val e = intercept[IllegalStateException](ValidationJob.run(spark, cfg))
+    assert(e.getMessage.contains("schema drift") &&
+      e.getMessage.contains("tokens"), e.getMessage)
+  }
+
   test("a REWRITTEN partition is not delta-eligible and falls back to a " +
       "full rescan") {
     val dir = tmpDir("adelta_rw")
