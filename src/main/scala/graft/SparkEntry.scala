@@ -16,7 +16,7 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       SnapshotQueries.queries ++ CorpusQueries.queries ++
-      DistributionQueries.queries
+      DistributionQueries.queries ++ CleanQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +24,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       SnapshotQueries.oracles ++ CorpusQueries.oracles ++
-      DistributionQueries.oracles
+      DistributionQueries.oracles ++ CleanQueries.oracles
 }

@@ -122,6 +122,36 @@ object TextFunctions {
   /** Content fingerprint: polynomial hash over the whole text. */
   def fingerprint(text: Column): Column = polyHash(text)
 
+  /** Canonical text normalization (lowercase, strip non-alphanumerics,
+    * collapse whitespace, trim) — the pass "fuzzy-exact" dedup runs
+    * before hashing so trivial formatting variants collapse to one key.
+    * Constructs restricted to regex features with identical Java/RE2
+    * semantics, so the oracle reproduces the normal form exactly. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** PII detector patterns (email / E.164-ish phone / IPv4), restricted
+    * to classes + bounded repetition — identical under Java regex and
+    * RE2 so detection counts and redacted output oracle exactly. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9][0-9 ]{6,}[0-9]"
+  val ipPattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Number of matches of a detector pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact all three PII classes, fixed application order
+    * (email, then phone, then IP) — the order is part of the spec since
+    * replacements can change later matches. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipPattern, "<IP>")
+
   /** Fingerprints of consecutive `w`-word chunks — the building block of
     * chunk-level passage dedup (the bounded-cost approximation of
     * suffix-array substring dedup; Lee et al. 2021, "Deduplicating

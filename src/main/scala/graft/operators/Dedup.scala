@@ -83,6 +83,66 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** Chunk-level passage REWRITE — the operator curation pipelines
+    * actually run after [[chunkDupFractions]] has measured the problem:
+    * every consecutive `chunkWords`-word chunk is kept, deduplicated, or
+    * dropped corpus-wide, and each document is reassembled from its
+    * surviving chunks (C4/Lee-et-al. family: remove repeated passages,
+    * keep one canonical copy; public algorithm).
+    *
+    * Policy, per distinct chunk with `df` total occurrences corpus-wide:
+    *  - df <= maxDf: the corpus-wide FIRST occurrence (min (doc_id, pos))
+    *    survives, every other copy is dropped — keep-first passage dedup;
+    *  - df > maxDf: ALL occurrences are dropped — boilerplate removal
+    *    (a passage this common is template noise, same spirit as the
+    *    LSH bucket cap above).
+    *
+    * Output: (doc_id, n_chunks, n_kept, new_text) for every document;
+    * new_text is the kept chunks re-joined in position order ('' when
+    * nothing survives).
+    *
+    * Scale shape: ONE text decode and ONE exchange on the chunk hash —
+    * df and the winner are count/min WINDOWS over that partitioning
+    * (the chunkDupFractions pattern; a join-back formulation plans as a
+    * self-join that decodes and re-chunks the text twice, because the
+    * two subtrees project different columns and the exchange cannot be
+    * reused); the per-doc reassembly is the final aggregation. A
+    * boilerplate-hot chunk key lands on one window task, but the window
+    * only streams count+min over small (pos, okey, chunk) rows and
+    * WindowExec spills — the same bounded tradeoff chunkDupFractions
+    * documents for high-cardinality chunk hashes. The winner key packs
+    * (doc_id, pos) into one int64 so the argmin is a plain MIN (doc_id
+    * < 2^43, pos < 2^20; overflow would only change the tie-break, not
+    * membership). */
+  def chunkRewrite(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 10, maxDf: Long = 4L): DataFrame = {
+    val ws = words(col(textCol))
+    val chunks = transform(
+      sequence(lit(0), floor((size(ws) - 1) / chunkWords).cast("int")),
+      i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"))
+    df.select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), col("pos"), col("chunk"),
+        polyHash(col("chunk")).as("h"),
+        (col("doc_id") * (1L << 20) + col("pos")).as("okey"))
+      .repartition(col("h"))
+      .withColumn("df", count(lit(1)).over(byHash))
+      .withColumn("wkey", min(col("okey")).over(byHash))
+      .withColumn("kept", col("df") <= maxDf && col("okey") === col("wkey"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("chunk"))))),
+            x => x("chunk")),
+          " ").as("new_text"))
+  }
+
   /** (id, minhash signature) for every doc. k = signature length.
     *
     * ONE codegen'd projection (native [[graft.functions.MinhashSig]]): the

@@ -42,6 +42,15 @@ object DedupQueries {
         chunkWords = 10)
     }),
 
+    // Passage REWRITE: keep-first dedup of moderately-repeated 10-word
+    // chunks, drop boilerplate chunks (df > 4) entirely, reassemble each
+    // doc from its surviving chunks — the curation op that acts on what
+    // dedup_chunk_fraction measures
+    "dedup_chunk_rewrite" -> ((s, dir) => {
+      Dedup.chunkRewrite(docs(s, dir), "doc_id", "text",
+        chunkWords = 10, maxDf = 4L)
+    }),
+
     // Deterministic survivor selection — the BATCH form of the streaming
     // first-seen dedup's tie-break (StreamingValidation.dedupStream picks
     // the (source, n_tok)-least occurrence of a duplicated key so the
@@ -335,6 +344,31 @@ object DedupQueries {
                      (SELECT chunk_hash FROM dup) THEN 1 ELSE 0 END)
                    AS DOUBLE) / COUNT(*) AS dup_fraction
           FROM chunks GROUP BY 1""",
+    "dedup_chunk_rewrite" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+          poss AS (SELECT doc_id, ws,
+                          UNNEST(range(CAST((len(ws)-1)//10 AS INT) + 1))
+                            AS pos
+                   FROM w),
+          occ AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                         array_to_string(ws[(pos*10+1):(pos*10+10)], ' ')
+                           AS chunk,
+                         ${TextQueries.sqlPolyHash(
+                           "array_to_string(ws[(pos*10+1):(pos*10+10)], ' ')")}
+                           AS h,
+                         doc_id * 1048576 + pos AS okey
+                  FROM poss),
+          st AS (SELECT h, COUNT(*) AS df, MIN(okey) AS wkey
+                 FROM occ GROUP BY 1),
+          k AS (SELECT o.*, (st.df <= 4 AND o.okey = st.wkey) AS kept
+                FROM occ o JOIN st USING (h))
+          SELECT doc_id, COUNT(*) AS n_chunks,
+                 CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
+                   ORDER BY pos), '') AS new_text
+          FROM k GROUP BY 1""",
     "dedup_first_seen" ->
       """SELECT content_md5, source, n_chars, doc_id, n_copies FROM (
            SELECT md5(text) AS content_md5, source, n_chars, doc_id,
