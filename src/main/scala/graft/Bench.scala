@@ -35,7 +35,8 @@ object Bench {
     "text_entropy", "src_kl", "oov_rate", "len_outliers",
     "leak_prefix_matrix", "drift_ks_twosample", "drift_chi2_twosample",
     "ngram_cms_est",
-    "dedup_chunk_rewrite", "dedup_normalized", "pii_redact")
+    "dedup_chunk_rewrite", "dedup_normalized", "pii_redact",
+    "tfidf_terms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -28,6 +28,37 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // TF-IDF source characterization: per source, the top-5 most
+    // DISTINCTIVE terms by tf(source, term) * (qln(N) − qln(df(term)))
+    // — integer-exact via the shared quantized log (DistributionQueries
+    // .qln; qln(N) − qln(df) is the deterministic integer DEFINITION of
+    // the idf, not a float ln(N/df)). Scale shape: ONE exchange on the
+    // word serves the tf aggregation, the per-(word, doc) distinct, the
+    // df roll-up, AND the tf⋈df join (all keyed on word, hash-
+    // partitioned subsets); N broadcasts as a 1-row literal; the final
+    // top-5 window runs on |sources|×|vocab| aggregated rows, never the
+    // corpus.
+    "tfidf_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val occ = d.select(col("source"), col("doc_id"),
+          explode(words(col("text"))).as("word"))
+        .repartition(col("word"))
+      val tf = occ.groupBy("word", "source").agg(count(lit(1)).as("tf"))
+      val df = occ.select("word", "doc_id").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "word")
+        .crossJoin(broadcast(n))
+        .withColumn("score_q",
+          col("tf") * (DistributionQueries.qln(col("n_docs")) -
+            DistributionQueries.qln(col("df"))))
+      scored
+        .withColumn("rank", row_number().over(Window.partitionBy("source")
+          .orderBy(col("score_q").desc, col("word").asc)))
+        .filter(col("rank") <= 5)
+        .select("source", "rank", "word", "tf", "df", "score_q")
+    }),
+
     // GPT-style sequence packing (concat-and-chunk): within each source,
     // documents are concatenated in doc_id order and cut into fixed
     // 64-word training sequences; the output is the doc -> chunk-span
@@ -236,6 +267,24 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "tfidf_terms" ->
+      """WITH occ AS (SELECT source, doc_id,
+                             UNNEST(string_split(text, ' ')) AS word
+                      FROM documents),
+          tf AS (SELECT source, word, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+          df AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                 FROM occ GROUP BY 1),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          sc AS (SELECT source, word, tf, df,
+                        tf * (CAST(floor(ln(CAST(n_docs AS DOUBLE))*1e6)
+                                AS BIGINT)
+                            - CAST(floor(ln(CAST(df AS DOUBLE))*1e6)
+                                AS BIGINT)) AS score_q
+                 FROM tf JOIN df USING (word) CROSS JOIN n)
+          SELECT source, CAST(rank AS INT) AS rank, word, tf, df, score_q
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY score_q DESC, word) AS rank FROM sc)
+          WHERE rank <= 5""",
     "seq_pack" ->
       """WITH d AS (SELECT source, doc_id,
              CAST(len(string_split(text,' ')) AS BIGINT) AS n_words

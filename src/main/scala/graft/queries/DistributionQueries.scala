@@ -28,8 +28,10 @@ object DistributionQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** floor(ln(x) * 1e6) as BIGINT — the shared quantized log. */
-  private def qln(x: Column): Column =
+  /** floor(ln(x) * 1e6) as BIGINT — the shared quantized log
+    * (private[queries]: CorpusQueries' tf-idf scoring reuses the SAME
+    * quantization so the two integer-log specs cannot drift). */
+  private[queries] def qln(x: Column): Column =
     floor(log(x.cast("double")) * lit(1e6)).cast("long")
 
   /** run * qln(run), guarded at run = 0 (empty fold state). */
