@@ -168,6 +168,46 @@ object Main {
               s""""compacted_checkpoint_segs":$compacted,""" +
               s""""dry_run":$dry}""")
 
+        case "diff" :: valOut :: rest =>
+          // cross-run verdict regression diff over the run_log: explicit
+          // (before, after) run_ids, or latest-two by completion time
+          val picked = rest.filterNot(_.startsWith("--")) match {
+            case b :: a :: Nil =>
+              Some((b, a, graft.jobs.RunDiff.diff(spark, valOut, b, a,
+                all = rest.contains("--all"))))
+            case Nil => graft.jobs.RunDiff.diffLatest(spark, valOut)
+            case other =>
+              throw new IllegalArgumentException(
+                s"diff takes 0 or 2 run ids, got: $other")
+          }
+          picked match {
+            case None =>
+              println("""{"error":"run_log holds fewer than two runs"}""")
+            case Some((before, after, df)) =>
+              val rows = df
+                .orderBy("kind", "source", "rule_id")
+                .collect()
+              val byKind = rows.groupBy(_.getString(4)).view
+                .mapValues(_.length).toMap
+              def n(k: String) = byKind.getOrElse(k, 0)
+              val transitions = rows.map { r =>
+                s"""{"source":${jstr(r.getString(0))},""" +
+                  s""""rule_id":${jstr(r.getString(1))},""" +
+                  s""""before":${Option(r.getString(2)).map(jstr)
+                    .getOrElse("null")},""" +
+                  s""""after":${Option(r.getString(3)).map(jstr)
+                    .getOrElse("null")},""" +
+                  s""""kind":${jstr(r.getString(4))}}"""
+              }.mkString("[", ",", "]")
+              println(
+                s"""{"before":${jstr(before)},"after":${jstr(after)},""" +
+                  s""""regressed":${n("regressed")},""" +
+                  s""""recovered":${n("recovered")},""" +
+                  s""""appeared":${n("appeared")},""" +
+                  s""""not_revalidated":${n("not_revalidated")},""" +
+                  s""""transitions":$transitions}""")
+          }
+
         case _ =>
           System.err.println(
             "usage: gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] " +
@@ -177,7 +217,8 @@ object Main {
               "transfer <inputDir> <validationOutDir> <storeDir> " +
               "<manifestTsvDir> | " +
               "cleanup <inputDir> <validationOutDir> <storeDir> [--dry-run] " +
-              "[--prune-logs=k] [--compact-checkpoint]")
+              "[--prune-logs=k] [--compact-checkpoint] | " +
+              "diff <validationOutDir> [beforeRunId afterRunId] [--all]")
           sys.exit(2)
       }
     } finally spark.stop()
