@@ -67,6 +67,32 @@ object SimilarityQueries {
         k = 3, nprobe = 2, codebookOpt = Some(cb))
     }),
 
+    // RECALL@k eval — the tuning loop every ANN deployment runs: the
+    // trained-IVF search graded against brute-force ground truth on the
+    // same probes (per probe, |approx ∩ exact| / k). Both sides are the
+    // already-oracled operators; the eval is one (probe, neighbor) join
+    // over 2×k×|probes| rows. At scale this is how nprobe is chosen:
+    // ground truth on a sampled probe set, never the corpus.
+    "ann_recall_at_k" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(
+        e, probes, "vec_id", "embedding", k = 3)
+      val cb = SimilaritySearch.kmeansCodebookSeq(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      val approx = SimilaritySearch.ivfTopK(
+        e, probes, "vec_id", "embedding",
+        k = 3, nprobe = 2, codebookOpt = Some(cb))
+      exact.select(col("probe_id"), col("neighbor_id"))
+        .join(
+          approx.select(col("probe_id"), col("neighbor_id"),
+            lit(1L).as("hit")),
+          Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall", col("n_hits").cast("double") / 3.0)
+    }),
+
     // PRODUCT-QUANTIZED top-k (IVF-PQ's compression half): 4 subspaces
     // x 16 dims, k=4 sub-centroids each, trained 2 Lloyd iterations;
     // corpus scored by asymmetric-distance table lookups on its 4-code
@@ -250,7 +276,26 @@ object SimilarityQueries {
                CROSS JOIN (SELECT unnest(range(16)) AS dim) d) g
          LEFT JOIN $sums USING (sub, cid, dim))"""
 
-  val oracles: Map[String, String] = Map(
+  /** Brute-force cosine top-k SQL — shared by `ann_topk_cosine` (k=5)
+    * and the recall eval's ground-truth side (k=3), ONE definition so
+    * the two cannot drift. */
+  private def bruteTopkSql(k: Int): String =
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+               FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+               FROM embeddings),
+          scored AS (
+            SELECT probe_id, neighbor_id, ${cosSql("pv", "cv")} AS cos
+            FROM p, c WHERE probe_id <> neighbor_id),
+          ranked AS (
+            SELECT probe_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+          FROM ranked WHERE rank <= $k"""
+
+  private val baseOracles: Map[String, String] = Map(
     "ann_ivfpq_topk" ->
       s"""WITH c0 AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
@@ -423,21 +468,7 @@ object SimilarityQueries {
             FROM scored)
           SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
           FROM ranked WHERE rank <= 3""",
-    "ann_topk_cosine" ->
-      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
-               FROM embeddings WHERE vec_id < 10),
-          c AS (SELECT vec_id AS neighbor_id, embedding AS cv
-               FROM embeddings),
-          scored AS (
-            SELECT probe_id, neighbor_id, ${cosSql("pv", "cv")} AS cos
-            FROM p, c WHERE probe_id <> neighbor_id),
-          ranked AS (
-            SELECT probe_id, neighbor_id, cos,
-                   ROW_NUMBER() OVER (PARTITION BY probe_id
-                     ORDER BY cos DESC, neighbor_id ASC) AS rank
-            FROM scored)
-          SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
-          FROM ranked WHERE rank <= 5""",
+    "ann_topk_cosine" -> bruteTopkSql(5),
     "ann_lsh_buckets" ->
       s"""SELECT vec_id, $bucketSql AS bucket FROM embeddings""",
     "ann_lsh_topk" ->
@@ -570,4 +601,20 @@ object SimilarityQueries {
                 END AS fp
          FROM documents"""
   )
+
+  /** The recall oracle COMPOSES the trained-IVF oracle and the k=3
+    * brute-force spec verbatim, so the eval cannot diverge from the two
+    * operators it grades. */
+  val oracles: Map[String, String] = baseOracles +
+    ("ann_recall_at_k" ->
+      s"""WITH exact AS (${bruteTopkSql(3)}),
+          approx AS (${baseOracles("ann_ivf_trained_topk")})
+          SELECT e.probe_id,
+                 CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                 CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                   THEN 1 ELSE 0 END) AS DOUBLE) / 3.0 AS recall
+          FROM exact e LEFT JOIN approx a
+            ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY 1""")
 }
