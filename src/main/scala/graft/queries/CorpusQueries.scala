@@ -28,6 +28,37 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // EXACT-budget source mixing: allocate a global budget of 100 docs
+    // across sources proportionally to size, with largest-remainder
+    // rounding (quotas sum to the budget EXACTLY — the hash-threshold
+    // mix_sample only hits targets in expectation), then take each
+    // source's quota deterministically by fingerprint order. All
+    // integer arithmetic: base = (100·c) DIV total, bonus to the
+    // largest (100·c) MOD total remainders. Scale shape: quotas derive
+    // from a |sources|-row aggregate (windows over that tiny grid);
+    // selection reuses the bounded top-k aggregate (≤ budget state per
+    // source), never a corpus sort.
+    "mix_budget" -> ((s, dir) => {
+      val budget = 100
+      val d = docs(s, dir)
+      val wAll = Window.partitionBy(lit(1))
+      val quotas = d.groupBy("source").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("t"))))
+        .withColumn("base", expr(s"($budget * c) DIV t"))
+        .withColumn("rem", expr(s"($budget * c) % t"))
+        .withColumn("sumbase", sum(col("base")).over(wAll))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)))
+        .withColumn("quota", col("base") +
+          when(col("rnk") <= lit(budget.toLong) - col("sumbase"), 1L)
+            .otherwise(0L))
+        .select("source", "quota")
+      TextQueries.sampleByFingerprint(d, budget)
+        .join(broadcast(quotas), "source")
+        .filter(col("rank") <= col("quota"))
+        .select("source", "quota", "rank", "doc_id")
+    }),
+
     // TF-IDF source characterization: per source, the top-5 most
     // DISTINCTIVE terms by tf(source, term) * (qln(N) − qln(df(term)))
     // — integer-exact via the shared quantized log (DistributionQueries
@@ -267,6 +298,24 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "mix_budget" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+          t AS (SELECT SUM(c) AS t FROM c),
+          q0 AS (SELECT source, c, (100*c)//t AS base, (100*c)%t AS rem
+                 FROM c CROSS JOIN t),
+          q AS (SELECT source,
+                       base + CASE WHEN ROW_NUMBER() OVER
+                           (ORDER BY rem DESC, source ASC)
+                         <= 100 - (SELECT SUM(base) FROM q0)
+                         THEN 1 ELSE 0 END AS quota
+                FROM q0),
+          r AS (SELECT source, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY ${TextQueries.sqlPolyHash("text")} ASC,
+                                  doc_id ASC) AS rn
+                FROM documents)
+          SELECT r.source, q.quota, CAST(rn AS INT) AS rank, doc_id
+          FROM r JOIN q USING (source) WHERE rn <= q.quota""",
     "tfidf_terms" ->
       """WITH occ AS (SELECT source, doc_id,
                              UNNEST(string_split(text, ' ')) AS word
