@@ -100,6 +100,53 @@ object StreamingValidation {
       .start()
   }
 
+  /** The ingestion STEADY STATE end-to-end: the file stream detects
+    * arrivals (checkpointed, so a restart never re-triggers for files it
+    * already processed) and each micro-batch runs the FULL rules-complete
+    * [[graft.jobs.ValidationJob]] in `--append-delta` mode, scoped to the
+    * sources the batch's files landed in. The stream is the ORCHESTRATOR;
+    * what to scan is decided by the job's own per-partition lineage
+    * (inventory + stats state + sketch), so:
+    *  - a grown partition pays only its NEW files (stats/drift/RI fold
+    *    the persisted mergeable state — byte-identical to a full rescan);
+    *  - a rewritten partition falls back to a full rescan of itself;
+    *  - a replayed micro-batch (crash between job and stream commit)
+    *    re-runs against an unchanged snapshot and resumes to a no-op.
+    * Scale: the per-batch cost is O(new files + |sources| driver rules),
+    * never the table; concurrent disjoint submissions still work because
+    * the job locks per partition. */
+  def startDeltaValidating(
+      spark: SparkSession,
+      inputDir: String,
+      manifestDir: String,
+      outDir: String,
+      baselineDir: Option[String] = None,
+      rules: RuleSet = Rules.standard,
+      onReport: graft.jobs.ValidationJob.RunReport => Unit = _ => (),
+      maxFilesPerTrigger: Int = 1024)
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    readSequenceStream(spark, inputDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Sequence], _: Long) =>
+        import batch.sparkSession.implicits._
+        val sources = batch.select(col("source")).distinct()
+          .as[String].collect().toSeq.sorted
+        if (sources.nonEmpty)
+          onReport(graft.jobs.ValidationJob.run(spark,
+            graft.jobs.ValidationJob.Config(
+              inputDir, manifestDir, outDir,
+              baselinePath = baselineDir,
+              rules = rules,
+              partitions = Some(sources),
+              appendDelta = true)))
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/delta_stream_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming exact dedup, first-seen wins — the reference's
     * duplicate-etag gate (manifest_processor.py:283-305) applied
     * incrementally: a key seen in ANY earlier micro-batch is dropped,
