@@ -36,7 +36,7 @@ object Bench {
     "leak_prefix_matrix", "drift_ks_twosample", "drift_chi2_twosample",
     "ngram_cms_est",
     "dedup_chunk_rewrite", "dedup_normalized", "pii_redact",
-    "tfidf_terms", "ann_recall_at_k", "mix_budget")
+    "tfidf_terms", "ann_recall_at_k", "mix_budget", "drift_psi_twosample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -234,6 +234,40 @@ object DistributionQueries {
           (acc, x) => acc + x.getField("term")).as("chi2"),
           count(lit(1)).as("n_bins"))
         .select(col("source"), col("n1"), col("n2"), col("n_bins"), col("chi2"))
+    }),
+
+    // Population stability index (PSI) per source vs rest-of-corpus —
+    // the industry drift gate alongside KS/chi2/KL. Laplace-smoothed
+    // (+1 per bin on BOTH sides, so empty bins never hit ln(0) and the
+    // smoothing is pure integer arithmetic):
+    //   psi = Σ_bins (o1'/n1' − o2'/n2') · ln((o1'·n2')/(o2'·n1'))
+    // accumulated as the INTEGER qsum Σ (a − b)(qln(a) − qln(b)) with
+    // a = o1'·n2', b = o2'·n1' — order-free, one float division at the
+    // end. Same dimension-grid shape as chi2: the corpus collapses to
+    // per-(source, bin) counts with map-side combine.
+    "drift_psi_twosample" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("source"), (col("n_chars") / lit(100)).cast("long").as("bin"))
+      val sb = d.groupBy("source", "bin").agg(count(lit(1)).as("o1"))
+      val pb = sb.groupBy("bin").agg(sum("o1").as("ob"))
+      val ns = sb.groupBy("source").agg(sum("o1").as("n1"))
+      val tot = pb.agg(sum(col("ob")).as("n_total"),
+        count(lit(1)).as("n_bins"))
+      val terms = ns.crossJoin(broadcast(pb))
+        .join(sb, Seq("source", "bin"), "left")
+        .na.fill(0L, Seq("o1"))
+        .crossJoin(broadcast(tot))
+        .withColumn("n2", col("n_total") - col("n1"))
+        .withColumn("a", (col("o1") + 1L) * (col("n2") + col("n_bins")))
+        .withColumn("b",
+          (col("ob") - col("o1") + 1L) * (col("n1") + col("n_bins")))
+        .withColumn("qterm", (col("a") - col("b")) * (qln(col("a")) - qln(col("b"))))
+      terms.groupBy(col("source"), col("n1"), col("n2"), col("n_bins"))
+        .agg(sum(col("qterm")).as("psi_qsum"))
+        .withColumn("psi", col("psi_qsum").cast("double")
+          / ((col("n1") + col("n_bins")) * (col("n2") + col("n_bins")))
+            .cast("double") / lit(1e6))
+        .select("source", "n1", "n2", "n_bins", "psi_qsum", "psi")
     })
   )
 
@@ -359,6 +393,35 @@ object DistributionQueries {
              list_prepend(CAST(0.0 AS DOUBLE),
                list(diff * diff / den ORDER BY bin)),
              (a, b) -> a + b) AS chi2
-         FROM terms GROUP BY source, n1, n2"""
+         FROM terms GROUP BY source, n1, n2""",
+    "drift_psi_twosample" ->
+      """WITH sb AS (SELECT source, n_chars // 100 AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS o1
+                     FROM documents GROUP BY source, bin),
+         pb AS (SELECT bin, CAST(SUM(o1) AS BIGINT) AS ob
+                FROM sb GROUP BY bin),
+         ns AS (SELECT source, CAST(SUM(o1) AS BIGINT) AS n1
+                FROM sb GROUP BY source),
+         tot AS (SELECT CAST(SUM(ob) AS BIGINT) AS n_total,
+                        CAST(COUNT(*) AS BIGINT) AS n_bins FROM pb),
+         terms AS (SELECT ns.source, ns.n1, (n_total - ns.n1) AS n2, n_bins,
+                     (COALESCE(sb.o1,0) + 1)
+                       * ((n_total - ns.n1) + n_bins) AS a,
+                     (pb.ob - COALESCE(sb.o1,0) + 1)
+                       * (ns.n1 + n_bins) AS b
+                   FROM ns CROSS JOIN pb
+                   LEFT JOIN sb ON sb.source = ns.source AND sb.bin = pb.bin,
+                   tot)
+         SELECT source, n1, n2, n_bins,
+           CAST(SUM((a - b) *
+             (CAST(floor(ln(CAST(a AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(b AS DOUBLE))*1e6) AS BIGINT)))
+             AS BIGINT) AS psi_qsum,
+           CAST(SUM((a - b) *
+             (CAST(floor(ln(CAST(a AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(b AS DOUBLE))*1e6) AS BIGINT)))
+             AS DOUBLE)
+             / CAST((n1 + n_bins) * (n2 + n_bins) AS DOUBLE) / 1e6 AS psi
+         FROM terms GROUP BY source, n1, n2, n_bins"""
   )
 }
