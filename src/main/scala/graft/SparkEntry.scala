@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       SnapshotQueries.queries ++ CorpusQueries.queries ++
-      DistributionQueries.queries ++ CleanQueries.queries
+      DistributionQueries.queries ++ CleanQueries.queries ++
+      QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       SnapshotQueries.oracles ++ CorpusQueries.oracles ++
-      DistributionQueries.oracles ++ CleanQueries.oracles
+      DistributionQueries.oracles ++ CleanQueries.oracles ++
+      QualityQueries.oracles
 }

@@ -199,4 +199,90 @@ object CleanupJob {
 
     Report(cleanable.sorted, kept.sorted, leftovers.toSeq.sorted)
   }
+
+  /** Small-file COMPACTION for a hive-partitioned parquet table — the
+    * maintenance pass that keeps scan parallelism healthy after many
+    * append-delta generations have accumulated tiny files (the Iceberg
+    * `rewrite_data_files` analog, expressed over plain parquet layout).
+    *
+    * A partition is rewritten when it holds more than `maxFiles` data
+    * files AND rewriting would actually reduce the count; the rewrite
+    * targets ceil(bytes / targetBytes) output files (≥ 1), sized so a
+    * 100 TB table's scan tasks stay near `targetBytes` each. Rows are
+    * untouched — only file layout changes. The new layout is written to a
+    * `_compact_tmp` staging dir FIRST (underscore-prefixed: invisible to
+    * readers), then swapped in with the checkpoint module's
+    * rename-old-aside / rename-new-in / delete-old sequence, so a crash
+    * leaves either the old or the new complete layout, never a mix.
+    *
+    * Lineage note: compaction changes the partition's file inventory, so
+    * its snapshot id changes and the next append-delta run correctly
+    * treats the partition as rewritten (full re-validation) — run
+    * compaction BETWEEN validation cycles, not mid-stream.
+    *
+    * Returns (partitionDirName, filesBefore, filesAfter) for each
+    * compacted partition; with `dryRun`, the same report and no writes. */
+  def compactPartitions(
+      spark: SparkSession,
+      tablePath: String,
+      partitionCol: String,
+      maxFiles: Int,
+      targetBytes: Long,
+      dryRun: Boolean = false): Seq[(String, Int, Int)] = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    require(targetBytes >= 1L, "targetBytes must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val prefix = partitionCol + "="
+    def dataFiles(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).toSeq.filter(_.isFile).filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+    val plans = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .sortBy(_.getName)
+      .flatMap { dir =>
+        val files = dataFiles(dir)
+        if (files.size <= maxFiles) None
+        else {
+          val bytes = files.map(_.getLen).sum
+          val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+          if (nOut >= files.size) None
+          else Some((dir, files.size, nOut.toInt))
+        }
+      }
+    if (!dryRun) plans.foreach { case (dir, _, nOut) =>
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$tablePath/_compact_tmp/${dir.getName}")
+      val old = new org.apache.hadoop.fs.Path(
+        s"$tablePath/_compact_old/${dir.getName}")
+      fs.delete(tmp, true)
+      // reading the partition DIR directly sidesteps Spark's (correct)
+      // refusal to overwrite a path being read, and writes files without
+      // the partition column — exactly the hive-layout file shape
+      spark.read.parquet(dir.toString)
+        .repartition(nOut)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+      fs.mkdirs(old.getParent)
+      fs.delete(old, true)
+      if (!fs.rename(dir, old))
+        throw new java.io.IOException(s"compaction: cannot move $dir aside")
+      if (!fs.rename(tmp, dir)) {
+        fs.rename(old, dir) // restore — the old layout is still complete
+        throw new java.io.IOException(s"compaction: cannot move $tmp in")
+      }
+      fs.delete(old, true)
+    }
+    if (!dryRun) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/_compact_tmp"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/_compact_old"), true)
+    }
+    plans.map { case (dir, before, after) => (dir.getName, before, after) }
+  }
 }

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.TopKByScoreAggregate
+import graft.operators.LinearModel
+
+/**
+ * Learned quality filtering + weighted sampling over `documents` — the
+ * model-in-the-loop half of a curation pipeline (the rule-based half lives
+ * in [[TextQueries]] / [[graft.rules.RuleEngine]]).
+ *
+ * Everything here is bit-portable: the classifier trains with quantized
+ * int64 gradient sums ([[LinearModel]]), the sampler keys on the verified
+ * quantized-log transform ([[DistributionQueries.qln]]), so every query
+ * has a full DuckDB oracle including the training loop itself.
+ */
+object QualityQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val XCols = Seq("x1", "x2", "x3")
+  private val Iters = 4
+  private val Lr = 0.5 // power of two: the lr multiply is exact
+
+  /** Feature/label table for the quality classifier: capped length,
+    * type-token ratio, stopword ratio; label = the rule-based
+    * quality_class from `text_quality` (the model learns the boundary the
+    * rule chain draws, so label agreement is checkable). Narrow (4 doubles
+    * + id) — at 100 TB this is computed once from text and persisted;
+    * training re-scans never touch raw bytes. */
+  private def features(d: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    d.select(
+      col("doc_id"),
+      (least(size(w), lit(400)).cast("double") / lit(400.0)).as("x1"),
+      (size(array_distinct(w)).cast("double") / size(w)).as("x2"),
+      stopwordRatio(col("text")).as("x3"),
+      when(col("n_chars") >= 100 && size(w) >= 20, lit(1.0))
+        .otherwise(lit(0.0)).as("y"))
+  }
+
+  /** Standardize (bit-portable moments, [[LinearModel.fitStandardizer]])
+    * then train — unscaled quality features are ill-conditioned (means
+    * near 1, correlated with the bias) and LMS would crawl. Caller
+    * persists `f`; everything here re-scans only the persisted features. */
+  private def zFeatures(f: DataFrame): DataFrame = {
+    val (mus, sds) = LinearModel.fitStandardizer(f, XCols)
+    LinearModel.standardize(f, XCols, mus, sds)
+  }
+
+  private def trainedWeights(zf: DataFrame): Array[Double] =
+    LinearModel.lmsTrain(zf, XCols, "y", Iters, Lr)
+
+  // Efraimidis–Spirakis weighted sampling key, derandomized: the uniform
+  // draw u is the doc's content fingerprint mapped into (0,1) as
+  // num/999984 with num = 1 + fp mod 999983, and ln(u) rides the verified
+  // quantized log (qln(num) − qln(999984), an integer). key = ~ln(u)/w:
+  // per source, the k LARGEST keys are the sample, so P(selected) rises
+  // with weight w exactly as in the randomized algorithm.
+  private val QlnDen: Long = math.floor(math.log(999984.0) * 1e6).toLong
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TRAINED quality-classifier weights: 3 full-batch LMS iterations,
+    // quantized int64 gradient sums — the oracle replays training
+    // bit-for-bit (the learned analog of ann_kmeans_codebook).
+    "quality_lr_weights" -> ((s, dir) => {
+      import s.implicits._
+      val f = features(docs(s, dir)).persist()
+      val w = trainedWeights(zFeatures(f))
+      f.unpersist(blocking = false)
+      w.zipWithIndex.map { case (v, j) => (j, v) }.toSeq.toDF("j", "w")
+    }),
+
+    // Per-doc scores from the trained model: score = w·z as a pure
+    // projection (zero scoring shuffles), thresholded at 0.5 against the
+    // rule-based label. The oracle replays standardization, training AND
+    // scoring.
+    "quality_lr_score" -> ((s, dir) => {
+      val f = features(docs(s, dir)).persist()
+      val zf = zFeatures(f)
+      val w = trainedWeights(zf)
+      f.unpersist(blocking = false)
+      zf.select(
+          col("doc_id"),
+          LinearModel.predict(w, XCols).as("score"),
+          col("y"))
+        .select(col("doc_id"), col("score"),
+          when(col("score") >= 0.5, 1).otherwise(0).as("pred_good"),
+          col("y").cast("int").as("label_good"))
+    }),
+
+    // Deterministic WEIGHTED k-sample per source (weight = n_words, so
+    // longer docs are proportionally likelier — the token-budget-aware
+    // sampler): Efraimidis–Spirakis keys on the fingerprint-derived
+    // uniform, bounded TopKByScoreAggregate (≤ k state per (source, task),
+    // no per-group window reducer — same scale shape as
+    // sample_stratified).
+    "sample_weighted" -> ((s, dir) => {
+      val wgt = size(words(col("text"))).cast("long")
+      val uNum = pmod(fingerprint(col("text")), lit(999983L)) + lit(1L)
+      val key = (DistributionQueries.qln(uNum) - lit(QlnDen)).cast("double") /
+        wgt.cast("double")
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), key.as("k"))
+        .groupBy("source")
+        .agg(TopKByScoreAggregate.topK(col("k"), col("doc_id"), 25).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("r0", "e")))
+        .select(col("source"), (col("r0") + 1).cast("int").as("rank"),
+          col("e.neighbor_id").as("doc_id"), col("e.cos").as("es_key"))
+    })
+  )
+
+  // --- oracle SQL ---
+
+  // feature table + example count, shared by both classifier oracles;
+  // x1/x2 mirror TextQueries' oracles, x3 is the shared sqlStopRatio
+  // fragment, y the text_quality rule.
+  private val featsSql: String =
+    s"""feats AS (
+          SELECT doc_id,
+                 CAST(LEAST(len(string_split(text,' ')), 400) AS DOUBLE)
+                   / 400.0 AS x1,
+                 CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                   / len(string_split(text,' ')) AS x2,
+                 ${TextQueries.sqlStopRatio} AS x3,
+                 CASE WHEN n_chars >= 100
+                           AND len(string_split(text,' ')) >= 20
+                      THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS y
+          FROM documents),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+        ${standardizeSql},
+        w0c AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                       CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"""
+
+  // standardization: quantized int64 moment sums, then (x − mu)/sd with
+  // the exact op order of LinearModel.fitStandardizer/standardize (sqrt
+  // is IEEE-correctly-rounded in both engines). A def, not a val:
+  // featsSql interpolates it and vals initialize in declaration order.
+  private def standardizeSql: String = {
+    val js = 1 to 3
+    val moms = js.map { j =>
+      s"""CAST(SUM(CAST(floor(x$j * 1048576.0) AS BIGINT)) AS BIGINT)
+            AS a$j,
+          CAST(SUM(CAST(floor(x$j * x$j * 1048576.0) AS BIGINT)) AS BIGINT)
+            AS b$j"""
+    }.mkString(",\n")
+    val mus = js.map { j =>
+      s"(CAST(a$j AS DOUBLE)/1048576.0)/(SELECT n FROM nn) AS mu$j"
+    }.mkString(", ")
+    val vars = js.map { j =>
+      s"""(CAST(o.b$j AS DOUBLE)/1048576.0)/(SELECT n FROM nn)
+            - m.mu$j*m.mu$j AS v$j"""
+    }.mkString(", ")
+    val sdSel = js.map { j =>
+      s"CASE WHEN v$j > 1e-12 THEN sqrt(v$j) " +
+        s"ELSE CAST(1.0 AS DOUBLE) END AS sd$j"
+    }.mkString(", ")
+    val zSel = js.map { j =>
+      s"(f.x$j - s.mu$j)/s.sd$j AS x$j"
+    }.mkString(", ")
+    s"""mom AS (SELECT $moms FROM feats),
+        mus AS (SELECT $mus FROM mom),
+        sds AS (SELECT mu1, mu2, mu3, $sdSel
+                FROM (SELECT m.mu1, m.mu2, m.mu3, $vars
+                      FROM mus m, mom o)),
+        zf AS (SELECT f.doc_id, $zSel, f.y FROM feats f, sds s)"""
+  }
+
+  // w·z with the exact fold order LinearModel.predict emits
+  private val predSql = "(w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3)"
+
+  /** One LMS iteration: quantized int64 gradient sums, then the update
+    * with the exact op order of LinearModel.lmsTrain. */
+  private def lmsStepSql(prev: String, grad: String, out: String): String = {
+    def g(xf: String) =
+      s"CAST(SUM(CAST(floor(($predSql - f.y)$xf * 1048576.0) " +
+        s"AS BIGINT)) AS BIGINT)"
+    def upd(wn: String, gn: String) =
+      s"w.$wn - 0.5 * (CAST(g.$gn AS DOUBLE) / 1048576.0) " +
+        s"/ (SELECT n FROM nn) AS $wn"
+    s"""$grad AS (
+          SELECT ${g("")} AS g0,
+                 ${g(" * f.x1")} AS g1,
+                 ${g(" * f.x2")} AS g2,
+                 ${g(" * f.x3")} AS g3
+          FROM zf f, $prev w),
+        $out AS (
+          SELECT ${upd("w0", "g0")}, ${upd("w1", "g1")},
+                 ${upd("w2", "g2")}, ${upd("w3", "g3")}
+          FROM $prev w, $grad g)"""
+  }
+
+  private val trainSql: String =
+    s"""$featsSql,
+        ${lmsStepSql("w0c", "g1", "w1c")},
+        ${lmsStepSql("w1c", "g2", "w2c")},
+        ${lmsStepSql("w2c", "g3", "w3c")},
+        ${lmsStepSql("w3c", "g4", "w4c")}"""
+
+  val oracles: Map[String, String] = Map(
+    "quality_lr_weights" ->
+      s"""WITH $trainSql
+          SELECT 0 AS j, w0 AS w FROM w4c
+          UNION ALL SELECT 1 AS j, w1 AS w FROM w4c
+          UNION ALL SELECT 2 AS j, w2 AS w FROM w4c
+          UNION ALL SELECT 3 AS j, w3 AS w FROM w4c""",
+    "quality_lr_score" ->
+      s"""WITH $trainSql
+          SELECT f.doc_id, $predSql AS score,
+                 CASE WHEN $predSql >= 0.5 THEN 1 ELSE 0 END AS pred_good,
+                 CAST(f.y AS INT) AS label_good
+          FROM zf f, w4c w""",
+    "sample_weighted" ->
+      s"""WITH keyed AS (
+            SELECT source, doc_id,
+                   CAST(CAST(floor(ln(CAST(
+                          1 + (${TextQueries.sqlPolyHash("text")} % 999983)
+                          AS DOUBLE)) * 1e6) AS BIGINT) - $QlnDen AS DOUBLE)
+                     / CAST(len(string_split(text,' ')) AS DOUBLE) AS es_key
+            FROM documents)
+          SELECT source, CAST(rn AS INT) AS rank, doc_id, es_key FROM (
+            SELECT source, doc_id, es_key,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY es_key DESC, doc_id ASC) AS rn
+            FROM keyed)
+          WHERE rn <= 25"""
+  )
+}

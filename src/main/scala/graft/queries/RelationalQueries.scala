@@ -338,6 +338,50 @@ object RelationalQueries {
             1L).otherwise(0L).as("new_session"))
         .groupBy("user_id")
         .agg(sum(col("new_session")).as("n_sessions"))
+    }),
+
+    // J13: INTERVAL (range) join — per session window of the first 40
+    // users, how many events (any user) fall inside [start, end]. Spark
+    // has no native band join; the scale plan is time-BUCKETING: windows
+    // explode to the hour buckets they span, events key to their one
+    // bucket, and the range predicate refines an ordinary shuffled
+    // equi-join on the bucket — no broadcast-nested-loop, no cartesian,
+    // and each event matches a window's bucket list at most once (its own
+    // bucket), so no post-join dedup is needed. Bucket width trades
+    // explode fan-out (≤ span/width + 1 rows per window) against per-
+    // bucket candidate count; sessions are 30-min-gap bounded, so hours
+    // keep the fan-out tiny.
+    "j13_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sessions = e
+        .select(col("user_id"), col("ts"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_timestamp(col("ts")) -
+              unix_timestamp(lag(col("ts"), 1).over(w)) > 1800,
+            1L).otherwise(0L).as("new_s"),
+          col("event_id"))
+        .select(col("user_id"), col("ts"),
+          sum(col("new_s")).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(unix_timestamp(min(col("ts"))).as("s_start"),
+          unix_timestamp(max(col("ts"))).as("s_end"))
+        .filter(col("user_id") < 40)
+      val bucketed = sessions.withColumn("bucket",
+        explode(sequence(floor(col("s_start") / 3600L),
+          floor(col("s_end") / 3600L))))
+      val ev = e.select(unix_timestamp(col("ts")).as("t"))
+        .withColumn("bucket", floor(col("t") / 3600L))
+      bucketed.join(ev,
+          bucketed("bucket") === ev("bucket") &&
+            col("t") >= col("s_start") && col("t") <= col("s_end"))
+        .groupBy("user_id", "session_id", "s_start", "s_end")
+        .agg(count(lit(1)).as("n_in_window"))
     })
   )
 
@@ -484,6 +528,38 @@ object RelationalQueries {
            FROM (SELECT user_id, ts,
                         LAG(ts) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS prev_ts
-                 FROM events)) GROUP BY 1"""
+                 FROM events)) GROUP BY 1""",
+    "j13_interval_join" ->
+      // floor(epoch(..)) everywhere: Spark's unix_timestamp FLOORS the
+      // sub-second part, DuckDB's CAST(double AS BIGINT) would round
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN prev_ts IS NULL
+                            OR floor(epoch(ts)) - floor(epoch(prev_ts))
+                               > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM (SELECT user_id, ts, event_id,
+                        LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_ts
+                 FROM events)),
+         numbered AS (
+           SELECT user_id, ts,
+                  CAST(SUM(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+           FROM marked),
+         sess AS (
+           SELECT user_id, session_id,
+                  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s_start,
+                  CAST(floor(epoch(MAX(ts))) AS BIGINT) AS s_end
+           FROM numbered GROUP BY 1, 2
+           HAVING user_id < 40)
+         SELECT s.user_id, s.session_id, s.s_start, s.s_end,
+                COUNT(*) AS n_in_window
+         FROM sess s
+         JOIN (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events) e
+           ON e.t BETWEEN s.s_start AND s.s_end
+         GROUP BY 1, 2, 3, 4"""
   )
 }

@@ -169,6 +169,15 @@ object TextQueries {
   private val stopList =
     enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  // oracle fragment: stopword hit-ratio, mirrored from
+  // TextFunctions.stopwordRatio. private[queries]: QualityQueries' trained
+  // classifier uses the same feature — ONE definition so the oracle-side
+  // specs cannot drift.
+  private[queries] val sqlStopRatio: String =
+    s"""CAST(len(list_filter(string_split(text,' '),
+          x -> list_contains($stopList, x))) AS DOUBLE)
+          / len(string_split(text,' '))"""
+
   val oracles: Map[String, String] = Map(
     "text_tokcount" ->
       """SELECT doc_id,
@@ -189,12 +198,8 @@ object TextQueries {
          FROM documents""",
     "text_langid" ->
       s"""SELECT doc_id, lang,
-          CAST(len(list_filter(string_split(text,' '),
-            x -> list_contains($stopList, x))) AS DOUBLE)
-            / len(string_split(text,' ')) AS stop_ratio,
-          CASE WHEN CAST(len(list_filter(string_split(text,' '),
-            x -> list_contains($stopList, x))) AS DOUBLE)
-            / len(string_split(text,' ')) > 0.03
+          $sqlStopRatio AS stop_ratio,
+          CASE WHEN $sqlStopRatio > 0.03
             THEN 'en_like' ELSE 'other' END AS pred
           FROM documents""",
     "text_fingerprint" ->

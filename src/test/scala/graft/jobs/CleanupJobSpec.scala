@@ -200,4 +200,47 @@ class CleanupJobSpec extends SparkSpec {
     assert(left.filter($"source" === "mito")
       .select("run_id").distinct().count() === 1)
   }
+
+  test("small-file compaction rewrites only oversized partitions, " +
+    "preserves rows, and dry-run touches nothing") {
+    val dir = tmpDir("compact")
+    // srcA: 8 tiny files; srcB: 1 file (healthy, must be untouched)
+    (1 to 80).map(i => ("srcA", i.toLong, s"payload_$i"))
+      .toDF("source", "id", "body")
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("source").parquet(dir)
+    (1 to 10).map(i => ("srcB", i.toLong, s"b_$i"))
+      .toDF("source", "id", "body")
+      .coalesce(1)
+      .write.mode("append").partitionBy("source").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles(part: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$part")).toSeq
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val bFilesBefore = nFiles("source=srcB")
+    val before = spark.read.parquet(dir)
+      .orderBy("source", "id").collect().toSeq
+
+    // dry run: report only, layout unchanged
+    val planned = CleanupJob.compactPartitions(
+      spark, dir, "source", maxFiles = 4, targetBytes = 1L << 30,
+      dryRun = true)
+    assert(planned.map(_._1) === Seq("source=srcA"))
+    assert(nFiles("source=srcA") === 8)
+
+    val done = CleanupJob.compactPartitions(
+      spark, dir, "source", maxFiles = 4, targetBytes = 1L << 30)
+    assert(done === Seq(("source=srcA", 8, 1)))
+    assert(nFiles("source=srcA") === 1)
+    assert(nFiles("source=srcB") === bFilesBefore)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp")))
+    val after = spark.read.parquet(dir)
+      .orderBy("source", "id").collect().toSeq
+    assert(after === before)
+
+    // already-compacted table: idempotent no-op
+    assert(CleanupJob.compactPartitions(
+      spark, dir, "source", maxFiles = 4, targetBytes = 1L << 30).isEmpty)
+  }
 }
