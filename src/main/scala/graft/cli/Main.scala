@@ -155,6 +155,20 @@ object Main {
                 spark, graft.jobs.ValidationJob.checkpointPath(valOut),
                 dryRun = dry)
             else 0
+          // --compact-files=maxFiles:targetBytes — small-file compaction
+          // of the STORE table (run between validation cycles; the next
+          // append-delta run sees rewritten partitions as full rescans)
+          val fileCompactions = rest.collectFirst {
+            case a if a.startsWith("--compact-files=") =>
+              a.stripPrefix("--compact-files=").split(':') match {
+                case Array(mf, tb) =>
+                  graft.jobs.CleanupJob.compactPartitions(
+                    spark, store, "source", mf.toInt, tb.toLong,
+                    dryRun = dry)
+                case _ => throw new IllegalArgumentException(
+                  "--compact-files expects maxFiles:targetBytes")
+              }
+          }.getOrElse(Nil)
           // full gate incl. lineage: stale verdicts over a re-uploaded
           // input must not authorize deleting the corrected staging copy
           val promoted = graft.jobs.TransferJob
@@ -166,6 +180,7 @@ object Main {
               s""""leftovers_removed":${r.leftoversRemoved.size},""" +
               s""""pruned_run_ids":${jarr(pruned)},""" +
               s""""compacted_checkpoint_segs":$compacted,""" +
+              s""""compacted_partitions":${fileCompactions.size},""" +
               s""""dry_run":$dry}""")
 
         case "diff" :: valOut :: rest =>

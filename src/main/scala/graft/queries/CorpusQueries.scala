@@ -59,6 +59,43 @@ object CorpusQueries {
         .select("source", "quota", "rank", "doc_id")
     }),
 
+    // TEMPERATURE-scaled source mixing (the multilingual-sampling rule:
+    // quota_s ∝ mass_s^α, α = 0.5, so small sources are up-weighted
+    // relative to proportional allocation): per-source TOKEN mass →
+    // sqrt → 2^20-quantized int64 weight → the same exact
+    // largest-remainder allocation as mix_budget. sqrt is
+    // IEEE-correctly-rounded and the quantization makes every
+    // downstream comparison integer, so the allocation is bit-portable.
+    // Same scale shape as mix_budget: one |sources|-row grid + bounded
+    // top-k selection.
+    "mix_temperature" -> ((s, dir) => {
+      val budget = 100
+      val d = docs(s, dir)
+      val wAll = Window.partitionBy(lit(1))
+      val weights = d
+        .select(col("source"),
+          size(words(col("text"))).cast("long").as("nw"))
+        .groupBy("source").agg(sum(col("nw")).as("m"))
+        .withColumn("qs",
+          floor(sqrt(col("m").cast("double")) * lit(1048576.0))
+            .cast("long"))
+      val quotas = weights
+        .crossJoin(broadcast(weights.agg(sum(col("qs")).as("t"))))
+        .withColumn("base", expr(s"($budget * qs) DIV t"))
+        .withColumn("rem", expr(s"($budget * qs) % t"))
+        .withColumn("sumbase", sum(col("base")).over(wAll))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)))
+        .withColumn("quota", col("base") +
+          when(col("rnk") <= lit(budget.toLong) - col("sumbase"), 1L)
+            .otherwise(0L))
+        .select("source", "quota")
+      TextQueries.sampleByFingerprint(d, budget)
+        .join(broadcast(quotas), "source")
+        .filter(col("rank") <= col("quota"))
+        .select("source", "quota", "rank", "doc_id")
+    }),
+
     // TF-IDF source characterization: per source, the top-5 most
     // DISTINCTIVE terms by tf(source, term) * (qln(N) − qln(df(term)))
     // — integer-exact via the shared quantized log (DistributionQueries
@@ -303,6 +340,30 @@ object CorpusQueries {
           t AS (SELECT SUM(c) AS t FROM c),
           q0 AS (SELECT source, c, (100*c)//t AS base, (100*c)%t AS rem
                  FROM c CROSS JOIN t),
+          q AS (SELECT source,
+                       base + CASE WHEN ROW_NUMBER() OVER
+                           (ORDER BY rem DESC, source ASC)
+                         <= 100 - (SELECT SUM(base) FROM q0)
+                         THEN 1 ELSE 0 END AS quota
+                FROM q0),
+          r AS (SELECT source, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY ${TextQueries.sqlPolyHash("text")} ASC,
+                                  doc_id ASC) AS rn
+                FROM documents)
+          SELECT r.source, q.quota, CAST(rn AS INT) AS rank, doc_id
+          FROM r JOIN q USING (source) WHERE rn <= q.quota""",
+    "mix_temperature" ->
+      s"""WITH c AS (SELECT source,
+                 CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS m
+               FROM documents GROUP BY 1),
+          w AS (SELECT source,
+                 CAST(floor(sqrt(CAST(m AS DOUBLE)) * 1048576.0) AS BIGINT)
+                   AS qs
+               FROM c),
+          t AS (SELECT SUM(qs) AS t FROM w),
+          q0 AS (SELECT source, qs, (100*qs)//t AS base, (100*qs)%t AS rem
+                 FROM w CROSS JOIN t),
           q AS (SELECT source,
                        base + CASE WHEN ROW_NUMBER() OVER
                            (ORDER BY rem DESC, source ASC)

@@ -181,6 +181,47 @@ object DedupQueries {
       TextQueries.sampleByFingerprint(kept, 40)
     }),
 
+    // CURATION FUNNEL: the per-source attrition report of the
+    // pipeline_curate stages — how many docs each stage removes (dup
+    // cluster member → contaminated → low quality → kept), attributed
+    // in pipeline order so the stage counts sum to n_total. This is the
+    // audit artifact a curation run publishes next to its output sample.
+    // Scale shape: both drop-id sets are the already-verified gated
+    // operators and broadcast (|dups| + |contaminated| ids); the corpus
+    // takes ONE pass with a when-chain projection and a per-source
+    // aggregate.
+    "curation_funnel" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 50 =!= 0)
+      val dropIds = corpusClusters(corpus)
+        .filter(!col("is_keeper")).select("doc_id")
+        .withColumn("is_dup", lit(1))
+      val contamIds = Dedup.contaminationPairs(
+          corpus, "doc_id", d.filter(col("doc_id") % 50 === 0), "doc_id",
+          "text", shingleN = 3, minContainment = 0.04)
+        .select(col("corpus_id").as("doc_id")).distinct()
+        .withColumn("is_con", lit(1))
+      corpus
+        .join(broadcast(dropIds), Seq("doc_id"), "left")
+        .join(broadcast(contamIds), Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(col("is_dup") === 1, lit("dup"))
+            .when(col("is_con") === 1, lit("contaminated"))
+            .when(!(col("n_chars") >= 100 &&
+              size(words(col("text"))) >= 20), lit("low_quality"))
+            .otherwise(lit("kept")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("stage") === "contaminated", 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(when(col("stage") === "low_quality", 1L).otherwise(0L))
+            .as("n_low_quality"),
+          sum(when(col("stage") === "kept", 1L).otherwise(0L))
+            .as("n_kept"))
+    }),
+
     // exact n-gram Jaccard pairs >= 0.3 via inverted-index join
     "dedup_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
@@ -432,6 +473,35 @@ object DedupQueries {
                      ORDER BY fp ASC, doc_id ASC) AS rn
             FROM kept)
           WHERE rn <= 40""",
+    "curation_funnel" ->
+      s"""WITH RECURSIVE pairs AS (
+            ${minhashPairsCappedSqlWhere("doc_id % 50 <> 0")}),
+          $clusterLabelsCte,
+          dropids AS (SELECT doc_id FROM labels WHERE doc_id <> cluster),
+          contaminated AS (
+            SELECT DISTINCT corpus_id AS doc_id
+            FROM (${containmentSql(0.04)})),
+          staged AS (
+            SELECT source,
+                   CASE WHEN doc_id IN (SELECT doc_id FROM dropids)
+                          THEN 'dup'
+                        WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                          THEN 'contaminated'
+                        WHEN NOT (n_chars >= 100
+                          AND len(string_split(text,' ')) >= 20)
+                          THEN 'low_quality'
+                        ELSE 'kept' END AS stage
+            FROM documents WHERE doc_id % 50 <> 0)
+          SELECT source, COUNT(*) AS n_total,
+                 CAST(SUM(CASE WHEN stage='dup' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup,
+                 CAST(SUM(CASE WHEN stage='contaminated' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_contaminated,
+                 CAST(SUM(CASE WHEN stage='low_quality' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_low_quality,
+                 CAST(SUM(CASE WHEN stage='kept' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept
+          FROM staged GROUP BY 1""",
     "dedup_simhash" ->
       s"""WITH $simhash64BandsCte
           SELECT doc_id, band_idx, band FROM bands""",

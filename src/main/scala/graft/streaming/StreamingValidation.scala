@@ -216,6 +216,32 @@ object StreamingValidation {
       source: String, n_events: Long, n_violations: Long,
       start_ms: Long, end_ms: Long)
 
+  /** Stream-stream INTERVAL join (temporal attribution, the streaming
+    * form of the batch as-of/interval family `j12_asof_join` /
+    * `j13_interval_join`): each purchase event joins every click by the
+    * same user at most `maxLagSec` seconds older. Both sides carry
+    * watermarks, and the join's time-range condition lets Spark's
+    * symmetric hash join EVICT state: a click older than
+    * watermark − maxLag can never match a future purchase and is dropped,
+    * so per-key state is bounded by the lag window — the property that
+    * makes this runnable forever at event-stream scale. Inner join:
+    * unattributed purchases are a batch concern (`j12`'s outer form).
+    *
+    * Schema contract: clicks(click_user, click_id, click_ts),
+    * purchases(purchase_user, purchase_id, purchase_ts, ...). */
+  def attributeStream(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      maxLagSec: Long,
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermarkDelay)
+    val p = purchases.withWatermark("purchase_ts", watermarkDelay)
+    p.join(c, expr(
+      s"""click_user = purchase_user AND
+          click_ts <= purchase_ts AND
+          click_ts >= purchase_ts - INTERVAL $maxLagSec SECONDS"""))
+  }
+
   /** CUSTOM-STATE streaming operator (flatMapGroupsWithState with
     * event-time timeout): per-source activity sessions — consecutive
     * events within `gapMs` belong to one session; a session closes (and

@@ -320,6 +320,42 @@ class StreamingValidationSpec extends SparkSpec {
     assert(!st5.getTimeoutTimestampMs.isPresent)
   }
 
+  test("stream-stream interval join: purchases attribute to same-user " +
+      "clicks within the lag window; state join is symmetric-hash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(sec: Int) =
+      new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingValidation.attributeStream(
+      clicks.toDS().toDF("click_user", "click_id", "click_ts"),
+      purchases.toDS().toDF("purchase_user", "purchase_id", "purchase_ts"),
+      maxLagSec = 60)
+    val q = joined
+      .select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 10L, ts(0)), (1L, 11L, ts(30)), (2L, 20L, ts(5)))
+      purchases.addData((1L, 100L, ts(40)))
+      q.processAllAvailable()
+      // cross-micro-batch match: a later purchase still finds the
+      // buffered click state
+      purchases.addData((2L, 200L, ts(50)), (1L, 101L, ts(80)))
+      q.processAllAvailable()
+      val out = spark.table("attr_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // p100@40s: clicks 10 (lag 40) and 11 (lag 10) both inside 60s;
+      // p200@50s: click 20 (lag 45); p101@80s: only click 11 (lag 50) is
+      // within 60s — click 10 (lag 80) is outside the band and, once the
+      // watermark passes, evictable state
+      assert(out === Set((100L, 10L), (100L, 11L), (200L, 20L),
+        (101L, 11L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed violation-rate aggregation") {
     val events = Seq(
       ("cardiac", java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), true),
