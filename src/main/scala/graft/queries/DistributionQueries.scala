@@ -236,6 +236,62 @@ object DistributionQueries {
         .select(col("source"), col("n1"), col("n2"), col("n_bins"), col("chi2"))
     }),
 
+    // Per-document average negative log-likelihood under the corpus-MLE
+    // unigram LM — the perplexity-proxy quality filter (CCNet-style
+    // LM filtering, with the corpus itself as the LM so the whole
+    // operator is self-contained and integer-exact):
+    //   nll(doc) = Σ_occurrences (qln(N) − qln(c_w)), avg = nll/(n·1e6).
+    // ONE corpus word exchange (groupBy (doc_id, w) with map-side
+    // combine); the vocab table re-aggregates those partials and comes
+    // back as a broadcast; the per-doc roll-up is the only other
+    // shuffle. High avg_nll = rare-word soup, low = stopword boilerplate.
+    "lm_unigram_score" -> ((s, dir) => {
+      val occ = docs(s, dir)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
+      val cw = occ.groupBy("w").agg(sum("c_dw").as("c_w"))
+      val tot = cw.agg(sum(col("c_w")).as("n_total"))
+      occ.join(broadcast(cw), "w")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum(col("c_dw")).as("n_words"),
+          sum(col("c_dw") * (qln(col("n_total")) - qln(col("c_w"))))
+            .as("nll_qsum"))
+        .select(col("doc_id"), col("n_words"), col("nll_qsum"),
+          (col("nll_qsum").cast("double")
+            / (col("n_words").cast("double") * lit(1e6))).as("avg_nll"))
+    }),
+
+    // Zipf-slope vocabulary health check: OLS slope of qln(count) on
+    // qln(rank) over the top-64 vocabulary (natural text sits near −1;
+    // template/boilerplate corpora flatten, spam steepens). Fully
+    // integer: x = qln(rank), y = qln(count),
+    //   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    // with int64 sums (top-64 keeps every product far inside int64), one
+    // float division at the end. The vocab roll-up reuses the word
+    // exchange shape of `oov_rate`; the ranked top-k is a TakeOrdered
+    // (64 rows — the window after it runs on driver-scale data).
+    "zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = docs(s, dir)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+        .orderBy(col("c_w").desc, col("w").asc).limit(64)
+      val pts = top
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("c_w").desc, col("w").asc)).cast("long"))
+        .select(qln(col("r")).as("x"), qln(col("c_w")).as("y"))
+      pts
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("qnum"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("qden"))
+        .withColumn("slope",
+          col("qnum").cast("double") / col("qden").cast("double"))
+    }),
+
     // Population stability index (PSI) per source vs rest-of-corpus —
     // the industry drift gate alongside KS/chi2/KL. Laplace-smoothed
     // (+1 per bin on BOTH sides, so empty bins never hit ln(0) and the
@@ -394,6 +450,44 @@ object DistributionQueries {
                list(diff * diff / den ORDER BY bin)),
              (a, b) -> a + b) AS chi2
          FROM terms GROUP BY source, n1, n2""",
+    "lm_unigram_score" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                    FROM documents),
+         c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c_dw
+               FROM t GROUP BY doc_id, w),
+         cw AS (SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c_w
+                FROM c GROUP BY w),
+         tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_total FROM cw)
+         SELECT doc_id, CAST(SUM(c_dw) AS BIGINT) AS n_words,
+           CAST(SUM(c_dw *
+             (CAST(floor(ln(CAST(n_total AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(c_w AS DOUBLE))*1e6) AS BIGINT)))
+             AS BIGINT) AS nll_qsum,
+           CAST(SUM(c_dw *
+             (CAST(floor(ln(CAST(n_total AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(c_w AS DOUBLE))*1e6) AS BIGINT)))
+             AS DOUBLE)
+             / (CAST(SUM(c_dw) AS DOUBLE) * 1e6) AS avg_nll
+         FROM c JOIN cw USING (w), tot GROUP BY doc_id""",
+    "zipf_slope" ->
+      """WITH top AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+                      FROM (SELECT unnest(string_split(text,' ')) AS w
+                            FROM documents)
+                      GROUP BY w ORDER BY c_w DESC, w ASC LIMIT 64),
+         pts AS (SELECT
+             CAST(floor(ln(CAST(ROW_NUMBER() OVER
+               (ORDER BY c_w DESC, w ASC) AS DOUBLE))*1e6) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(c_w AS DOUBLE))*1e6) AS BIGINT) AS y
+           FROM top),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx
+               FROM pts)
+         SELECT n, (n*sxy - sx*sy) AS qnum, (n*sxx - sx*sx) AS qden,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             AS slope
+         FROM s""",
     "drift_psi_twosample" ->
       """WITH sb AS (SELECT source, n_chars // 100 AS bin,
                        CAST(COUNT(*) AS BIGINT) AS o1

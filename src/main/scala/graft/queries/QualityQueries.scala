@@ -35,6 +35,7 @@ object QualityQueries {
     val w = words(col("text"))
     d.select(
       col("doc_id"),
+      col("source"),
       (least(size(w), lit(400)).cast("double") / lit(400.0)).as("x1"),
       (size(array_distinct(w)).cast("double") / size(w)).as("x2"),
       stopwordRatio(col("text")).as("x3"),
@@ -92,6 +93,81 @@ object QualityQueries {
           col("y").cast("int").as("label_good"))
     }),
 
+    // Per-source CONFUSION MATRIX of the trained classifier against the
+    // rule-based label — the calibration/agreement audit a learned
+    // quality gate ships with (where does the model disagree with the
+    // rule chain, and is the disagreement concentrated in one source?).
+    // Training is the verified bit-portable loop; the confusion roll-up
+    // is one aggregation over the scored feature table (scoring itself
+    // is a zero-shuffle projection over literal weights).
+    "quality_confusion" -> ((s, dir) => {
+      val f = features(docs(s, dir)).persist()
+      val zf = zFeatures(f)
+      val w = trainedWeights(zf)
+      f.unpersist(blocking = false)
+      zf.select(col("source"),
+          when(LinearModel.predict(w, XCols) >= 0.5, 1).otherwise(0)
+            .as("pred"),
+          col("y").cast("int").as("label"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === 1 && col("label") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1 && col("label") === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("pred") === 0 && col("label") === 1, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("pred") === 0 && col("label") === 0, 1L)
+            .otherwise(0L)).as("tn"))
+        .withColumn("accuracy",
+          (col("tp") + col("tn")).cast("double") / col("n").cast("double"))
+    }),
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling" — public
+    // algorithm): hashed unigram features (polyHash(word) mod 64
+    // buckets), per-doc weight = Σ_occurrences log(p_target(b)/p_raw(b))
+    // with Laplace +1 smoothing on both sides. Target = the held-out
+    // benchmark split (every 50th doc — the same split the
+    // decontamination operators verify), raw = the rest; a raw doc
+    // scoring HIGH is distributionally close to the target and gets
+    // up-sampled. INTEGER-exact: the per-bucket log-ratio
+    //   qlr_b = (qln(ct_b+1) − qln(Nt+B)) − (qln(cs_b+1) − qln(Ns+B))
+    // rides the shared quantized log; per-doc sums are int64.
+    // Scale shape: ONE corpus word exchange (groupBy (doc_id, bucket));
+    // both bucket grids are B=64 rows, broadcast back; the per-doc
+    // roll-up is the only other shuffle.
+    "dsir_weight" -> ((s, dir) => {
+      val B = 64
+      val d = docs(s, dir)
+      def occ(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(wordHashes(col("text"))).as("h"))
+        .select(col("doc_id"), pmod(col("h"), lit(B.toLong)).as("b"))
+      val raw = occ(d.filter(col("doc_id") % 50 =!= 0))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c_db"))
+      val tgt = occ(d.filter(col("doc_id") % 50 === 0))
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val srcg = raw.groupBy("b").agg(sum("c_db").as("cs"))
+      val grid = s.range(B).toDF("b")
+        .join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+        .join(srcg, Seq("b"), "left").na.fill(0L, Seq("cs"))
+      val tots = grid.agg(sum("ct").as("nt"), sum("cs").as("ns"))
+      val qln = DistributionQueries.qln _
+      val lr = grid.crossJoin(broadcast(tots))
+        .select(col("b"),
+          ((qln(col("ct") + 1L) - qln(col("nt") + lit(B.toLong)))
+            - (qln(col("cs") + 1L) - qln(col("ns") + lit(B.toLong))))
+            .as("qlr"))
+      raw.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("c_db")).as("n_words"),
+          sum(col("c_db") * col("qlr")).as("qweight"))
+        .select(col("doc_id"), col("n_words"), col("qweight"),
+          (col("qweight").cast("double")
+            / (col("n_words").cast("double") * lit(1e6))).as("dsir_score"))
+    }),
+
     // Deterministic WEIGHTED k-sample per source (weight = n_words, so
     // longer docs are proportionally likelier — the token-budget-aware
     // sampler): Efraimidis–Spirakis keys on the fingerprint-derived
@@ -120,7 +196,7 @@ object QualityQueries {
   // fragment, y the text_quality rule.
   private val featsSql: String =
     s"""feats AS (
-          SELECT doc_id,
+          SELECT doc_id, source,
                  CAST(LEAST(len(string_split(text,' ')), 400) AS DOUBLE)
                    / 400.0 AS x1,
                  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
@@ -167,7 +243,7 @@ object QualityQueries {
         sds AS (SELECT mu1, mu2, mu3, $sdSel
                 FROM (SELECT m.mu1, m.mu2, m.mu3, $vars
                       FROM mus m, mom o)),
-        zf AS (SELECT f.doc_id, $zSel, f.y FROM feats f, sds s)"""
+        zf AS (SELECT f.doc_id, f.source, $zSel, f.y FROM feats f, sds s)"""
   }
 
   // w·z with the exact fold order LinearModel.predict emits
@@ -214,6 +290,52 @@ object QualityQueries {
                  CASE WHEN $predSql >= 0.5 THEN 1 ELSE 0 END AS pred_good,
                  CAST(f.y AS INT) AS label_good
           FROM zf f, w4c w""",
+    "quality_confusion" ->
+      s"""WITH $trainSql,
+          cf AS (
+            SELECT f.source, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN $predSql >= 0.5 AND f.y = 1.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN $predSql >= 0.5 AND f.y = 0.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN $predSql < 0.5 AND f.y = 1.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN $predSql < 0.5 AND f.y = 0.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM zf f, w4c w GROUP BY f.source)
+          SELECT source, n, tp, fp, fn, tn,
+                 CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+          FROM cf""",
+    "dsir_weight" ->
+      s"""WITH wh AS (SELECT doc_id, ${TextQueries.sqlPolyHash("w")} % 64
+                        AS b
+                      FROM (SELECT doc_id,
+                              unnest(string_split(text,' ')) AS w
+                            FROM documents)),
+          raw AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c_db
+                  FROM wh WHERE doc_id % 50 <> 0 GROUP BY doc_id, b),
+          tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+                  FROM wh WHERE doc_id % 50 = 0 GROUP BY b),
+          srcg AS (SELECT b, CAST(SUM(c_db) AS BIGINT) AS cs
+                   FROM raw GROUP BY b),
+          grid AS (SELECT g.b, COALESCE(tgt.ct, 0) AS ct,
+                          COALESCE(srcg.cs, 0) AS cs
+                   FROM (SELECT unnest(range(64)) AS b) g
+                   LEFT JOIN tgt USING (b) LEFT JOIN srcg USING (b)),
+          tots AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                          CAST(SUM(cs) AS BIGINT) AS ns FROM grid),
+          lr AS (SELECT b,
+                   (CAST(floor(ln(CAST(ct+1 AS DOUBLE))*1e6) AS BIGINT) -
+                    CAST(floor(ln(CAST(nt+64 AS DOUBLE))*1e6) AS BIGINT)) -
+                   (CAST(floor(ln(CAST(cs+1 AS DOUBLE))*1e6) AS BIGINT) -
+                    CAST(floor(ln(CAST(ns+64 AS DOUBLE))*1e6) AS BIGINT))
+                     AS qlr
+                 FROM grid, tots)
+          SELECT r.doc_id, CAST(SUM(c_db) AS BIGINT) AS n_words,
+                 CAST(SUM(c_db * qlr) AS BIGINT) AS qweight,
+                 CAST(SUM(c_db * qlr) AS DOUBLE)
+                   / (CAST(SUM(c_db) AS DOUBLE) * 1e6) AS dsir_score
+          FROM raw r JOIN lr USING (b) GROUP BY r.doc_id""",
     "sample_weighted" ->
       s"""WITH keyed AS (
             SELECT source, doc_id,

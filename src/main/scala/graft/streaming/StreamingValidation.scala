@@ -242,6 +242,24 @@ object StreamingValidation {
           click_ts >= purchase_ts - INTERVAL $maxLagSec SECONDS"""))
   }
 
+  /** Watermark-BOUNDED streaming exact dedup — the streaming operator to
+    * run on unbounded event streams where `dedupStream`'s
+    * first-seen-wins-forever state (all keys ever seen) is not
+    * acceptable: `dropDuplicatesWithinWatermark` keeps the first row per
+    * key among arrivals inside the watermark window and EVICTS a key's
+    * state once the watermark passes its event time, so state is bounded
+    * by arrival rate × delay, never by stream lifetime. The trade: a key
+    * recurring after a quiet period longer than `delay` is emitted
+    * again (exactly the contract of its Spark built-in). Batch analog:
+    * `dedup_exact` / `dedup_first_seen`. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** CUSTOM-STATE streaming operator (flatMapGroupsWithState with
     * event-time timeout): per-source activity sessions — consecutive
     * events within `gapMs` belong to one session; a session closes (and

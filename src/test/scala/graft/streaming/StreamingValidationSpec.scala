@@ -356,6 +356,43 @@ class StreamingValidationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: duplicates inside the watermark window " +
+      "are dropped (in-batch and cross-batch); an expired key re-emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(sec: Int) =
+      new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingValidation.dedupWithinWatermark(
+      in.toDS().toDF("event_id", "ts"),
+      keyCols = Seq("event_id"), tsCol = "ts", delay = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      // batch 1: in-batch duplicate of key 1 collapses
+      in.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(10)))
+      q.processAllAvailable()
+      // batch 2: key 1 again within the window -> dropped;
+      // watermark after this batch = 70 - 60 = t+10s
+      in.addData((1L, ts(40)), (3L, ts(70)))
+      q.processAllAvailable()
+      // batch 3: advance the watermark far past key 1's state
+      // (wm = 600 - 60 = t+540s >> t0+60s, so key 1's state is evicted)
+      in.addData((9L, ts(600)))
+      q.processAllAvailable()
+      // batch 4: key 1 after the quiet period -> re-emitted
+      in.addData((1L, ts(650)))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_wm").collect()
+        .map(r => r.getLong(0)).toSeq
+      assert(rows.count(_ == 1L) === 2,
+        s"key 1 should emit once per watermark epoch, got $rows")
+      assert(rows.count(_ == 2L) === 1 && rows.count(_ == 3L) === 1 &&
+        rows.count(_ == 9L) === 1)
+    } finally q.stop()
+  }
+
   test("watermarked windowed violation-rate aggregation") {
     val events = Seq(
       ("cardiac", java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), true),
