@@ -145,6 +145,36 @@ object Drift {
     TestResult(x2, thr, x2 > thr, n1, n2)
   }
 
+  /** Population stability index on binned data, Laplace-smoothed (+1 per
+    * bin on BOTH sides so empty bins never hit ln(0)):
+    *   psi = Σ_bins (p1_b − p2_b) · ln(p1_b / p2_b),
+    *   p_i = (o_i + 1) / (n_i + nBins).
+    * Unlike KS/chi2, PSI is gated on the STATISTIC itself, not a
+    * significance quantile — `threshold` is the PSI action gate
+    * (industry convention: 0.1 investigate, 0.25 act). The oracled batch
+    * form is `drift_psi_twosample` (integer-exact); this driver-side
+    * form runs on the already-merged per-source bins, where float
+    * accumulation over a fixed bin order is deterministic. */
+  def psiTest(
+      cur: Map[Int, Long],
+      base: Map[Int, Long],
+      nBins: Int,
+      threshold: Double): TestResult = {
+    val n1 = cur.values.sum
+    val n2 = base.values.sum
+    if (n1 == 0 || n2 == 0)
+      return TestResult(0.0, threshold, rejected = n1 != n2, n1, n2)
+    var psi = 0.0
+    var b = 0
+    while (b < nBins) {
+      val p1 = (cur.getOrElse(b, 0L) + 1.0) / (n1.toDouble + nBins)
+      val p2 = (base.getOrElse(b, 0L) + 1.0) / (n2.toDouble + nBins)
+      psi += (p1 - p2) * math.log(p1 / p2)
+      b += 1
+    }
+    TestResult(psi, threshold, psi > threshold, n1, n2)
+  }
+
   /** Wilson–Hilferty approximation of the chi-square quantile. */
   private[drift] def chi2Quantile(df: Int, p: Double): Double = {
     val z = normalQuantile(p)

@@ -398,9 +398,13 @@ object RuleEngine {
       base.get(a.source).flatMap { bh =>
         val hist = (if (rule.kind == "ntok_hist") a.ntokHist else a.tokenHist)
           .zipWithIndex.collect { case (c, i) if c > 0 => i -> c }.toMap
-        val res =
-          if (rule.test == "ks") Drift.ksTest(hist, bh, nBins, rule.alpha)
-          else Drift.chi2Test(hist, bh, nBins, rule.alpha)
+        val res = rule.test match {
+          case "ks" => Drift.ksTest(hist, bh, nBins, rule.alpha)
+          // for "psi", alpha IS the PSI action threshold (not a
+          // significance level) — see Drift.psiTest
+          case "psi" => Drift.psiTest(hist, bh, nBins, rule.alpha)
+          case _ => Drift.chi2Test(hist, bh, nBins, rule.alpha)
+        }
         if (res.rejected)
           Some(Violation(
             doc_id = null,

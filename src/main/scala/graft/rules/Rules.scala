@@ -146,6 +146,7 @@ object Rules {
   val RStats = "R_STATS"
   val RDriftNtokKs = "R_DRIFT_NTOK_KS"
   val RDriftTokenChi2 = "R_DRIFT_TOKENHIST_CHI2"
+  val RDriftNtokPsi = "R_DRIFT_NTOK_PSI"
   val RManifest = "R_MANIFEST"
   val RSnapshotEquality = "R_SNAPSHOT_TOKEN_EQUALITY"
 
@@ -185,7 +186,13 @@ object Rules {
     ManifestRule(RManifest, Severity.Error),
     StatsRule(RStats, Severity.Error),
     DriftRule(RDriftNtokKs, Severity.Error, "ntok_hist", "ks"),
-    DriftRule(RDriftTokenChi2, Severity.Error, "token_hist", "chi2")
+    DriftRule(RDriftTokenChi2, Severity.Error, "token_hist", "chi2"),
+    // PSI rides the SAME per-source ntok histogram the KS rule already
+    // collects (zero extra scan work); alpha here is the PSI action
+    // threshold itself (0.25 = "act"), warning severity — the
+    // industry-standard second opinion next to the significance-gated KS.
+    DriftRule(RDriftNtokPsi, Severity.Warning, "ntok_hist", "psi",
+      alpha = 0.25)
   ))
 
   /** Standard rules + the cross-snapshot token-equality invariant (needs a

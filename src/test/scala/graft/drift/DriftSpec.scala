@@ -51,6 +51,34 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(Drift.normalQuantile(0.5)) < 1e-9)
   }
 
+  test("PSI: identical accept (psi ~ 0), shifted reject at 0.25; " +
+      "empty bins are Laplace-safe") {
+    val base = (0 until 64).map(b => b -> (1000L - 10 * b).max(1L)).toMap
+    val same = Drift.psiTest(base, base, 64, 0.25)
+    assert(!same.rejected && same.statistic === 0.0)
+    val shifted = base.map { case (b, c) => ((b + 16).min(63)) -> c }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val bad = Drift.psiTest(shifted, base, 64, 0.25)
+    assert(bad.rejected, s"psi=${bad.statistic}")
+    // disjoint supports (all-empty bins on each side) must not hit ln(0)
+    val lo = (0 until 8).map(b => b -> 100L).toMap
+    val hi = (56 until 64).map(b => b -> 100L).toMap
+    val dj = Drift.psiTest(lo, hi, 64, 0.25)
+    assert(dj.rejected && !dj.statistic.isNaN && !dj.statistic.isInfinite)
+    // PSI detects the same injected n_tok drift the engine rule gates on
+    val clean = SequenceGen.sequences(spark, 4000).toDF()
+    val drifted = SequenceGen.sequences(spark, 4000,
+      knobs = Knobs(driftShiftSources = SequenceGen.sources,
+        driftShift = 200)).toDF()
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      Drift.ntokHist(df).collect().filter(_.getString(0) == "cardiac")
+        .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(Drift.psiTest(hist(drifted), hist(clean), Drift.ntokBins, 0.25)
+      .rejected)
+    assert(!Drift.psiTest(hist(clean), hist(clean), Drift.ntokBins, 0.25)
+      .rejected)
+  }
+
   test("small drift shift is detected by KS on n_tok at moderate n") {
     val clean = SequenceGen.sequences(spark, 4000).toDF()
     val drifted = SequenceGen.sequences(spark, 4000,
