@@ -39,7 +39,8 @@ object Bench {
     "tfidf_terms", "ann_recall_at_k", "mix_budget", "drift_psi_twosample",
     "quality_lr_score", "sample_weighted", "j13_interval_join",
     "mix_temperature", "curation_funnel",
-    "lm_unigram_score", "zipf_slope", "quality_confusion", "dsir_weight")
+    "lm_unigram_score", "zipf_slope", "quality_confusion", "dsir_weight",
+    "lm_bigram_score", "split_cluster_aware", "bpe_merges", "bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

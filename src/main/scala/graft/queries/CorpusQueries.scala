@@ -28,6 +28,42 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // BPE tokenizer TRAINING (Sennrich et al. 2016): the first 4 merges
+    // learned from the corpus word vocabulary, with bit-exact replay in
+    // the oracle (pair counts are integer word-frequency sums; argmax
+    // tie-breaks count desc, pair asc; merge application is the
+    // two-space plain-replace trick — see BpeTokenizer). ONE corpus pass
+    // (the word count); each iteration is a vocab-sized aggregation +
+    // driver top-1 — the same trained-operator shape as
+    // ann_kmeans_codebook and quality_lr_weights.
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, vocab) =
+        graft.operators.BpeTokenizer.train(docs(s, dir), "text", 4)
+      vocab.unpersist(blocking = false)
+      merges.map(m => (m.step, m.pair, m.count))
+        .toDF("step", "pair", "cnt")
+    }),
+
+    // BPE ENCODE with the trained merges: per-doc subword-token count
+    // after applying the 4 learned merges in training order — the
+    // "how many tokens will this corpus cost" accounting pass run with
+    // a freshly trained tokenizer. The trained word→sym vocabulary is
+    // broadcast; encoding is one corpus word pass + per-doc roll-up.
+    "bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (_, vocab) = graft.operators.BpeTokenizer.train(d, "text", 4)
+      val out = d
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(vocab.select(col("w"), col("sym"))), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(graft.operators.BpeTokenizer.symbols(col("sym")))
+            .cast("long")).as("n_bpe_tokens"))
+      out
+    }),
+
     // EXACT-budget source mixing: allocate a global budget of 100 docs
     // across sources proportionally to size, with largest-remainder
     // rounding (quotas sum to the budget EXACTLY — the hash-threshold
@@ -334,7 +370,56 @@ object CorpusQueries {
     })
   )
 
+  /** One BPE training stage: pair counts over v{i-1}, top pair by
+    * (count desc, pair asc), merge applied via the two-space plain
+    * replace (mirrors BpeTokenizer.applyMerge exactly). */
+  private def bpeStageSql(i: Int): String = {
+    val prev = s"v${i - 1}"
+    s"""pc$i AS (SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, unnest(
+                  CASE WHEN len(a) < 2 THEN []
+                       ELSE [a[j]||' '||a[j+1]
+                             for j in range(1, len(a))] END) AS pr
+                FROM (SELECT freq, string_split(trim(sym), '  ') AS a
+                      FROM $prev))
+          GROUP BY pr),
+        m$i AS (SELECT pr, cnt FROM pc$i
+                ORDER BY cnt DESC, pr ASC LIMIT 1),
+        v$i AS (SELECT w, freq,
+                 replace(sym,
+                   ' ' || split_part((SELECT pr FROM m$i), ' ', 1) || '  '
+                       || split_part((SELECT pr FROM m$i), ' ', 2) || ' ',
+                   ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' ')
+                   AS sym
+                FROM $prev)"""
+  }
+
+  /** v0 (word vocab with two-space char syms) + k training stages. */
+  private def bpeCtesSql(k: Int): String =
+    (s"""v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+              '  ' || array_to_string(string_split(w, ''), '  ') || '  '
+                AS sym
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE len(w) > 0 GROUP BY w)""" +:
+      (1 to k).map(bpeStageSql)).mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "bpe_merges" ->
+      s"""WITH ${bpeCtesSql(4)}
+          SELECT CAST(1 AS INT) AS step, pr AS pair, cnt FROM m1
+          UNION ALL SELECT CAST(2 AS INT), pr, cnt FROM m2
+          UNION ALL SELECT CAST(3 AS INT), pr, cnt FROM m3
+          UNION ALL SELECT CAST(4 AS INT), pr, cnt FROM m4""",
+    "bpe_encode" ->
+      s"""WITH ${bpeCtesSql(4)},
+          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(len(string_split(trim(v.sym), '  '))) AS BIGINT)
+                   AS n_bpe_tokens
+          FROM tok JOIN v4 v USING (w)
+          GROUP BY doc_id""",
     "mix_budget" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
           t AS (SELECT SUM(c) AS t FROM c),

@@ -222,6 +222,31 @@ object DedupQueries {
             .as("n_kept"))
     }),
 
+    // CLUSTER-AWARE train/val/test split: every member of a near-dup
+    // cluster lands in the SAME split, so near-duplicates can never leak
+    // across the train/eval boundary — the split-time complement of
+    // decontamination (which guards an EXISTING benchmark; this guards
+    // the splits being created). Unclustered docs are their own cluster;
+    // the split is a deterministic 80/10/10 hash of the CLUSTER id, so
+    // adding docs later never reassigns existing clusters. Scale shape:
+    // clustering is the verified capped-LSH + large-star/small-star
+    // operator; the label attach is one doc_id join; the split itself is
+    // a pure projection of the cluster id.
+    "split_cluster_aware" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = docs(s, dir)
+      val lbl = corpusClusters(d).select(col("doc_id"), col("cluster_id"))
+      val h = pmod(
+        polyHash(concat(lit("split:"), col("cluster").cast("string"))),
+        lit(10L))
+      d.select(col("doc_id"), col("source"))
+        .join(lbl, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split",
+          when(h <= 7, "train").when(h === 8, "val").otherwise("test"))
+        .select("doc_id", "source", "cluster", "split")
+    }),
+
     // exact n-gram Jaccard pairs >= 0.3 via inverted-index join
     "dedup_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
@@ -502,6 +527,22 @@ object DedupQueries {
                  CAST(SUM(CASE WHEN stage='kept' THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_kept
           FROM staged GROUP BY 1""",
+    "split_cluster_aware" ->
+      s"""WITH RECURSIVE pairs AS (
+            $minhashPairsCappedSql),
+          $clusterLabelsCte,
+          assigned AS (
+            SELECT d.doc_id, d.source,
+                   COALESCE(l.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+          SELECT doc_id, source, cluster,
+                 CASE WHEN h <= 7 THEN 'train'
+                      WHEN h = 8 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, source, cluster,
+                       ${TextQueries.sqlPolyHash(
+                         "'split:' || CAST(cluster AS VARCHAR)")} % 10 AS h
+                FROM assigned)""",
     "dedup_simhash" ->
       s"""WITH $simhash64BandsCte
           SELECT doc_id, band_idx, band FROM bands""",

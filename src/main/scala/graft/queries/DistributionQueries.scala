@@ -262,6 +262,39 @@ object DistributionQueries {
             / (col("n_words").cast("double") * lit(1e6))).as("avg_nll"))
     }),
 
+    // Per-document average NLL under the corpus-MLE BIGRAM LM — the
+    // sequence-aware perplexity proxy (`lm_unigram_score` is
+    // bag-of-words; this one scores word ORDER, so shuffled/templated
+    // text separates from natural text even at identical vocabulary):
+    //   nll(doc) = Σ_positions (qln(c(w_{i-1})) − qln(c(w_{i-1} w_i)))
+    // with c(a) = the context count Σ_b c(a b), derived from the bigram
+    // table itself (no second corpus pass). ONE corpus bigram exchange
+    // (groupBy (doc_id, bigram), map-side combine); both count tables
+    // re-aggregate the partials and broadcast back.
+    "lm_bigram_score" -> ((s, dir) => {
+      val ws = words(col("text"))
+      val bigrams = when(size(ws) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i + 1, lit(2)))))
+      val occ = docs(s, dir)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c_db"))
+      val c2 = occ.groupBy("bg").agg(sum("c_db").as("c_bg"))
+      val c1 = c2
+        .select(substring_index(col("bg"), " ", 1).as("a"), col("c_bg"))
+        .groupBy("a").agg(sum("c_bg").as("c_a"))
+      occ.join(broadcast(c2), "bg")
+        .withColumn("a", substring_index(col("bg"), " ", 1))
+        .join(broadcast(c1), "a")
+        .groupBy("doc_id")
+        .agg(sum(col("c_db")).as("n_bigrams"),
+          sum(col("c_db") * (qln(col("c_a")) - qln(col("c_bg"))))
+            .as("nll_qsum"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll_qsum"),
+          (col("nll_qsum").cast("double")
+            / (col("n_bigrams").cast("double") * lit(1e6))).as("avg_nll"))
+    }),
+
     // Zipf-slope vocabulary health check: OLS slope of qln(count) on
     // qln(rank) over the top-64 vocabulary (natural text sits near −1;
     // template/boilerplate corpora flatten, spam steepens). Fully
@@ -469,6 +502,34 @@ object DistributionQueries {
              AS DOUBLE)
              / (CAST(SUM(c_dw) AS DOUBLE) * 1e6) AS avg_nll
          FROM c JOIN cw USING (w), tot GROUP BY doc_id""",
+    "lm_bigram_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+         t AS (SELECT doc_id,
+                 unnest(CASE WHEN len(ws) < 2 THEN []
+                        ELSE [ws[i]||' '||ws[i+1]
+                              for i in range(1, len(ws))] END) AS bg
+               FROM w),
+         c AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c_db
+               FROM t GROUP BY doc_id, bg),
+         c2 AS (SELECT bg, CAST(SUM(c_db) AS BIGINT) AS c_bg
+                FROM c GROUP BY bg),
+         c1 AS (SELECT split_part(bg, ' ', 1) AS a,
+                       CAST(SUM(c_bg) AS BIGINT) AS c_a
+                FROM c2 GROUP BY 1)
+         SELECT doc_id, CAST(SUM(c_db) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c_db *
+             (CAST(floor(ln(CAST(c_a AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(c_bg AS DOUBLE))*1e6) AS BIGINT)))
+             AS BIGINT) AS nll_qsum,
+           CAST(SUM(c_db *
+             (CAST(floor(ln(CAST(c_a AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(c_bg AS DOUBLE))*1e6) AS BIGINT)))
+             AS DOUBLE)
+             / (CAST(SUM(c_db) AS DOUBLE) * 1e6) AS avg_nll
+         FROM c JOIN c2 USING (bg)
+         JOIN c1 ON split_part(c.bg, ' ', 1) = c1.a
+         GROUP BY doc_id""",
     "zipf_slope" ->
       """WITH top AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
                       FROM (SELECT unnest(string_split(text,' ')) AS w
