@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.checkpoint.Checkpoint
 import graft.model._
-import graft.sources.TableIO
+import graft.sources.{ManifestTable, TableIO}
 
 /**
  * Post-validation promotion — the reference's E3 tail
@@ -191,6 +191,10 @@ object TransferJob {
       val rows = spark.read.parquet(cfg.inputPath)
         .filter(col("source").isin(pass.map(x => x: Any): _*))
       TableIO.writePartitioned(rows, cfg.storeDir)
+      // commit the store's file manifest for exactly the partitions this
+      // promotion rewrote — downstream snapshot-lineage reads become one
+      // pruned parquet read instead of a full store listing
+      ManifestTable.commit(spark, cfg.storeDir, "source", Some(pass))
 
       // record WHICH input snapshot each source's store generation came
       // from — the content-lineage fact CleanupJob needs before deleting

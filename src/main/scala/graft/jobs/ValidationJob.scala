@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.model._
 import graft.rules.{RuleEngine, RuleSet, Rules}
 import graft.checkpoint.Checkpoint
-import graft.sources.TableIO
+import graft.sources.{ManifestTable, TableIO}
 
 /**
  * The end-to-end resumable validation run — one spark-submit replaces the
@@ -118,8 +118,13 @@ object ValidationJob {
     // files changed — a new submission neither re-validates nor blocks
     // the untouched ones. The whole-table id derives from the same single
     // directory walk. Non-hive layouts fall back to table-granular ids.
+    // Manifest-first (the Iceberg read path): a committed file manifest
+    // replaces the recursive listing with one pruned parquet read —
+    // the walk is the cost the manifest removes. Unmanifested tables
+    // (every test fixture written directly) fall back to the listing.
     val filesByPart: Option[Map[String, Seq[String]]] =
-      TableIO.partitionFiles(spark, cfg.inputPath, "source")
+      ManifestTable.partitionFiles(spark, cfg.inputPath)
+        .orElse(TableIO.partitionFiles(spark, cfg.inputPath, "source"))
     val partSnaps: Map[String, String] = filesByPart
       .map(_.map { case (v, fls) => v -> TableIO.snapshotIdOfFiles(fls) })
       .getOrElse(Map.empty)

@@ -1,0 +1,104 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.gen.SequenceGen
+import org.apache.spark.sql.functions._
+
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTable(dir: String, n: Int = 300): String = {
+    val t = s"$dir/t"
+    SequenceGen.sequences(spark, n).toDF()
+      .write.partitionBy("source").parquet(t)
+    t
+  }
+
+  test("full commit reproduces the listing inventory byte-identically") {
+    val t = writeTable(tmpDir("man_full"))
+    val gen = ManifestTable.commit(spark, t)
+    assert(gen === 0L)
+    val man = ManifestTable.partitionFiles(spark, t).get
+    val listed = TableIO.partitionFiles(spark, t, "source").get
+    assert(man.keySet === listed.keySet)
+    for (p <- man.keySet) {
+      assert(man(p).sorted === listed(p).sorted, s"partition $p")
+      assert(TableIO.snapshotIdOfFiles(man(p)) ===
+        TableIO.snapshotIdOfFiles(listed(p)))
+    }
+    assert(ManifestTable.verifyAgainstListing(spark, t).isEmpty)
+  }
+
+  test("incremental commit walks only touched partitions and carries " +
+      "the rest over") {
+    val t = writeTable(tmpDir("man_incr"))
+    ManifestTable.commit(spark, t)
+    val before = ManifestTable.partitionFiles(spark, t).get
+    val victim = before.keySet.min
+    // rewrite ONE partition's data (dynamic overwrite semantics)
+    TableIO.deletePartitions(spark, t, "source", Seq(victim))
+    SequenceGen.sequences(spark, 80).toDF()
+      .filter(col("source") === victim)
+      .withColumn("n_tok", col("n_tok") + lit(1))
+      .write.mode("append").partitionBy("source").parquet(t)
+    val gen = ManifestTable.commit(spark, t, "source", Some(Seq(victim)))
+    assert(gen === 1L)
+    val after = ManifestTable.partitionFiles(spark, t).get
+    // untouched partitions: rows carried over unchanged
+    for (p <- before.keySet - victim)
+      assert(after(p).sorted === before(p).sorted, s"carried $p")
+    // touched partition: agrees with a fresh listing
+    assert(ManifestTable.verifyAgainstListing(spark, t).isEmpty)
+    assert(after(victim).sorted !== before(victim).sorted)
+    // superseded generation reclaimed — exactly one gen dir remains
+    assert(ManifestTable.latestGen(spark, t) === Some(1L))
+    val genDirs = new java.io.File(s"$t/_graft_manifest").listFiles()
+      .filter(_.getName.startsWith("gen=")).map(_.getName).toSeq
+    assert(genDirs === Seq("gen=1"))
+  }
+
+  test("readers ignore a crash-orphaned marker-less generation") {
+    val t = writeTable(tmpDir("man_crash"))
+    ManifestTable.commit(spark, t)
+    val good = ManifestTable.partitionFiles(spark, t).get
+    // simulate a commit that died mid-write: gen dir, files, no _SUCCESS
+    val orphan = new java.io.File(s"$t/_graft_manifest/gen=7")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$orphan/part-garbage.parquet"), "junk")
+    assert(ManifestTable.latestGen(spark, t) === Some(0L))
+    assert(ManifestTable.partitionFiles(spark, t).get === good)
+  }
+
+  test("verifyAgainstListing flags a write that bypassed the manifest") {
+    val t = writeTable(tmpDir("man_audit"))
+    ManifestTable.commit(spark, t)
+    val victim = ManifestTable.partitionFiles(spark, t).get.keySet.min
+    // file dropped behind the manifest's back
+    SequenceGen.sequences(spark, 40).toDF()
+      .filter(col("source") === victim)
+      .write.mode("append").partitionBy("source").parquet(t)
+    val diff = ManifestTable.verifyAgainstListing(spark, t)
+    assert(diff.keySet === Set(victim))
+    val (manId, listId) = diff(victim)
+    assert(manId.nonEmpty && listId.nonEmpty && manId != listId)
+  }
+
+  test("validation's snapshot lineage is identical through the manifest " +
+      "and the listing") {
+    import graft.jobs.ValidationJob
+    val dir = tmpDir("man_vjob")
+    val t = writeTable(dir, 250)
+    SequenceGen.manifest(spark, 250)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+    val outA = s"$dir/outA"
+    val outB = s"$dir/outB"
+    val cfgA = ValidationJob.Config(t, manifestPath = s"$dir/manifest",
+      outDir = outA, rules = graft.rules.Rules.rowOnly)
+    val repA = ValidationJob.run(spark, cfgA) // listing path (no manifest)
+    ManifestTable.commit(spark, t)
+    val cfgB = cfgA.copy(outDir = outB)
+    val repB = ValidationJob.run(spark, cfgB) // manifest path
+    assert(repA.snapshotId === repB.snapshotId)
+  }
+}
