@@ -193,8 +193,10 @@ object TransferJob {
       TableIO.writePartitioned(rows, cfg.storeDir)
       // commit the store's file manifest for exactly the partitions this
       // promotion rewrote — downstream snapshot-lineage reads become one
-      // pruned parquet read instead of a full store listing
-      ManifestTable.commit(spark, cfg.storeDir, "source", Some(pass))
+      // pruned parquet read instead of a full store listing. n_tok zone
+      // maps ride the commit so range-scoped store reads can skip files.
+      ManifestTable.commit(spark, cfg.storeDir, "source", Some(pass),
+        statsCols = Seq("n_tok"))
 
       // record WHICH input snapshot each source's store generation came
       // from — the content-lineage fact CleanupJob needs before deleting

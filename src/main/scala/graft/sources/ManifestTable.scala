@@ -75,9 +75,13 @@ object ManifestTable {
   /** The latest generation's inventory as a DataFrame
     * (partition, path, length) — the distributed read surface. */
   def read(spark: SparkSession, table: String): Option[DataFrame] =
+    readFull(spark, table).map(_.select("partition", "path", "length"))
+
+  /** The latest generation with whatever stats columns it carries
+    * (row_count, min_<c>/max_<c> per stats column committed). */
+  def readFull(spark: SparkSession, table: String): Option[DataFrame] =
     latestGen(spark, table).map { gen =>
       spark.read.parquet(s"${root(table)}/gen=$gen")
-        .select("partition", "path", "length")
     }
 
   /** Write a new complete generation from the union of carried-over and
@@ -134,27 +138,90 @@ object ManifestTable {
   /** Commit a new manifest generation. `touched = None` (or a first
     * commit) walks the whole table; `touched = Some(parts)` walks ONLY
     * those partition directories and carries the rest over from the
-    * previous generation. Returns the committed generation id. */
+    * previous generation. Returns the committed generation id.
+    *
+    * `statsCols` opts into per-FILE zone maps — the second half of the
+    * Iceberg manifest: one distributed scan of the walked partitions
+    * (only them — the carry-over keeps its stats) records each file's
+    * row count and the min/max of every named numeric column, and
+    * [[prunedFiles]] then answers range predicates with a file list
+    * instead of a scan. Cost: one extra read of the touched data per
+    * commit, paid once at write time; a file whose stats are null (an
+    * unstatted older generation, a column the file lacks) is never
+    * pruned — missing stats degrade to reading, not to wrong answers. */
   def commit(
       spark: SparkSession, table: String,
       partitionCol: String = "source",
-      touched: Option[Seq[String]] = None): Long = {
+      touched: Option[Seq[String]] = None,
+      statsCols: Seq[String] = Nil): Long = {
     import spark.implicits._
     val prev = latestGen(spark, table)
     val scope: Option[Set[String]] =
       if (prev.isEmpty) None else touched.map(_.toSet)
     val walked = walkPartitions(spark, table, partitionCol, scope)
       .toDF("partition", "path", "length")
+    val withStats =
+      if (statsCols.isEmpty || walked.isEmpty) walked
+      else {
+        // one partition-pruned scan of exactly the walked data, keyed by
+        // the file each row came from; normalized to the walk's
+        // scheme-less decoded path so the join is exact
+        val scanned = scope match {
+          case Some(parts) => spark.read.parquet(table)
+            .filter(col(partitionCol).isin(parts.toSeq: _*))
+          case None => spark.read.parquet(table)
+        }
+        val pathExpr = regexp_replace(
+          url_decode(input_file_name()),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+        val aggs = count(lit(1)).as("row_count") +: statsCols.flatMap(c =>
+          Seq(min(col(c)).cast("long").as(s"min_$c"),
+            max(col(c)).cast("long").as(s"max_$c")))
+        val stats = scanned
+          .groupBy(pathExpr.as("path"))
+          .agg(aggs.head, aggs.tail: _*)
+        walked.join(stats, Seq("path"), "left")
+      }
     val rows = (prev, scope) match {
       case (Some(gen), Some(parts)) =>
         spark.read.parquet(s"${root(table)}/gen=$gen")
-          .select("partition", "path", "length")
           .filter(!col("partition").isin(parts.toSeq: _*))
-          .unionByName(walked)
-      case _ => walked
+          .unionByName(withStats, allowMissingColumns = true)
+      case _ => withStats
     }
     writeGen(spark, table, rows, prev)
   }
+
+  /** File list answering `lo <= column <= hi` from the latest
+    * generation's zone maps: every file whose [min, max] overlaps the
+    * range, plus every file with no stats for `column` (unprunable,
+    * never wrong). None when the table has no manifest. */
+  def prunedFiles(
+      spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): Option[Seq[String]] =
+    readFull(spark, table).map { df =>
+      val cols = df.columns.toSet
+      val paths =
+        if (!cols(s"min_$column") || !cols(s"max_$column")) df
+        else df.filter(
+          col(s"min_$column").isNull || col(s"max_$column").isNull ||
+            (col(s"max_$column") >= lo && col(s"min_$column") <= hi))
+      paths.select("path").collect().map(_.getString(0)).toSeq
+    }
+
+  /** Range-predicate scan through the zone maps: reads ONLY the files
+    * [[prunedFiles]] keeps (callers still apply the row-level filter —
+    * zone maps bound files, not rows). `basePath` keeps the partition
+    * column. Empty file list → empty frame with the table's schema. */
+  def readPruned(
+      spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): Option[DataFrame] =
+    prunedFiles(spark, table, column, lo, hi).map { files =>
+      if (files.isEmpty)
+        spark.read.parquet(table).limit(0)
+      else
+        spark.read.option("basePath", table).parquet(files: _*)
+    }
 
   /** Driver-side per-partition `path:length` inventories from the latest
     * generation — the manifest-backed form of [[TableIO.partitionFiles]],

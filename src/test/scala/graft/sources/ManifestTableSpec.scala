@@ -84,6 +84,63 @@ class ManifestTableSpec extends SparkSpec {
     assert(manId.nonEmpty && listId.nonEmpty && manId != listId)
   }
 
+  test("zone-map commit: pruned range read skips files yet matches the " +
+      "full filtered scan exactly") {
+    val dir = tmpDir("man_zone")
+    val t = s"$dir/t"
+    // range-cluster by n_tok inside each partition so files carry
+    // disjoint zone maps worth pruning on
+    SequenceGen.sequences(spark, 600).toDF()
+      .repartitionByRange(6, col("n_tok"))
+      .write.partitionBy("source").parquet(t)
+    ManifestTable.commit(spark, t, statsCols = Seq("n_tok"))
+    val man = ManifestTable.readFull(spark, t).get
+    assert(man.columns.toSet.contains("min_n_tok"))
+    assert(man.filter(col("row_count").isNull).count() === 0)
+    // per-file row counts reconcile with the table
+    assert(man.agg(sum(col("row_count"))).head.getLong(0) ===
+      spark.read.parquet(t).count())
+    val full = spark.read.parquet(t)
+    // a band inside the lowest range bucket — n_tok's heavy tail means a
+    // fraction-of-max band would span every bucket
+    val lo = full.agg(min(col("n_tok"))).head.getInt(0).toLong
+    val hi = lo + 30
+    val allFiles = ManifestTable.partitionFiles(spark, t).get.values.flatten.size
+    val kept = ManifestTable.prunedFiles(spark, t, "n_tok", lo, hi).get
+    assert(kept.size < allFiles, s"pruning kept ${kept.size}/$allFiles")
+    val pruned = ManifestTable.readPruned(spark, t, "n_tok", lo, hi).get
+      .filter(col("n_tok").between(lo, hi))
+    val exact = full.filter(col("n_tok").between(lo, hi))
+    assert(pruned.count() === exact.count())
+    assert(pruned.select("doc_id").except(exact.select("doc_id")).isEmpty)
+    assert(exact.select("doc_id").except(pruned.select("doc_id")).isEmpty)
+  }
+
+  test("incremental commit carries untouched partitions' zone maps over") {
+    val dir = tmpDir("man_zone_incr")
+    val t = s"$dir/t"
+    SequenceGen.sequences(spark, 400).toDF()
+      .write.partitionBy("source").parquet(t)
+    ManifestTable.commit(spark, t, statsCols = Seq("n_tok"))
+    val before = ManifestTable.readFull(spark, t).get
+      .select("partition", "path", "min_n_tok", "max_n_tok")
+      .collect().map(r => r.getString(1) -> r).toMap
+    val victim = ManifestTable.partitionFiles(spark, t).get.keySet.min
+    TableIO.deletePartitions(spark, t, "source", Seq(victim))
+    SequenceGen.sequences(spark, 60).toDF()
+      .filter(col("source") === victim)
+      .write.mode("append").partitionBy("source").parquet(t)
+    ManifestTable.commit(spark, t, "source", Some(Seq(victim)),
+      statsCols = Seq("n_tok"))
+    val after = ManifestTable.readFull(spark, t).get.collect()
+    for (r <- after if r.getAs[String]("partition") != victim) {
+      val b = before(r.getAs[String]("path"))
+      assert(r.getAs[Long]("min_n_tok") === b.getAs[Long]("min_n_tok"))
+      assert(r.getAs[Long]("max_n_tok") === b.getAs[Long]("max_n_tok"))
+    }
+    assert(ManifestTable.verifyAgainstListing(spark, t).isEmpty)
+  }
+
   test("validation's snapshot lineage is identical through the manifest " +
       "and the listing") {
     import graft.jobs.ValidationJob
