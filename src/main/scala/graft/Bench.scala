@@ -40,7 +40,8 @@ object Bench {
     "quality_lr_score", "sample_weighted", "j13_interval_join",
     "mix_temperature", "curation_funnel",
     "lm_unigram_score", "zipf_slope", "quality_confusion", "dsir_weight",
-    "lm_bigram_score", "split_cluster_aware", "bpe_merges", "bpe_encode")
+    "lm_bigram_score", "split_cluster_aware", "bpe_merges", "bpe_encode",
+    "dedup_minhash_audit", "text_blocklist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

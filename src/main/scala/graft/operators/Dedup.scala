@@ -220,6 +220,39 @@ object Dedup {
       .filter(col("est_sim") >= minEstSim)
   }
 
+  /** ESTIMATOR-CALIBRATION audit of the MinHash pipeline: every LSH
+    * candidate pair annotated with its estimated similarity (matching
+    * minhash fraction), its EXACT shingle Jaccard, and the signed error.
+    * The operational question a dedup threshold answers ("does est 0.5
+    * mean exact ~0.5 here?") depends on k and this corpus — this query
+    * measures it instead of assuming it, the same measure-don't-trust
+    * spirit as the trained-IVF recall@k audit.
+    *
+    * Scale: the exact side is computed ONLY for candidate pairs — the
+    * shingle arrays of candidate docs flow through the join (bounded by
+    * the capped LSH output), never an inverted-index pass over the
+    * corpus. Two empty shingle sets are identical by convention
+    * (exact = 1). */
+  def minhashAuditPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
+      shingleN: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val cand = minhashLshPairs(
+      df, idCol, textCol, k, bands, minEstSim, shingleN, maxBucketSize)
+    val hs = df.select(
+      col(idCol), shingleHashes(col(textCol), shingleN).as("hs"))
+    cand
+      .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("denom",
+        size(col("hs_a")) + size(col("hs_b")) - col("n_inter"))
+      .withColumn("exact_sim", when(col("denom") === 0, lit(1.0))
+        .otherwise(col("n_inter").cast("double") / col("denom")))
+      .select(col("id_a"), col("id_b"), col("est_sim"), col("exact_sim"),
+        (col("est_sim") - col("exact_sim")).as("err"))
+  }
+
   /** (id, simhash) for every doc — `bits`-wide locality-sensitive hash.
     * Legacy narrow form (bits <= ~30, limited by the polynomial hash
     * width); the pair path uses the 64-bit band form below. */

@@ -259,6 +259,17 @@ object DedupQueries {
     "dedup_jaccard_pairs_capped" -> ((s, dir) => {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
         shingleN = 3, minJaccard = 0.3, maxDf = 20)
+    }),
+
+    // Estimator-calibration audit of the verified scale config: every
+    // capped-LSH candidate pair with estimated vs EXACT Jaccard and the
+    // signed error — measures what "est >= 0.5" means on this corpus at
+    // k=16 instead of assuming it. Exact side computed only for
+    // candidates (arrays join against the bounded pair list; the corpus
+    // is never inverted-indexed).
+    "dedup_minhash_audit" -> ((s, dir) => {
+      Dedup.minhashAuditPairs(docs(s, dir), "doc_id", "text",
+        k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20)
     })
   )
 
@@ -471,6 +482,22 @@ object DedupQueries {
                    i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
                    AS DOUBLE)/16 >= 0.5""",
     "dedup_minhash_pairs_capped" -> minhashPairsCappedSql,
+    "dedup_minhash_audit" ->
+      s"""WITH pairs AS ($minhashPairsCappedSql),
+          $shingleHashCte
+          SELECT id_a, id_b, est_sim, exact_sim,
+                 est_sim - exact_sim AS err
+          FROM (
+            SELECT p.id_a, p.id_b, p.est_sim,
+                   CASE WHEN len(a.hs) + len(b.hs)
+                             - len(list_intersect(a.hs, b.hs)) = 0 THEN 1.0
+                        ELSE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                             / (len(a.hs) + len(b.hs)
+                                - len(list_intersect(a.hs, b.hs))) END
+                     AS exact_sim
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.id_a
+            JOIN sh b ON b.doc_id = p.id_b)""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsCappedSql),
           $clusterLabelsCte

@@ -84,6 +84,22 @@ object TextQueries {
         fingerprint(col("text")).as("fp"))
     }),
 
+    // BLOCKLIST phrase filter (the bad-phrase quality gate every crawl
+    // pipeline runs): one row per (doc, matched phrase), substring
+    // semantics. The phrase list is a broadcast dim — the corpus scans
+    // once with |phrases| codegen'd contains predicates per row; at
+    // thousands of phrases the same shape holds with the alternation
+    // compiled into one automaton (single rlike), this per-phrase form
+    // keeps WHICH phrase matched.
+    "text_blocklist" -> ((s, dir) => {
+      val phrases = Seq("table scan", "slow query", "hash join")
+      val p = s.createDataFrame(phrases.map(Tuple1(_)))
+        .toDF("phrase")
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .join(broadcast(p), col("text").contains(col("phrase")))
+        .select(col("doc_id"), col("phrase"))
+    }),
+
     // Deterministic STRATIFIED sampling — per source, the k docs with the
     // smallest content fingerprint (a seedless pseudorandom order every
     // engine reproduces): the balanced-subsample op of a training-data
@@ -204,6 +220,12 @@ object TextQueries {
           FROM documents""",
     "text_fingerprint" ->
       s"""SELECT doc_id, ${sqlPolyHash("text")} AS fp FROM documents""",
+    "text_blocklist" ->
+      """SELECT doc_id, phrase
+         FROM documents,
+              (VALUES ('table scan'), ('slow query'), ('hash join'))
+                AS p(phrase)
+         WHERE contains(text, phrase)""",
     "sample_stratified" ->
       s"""SELECT source, CAST(rn AS INT) AS rank, doc_id, fp FROM (
             SELECT source, doc_id, fp,

@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1._2 == 5L || p._1._1 == 5L))
   }
 
+  test("minhash audit: exact side equals jaccardPairs, est from the LSH " +
+      "pair list, exact dup has zero error") {
+    val audit = Dedup.minhashAuditPairs(docs, "doc_id", "text",
+        k = 16, bands = 4, minEstSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // the exact dup pair: est 1.0, exact 1.0, err 0
+    assert(audit((1L, 2L)) === ((1.0, 1.0, 0.0)))
+    // exact side agrees with the inverted-index jaccard operator
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    for (((a, b), (_, exact, err)) <- audit) {
+      assert(math.abs(exact - jac.getOrElse((a, b), 0.0)) < 1e-12)
+      assert(err >= -1.0 && err <= 1.0)
+    }
+  }
+
   test("native minhash kernel equals the explode/groupBy specification " +
       "on real documents and the no-shingle edge") {
     val real = spark.read
