@@ -184,12 +184,102 @@ object ManifestTable {
       }
     val rows = (prev, scope) match {
       case (Some(gen), Some(parts)) =>
+        // a plain commit is a batch boundary outside any ingest stream:
+        // the carried rows drop the replay key (see commitAppend)
         spark.read.parquet(s"${root(table)}/gen=$gen")
+          .drop("commit_key")
           .filter(!col("partition").isin(parts.toSeq: _*))
           .unionByName(withStats, allowMissingColumns = true)
       case _ => withStats
     }
     writeGen(spark, table, rows, prev)
+  }
+
+  /** The commit key the latest generation was written under (null-key
+    * generations — plain [[commit]]s — yield None). */
+  def lastCommitKey(spark: SparkSession, table: String): Option[String] =
+    readFull(spark, table).flatMap { df =>
+      if (!df.columns.contains("commit_key")) None
+      else Option(df.select(first(col("commit_key"), ignoreNulls = false))
+        .head.getString(0))
+    }
+
+  /** EXACTLY-ONCE keyed append into a manifested table — the streaming
+    * micro-batch ingestion primitive (plain parquet append is not replay-
+    * safe: a crashed-and-replayed batch appends its rows twice). The
+    * protocol, replay-safe at every crash point:
+    *
+    *  1. If the latest generation's `commit_key` equals `key`, the
+    *     attempt already committed — no-op (crash AFTER manifest commit,
+    *     before the caller's own checkpoint).
+    *  2. DEBRIS sweep: any file in the touched partitions that the
+    *     manifest does not know is a crashed attempt's output (the
+    *     manifested-table contract makes unmanifested files exactly
+    *     that) — deleted before writing, so a crash MID-WRITE or between
+    *     write and manifest commit replays to a single clean copy.
+    *  3. Append the batch's rows partitioned by `partitionCol`.
+    *  4. Roll a new manifest generation carrying `key` in every row —
+    *     the key and the inventory commit atomically (readers take the
+    *     generation or nothing).
+    *
+    * Micro-batches commit serially (Structured Streaming's contract), so
+    * one key on the LATEST generation is a complete replay ledger.
+    * Returns true if the batch was applied, false for a no-op replay. */
+  def commitAppend(
+      spark: SparkSession, table: String, batch: DataFrame,
+      key: String, partitionCol: String = "source",
+      statsCols: Seq[String] = Nil): Boolean = {
+    import spark.implicits._
+    val prev = latestGen(spark, table)
+    if (prev.nonEmpty && lastCommitKey(spark, table).contains(key))
+      return false
+    val touched = batch.select(col(partitionCol)).distinct()
+      .as[String].collect().toSeq
+    if (touched.isEmpty) return false
+    // debris sweep (step 2)
+    val known: Set[String] = prev.map { gen =>
+      spark.read.parquet(s"${root(table)}/gen=$gen")
+        .filter(col("partition").isin(touched: _*))
+        .select("path").as[String].collect().toSet
+    }.getOrElse(Set.empty)
+    val (fs, _) = fsOf(spark, table)
+    walkPartitions(spark, table, partitionCol, Some(touched.toSet))
+      .filterNot { case (_, path, _) => known(path) }
+      .foreach { case (_, path, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      }
+    // append (step 3) — plain append: replay safety comes from the sweep
+    batch.write.mode(SaveMode.Append).partitionBy(partitionCol)
+      .parquet(table)
+    // keyed generation (step 4)
+    val walked = walkPartitions(spark, table, partitionCol,
+        Some(touched.toSet))
+      .toDF("partition", "path", "length")
+    val withStats =
+      if (statsCols.isEmpty) walked
+      else {
+        val scanned = spark.read.parquet(table)
+          .filter(col(partitionCol).isin(touched: _*))
+        val pathExpr = regexp_replace(
+          url_decode(input_file_name()),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+        val aggs = count(lit(1)).as("row_count") +: statsCols.flatMap(c =>
+          Seq(min(col(c)).cast("long").as(s"min_$c"),
+            max(col(c)).cast("long").as(s"max_$c")))
+        walked.join(
+          scanned.groupBy(pathExpr.as("path")).agg(aggs.head, aggs.tail: _*),
+          Seq("path"), "left")
+      }
+    val rows = prev match {
+      case Some(gen) =>
+        spark.read.parquet(s"${root(table)}/gen=$gen")
+          .drop("commit_key")
+          .filter(!col("partition").isin(touched: _*))
+          .unionByName(withStats, allowMissingColumns = true)
+      case None => withStats
+    }
+    writeGen(spark, table, rows.withColumn("commit_key", lit(key)), prev)
+    true
   }
 
   /** File list answering `lo <= column <= hi` from the latest

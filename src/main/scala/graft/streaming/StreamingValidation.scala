@@ -147,6 +147,42 @@ object StreamingValidation {
       .start()
   }
 
+  /** EXACTLY-ONCE streaming ingestion into a MANIFESTED table — the
+    * write side of the ingestion steady state ([[startDeltaValidating]]
+    * is the read side; reference analog: the event-driven store writes
+    * in s3_event_recorder.py:80-179, which delete-then-rewrite for
+    * idempotence). Each micro-batch lands in `table` through
+    * [[graft.sources.ManifestTable.commitAppend]], keyed by this
+    * checkpoint's batch id, so the parquet append, the manifest
+    * generation, and the replay ledger commit together: a crashed and
+    * replayed micro-batch either no-ops (its key is already on the
+    * latest generation) or sweeps its own unmanifested debris before
+    * re-writing — the table never holds a double copy, and manifest
+    * readers (snapshot lineage, append-delta validation, zone-map
+    * pruning) always see a consistent inventory. `statsCols` opts into
+    * per-file zone maps AT INGEST TIME, while the batch's rows are
+    * already hot, so later range scans prune files with no extra pass. */
+  def startManifestedIngest(
+      spark: SparkSession,
+      inputDir: String,
+      table: String,
+      checkpointDir: String,
+      partitionCol: String = "source",
+      statsCols: Seq[String] = Nil,
+      maxFilesPerTrigger: Int = 1024): StreamingQuery =
+    readSequenceStream(spark, inputDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Sequence], batchId: Long) =>
+        graft.sources.ManifestTable.commitAppend(
+          batch.sparkSession, table, batch.toDF(),
+          key = s"stream-$batchId", partitionCol = partitionCol,
+          statsCols = statsCols)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup, first-seen wins — the reference's
     * duplicate-etag gate (manifest_processor.py:283-305) applied
     * incrementally: a key seen in ANY earlier micro-batch is dropped,

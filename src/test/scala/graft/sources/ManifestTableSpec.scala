@@ -141,6 +141,49 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.verifyAgainstListing(spark, t).isEmpty)
   }
 
+  test("commitAppend: keyed append applies once; a replayed key no-ops") {
+    val dir = tmpDir("man_capp")
+    val t = s"$dir/t"
+    val b0 = SequenceGen.sequences(spark, 120).toDF()
+    assert(ManifestTable.commitAppend(spark, t, b0, "batch-0"))
+    val n0 = spark.read.parquet(t).count()
+    assert(n0 === 120L)
+    assert(ManifestTable.lastCommitKey(spark, t) === Some("batch-0"))
+    assert(ManifestTable.verifyAgainstListing(spark, t).isEmpty)
+    // replay of the committed batch: no-op, no double copy
+    assert(!ManifestTable.commitAppend(spark, t, b0, "batch-0"))
+    assert(spark.read.parquet(t).count() === n0)
+    // the NEXT batch applies and the inventory stays consistent
+    val b1 = SequenceGen.sequences(spark, 80, seed = 7L).toDF()
+    assert(ManifestTable.commitAppend(spark, t, b1, "batch-1"))
+    assert(spark.read.parquet(t).count() === n0 + 80L)
+    assert(ManifestTable.lastCommitKey(spark, t) === Some("batch-1"))
+    assert(ManifestTable.verifyAgainstListing(spark, t).isEmpty)
+  }
+
+  test("commitAppend: a replay sweeps the crashed attempt's debris " +
+      "before re-writing") {
+    val dir = tmpDir("man_debris")
+    val t = s"$dir/t"
+    ManifestTable.commitAppend(spark, t,
+      SequenceGen.sequences(spark, 100).toDF(), "batch-0")
+    val n0 = spark.read.parquet(t).count()
+    val b1 = SequenceGen.sequences(spark, 60, seed = 9L).toDF()
+    // simulate batch-1 crashing between its parquet append and its
+    // manifest commit: the rows land but no generation records them
+    b1.write.mode("append").partitionBy("source").parquet(t)
+    assert(spark.read.parquet(t).count() === n0 + 60L)
+    assert(ManifestTable.verifyAgainstListing(spark, t).nonEmpty)
+    // the replayed attempt sweeps its own debris and lands ONE copy
+    assert(ManifestTable.commitAppend(spark, t, b1, "batch-1"))
+    assert(spark.read.parquet(t).count() === n0 + 60L)
+    assert(ManifestTable.verifyAgainstListing(spark, t).isEmpty)
+    // row-level: the table is exactly batch-0 ∪ batch-1, nothing else
+    val expect = SequenceGen.sequences(spark, 100).toDF().unionByName(b1)
+    val got = spark.read.parquet(t).select(expect.columns.map(col): _*)
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
   test("validation's snapshot lineage is identical through the manifest " +
       "and the listing") {
     import graft.jobs.ValidationJob
