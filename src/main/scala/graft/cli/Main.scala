@@ -169,6 +169,19 @@ object Main {
                   "--compact-files expects maxFiles:targetBytes")
               }
           }.getOrElse(Nil)
+          // --cluster-by=col:targetBytes — clustered rewrite of the STORE
+          // table: range-sort each partition on col so zone maps prune;
+          // re-commits the manifest when one exists
+          val clustered = rest.collectFirst {
+            case a if a.startsWith("--cluster-by=") =>
+              a.stripPrefix("--cluster-by=").split(':') match {
+                case Array(c, tb) =>
+                  graft.jobs.CleanupJob.clusterPartitions(
+                    spark, store, "source", c, tb.toLong, dryRun = dry)
+                case _ => throw new IllegalArgumentException(
+                  "--cluster-by expects col:targetBytes")
+              }
+          }.getOrElse(Nil)
           // full gate incl. lineage: stale verdicts over a re-uploaded
           // input must not authorize deleting the corrected staging copy
           val promoted = graft.jobs.TransferJob
@@ -181,6 +194,7 @@ object Main {
               s""""pruned_run_ids":${jarr(pruned)},""" +
               s""""compacted_checkpoint_segs":$compacted,""" +
               s""""compacted_partitions":${fileCompactions.size},""" +
+              s""""clustered_partitions":${clustered.size},""" +
               s""""dry_run":$dry}""")
 
         case "diff" :: valOut :: rest =>

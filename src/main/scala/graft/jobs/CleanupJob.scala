@@ -285,4 +285,103 @@ object CleanupJob {
     }
     plans.map { case (dir, before, after) => (dir.getName, before, after) }
   }
+
+  /** CLUSTERED rewrite — [[compactPartitions]]'s sibling for SCAN
+    * LOCALITY (the Iceberg `rewrite_data_files` with a sort order /
+    * OPTIMIZE ... ZORDER-lite, over plain parquet layout). Each
+    * partition's rows are range-repartitioned and sorted on `clusterCol`
+    * before rewriting, so every output file covers a DISJOINT value
+    * range: after the manifest recommit, [[graft.sources.ManifestTable
+    * .prunedFiles]] answers a narrow range predicate with ~1 file
+    * instead of all of them (ingestion order scatters every value range
+    * across every file, making zone maps useless — min≈global-min,
+    * max≈global-max in each file). At 100 TB this is the difference
+    * between a range query scanning the table and scanning
+    * range-fraction × table.
+    *
+    * Mechanics shared with compaction: per-partition independent rewrite
+    * (restartable — a crash loses at most one partition's progress, and
+    * each swap leaves the old or the new complete layout, never a mix),
+    * ceil(bytes / targetBytes) output files, `_cluster_tmp` staging +
+    * rename swap. `repartitionByRange` samples the partition to pick
+    * balanced, disjoint bounds — no driver-side data, skewed cluster
+    * keys get more files, not bigger ones.
+    *
+    * If the table is MANIFESTED, the touched partitions are re-committed
+    * with zone maps on `statsCols` (default: `clusterCol`) — the rewrite
+    * and the manifest contract stay in lockstep; an unmanifested table
+    * just gets the clustered layout (parquet row-group stats still
+    * benefit). Same lineage note as compaction: snapshot ids change, run
+    * it between validation cycles. Returns (partitionDirName,
+    * filesBefore, filesAfter). */
+  def clusterPartitions(
+      spark: SparkSession,
+      tablePath: String,
+      partitionCol: String,
+      clusterCol: String,
+      targetBytes: Long,
+      statsCols: Seq[String] = Nil,
+      dryRun: Boolean = false): Seq[(String, Int, Int)] = {
+    require(targetBytes >= 1L, "targetBytes must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val prefix = partitionCol + "="
+    def dataFiles(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).toSeq.filter(_.isFile).filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+    val plans = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .sortBy(_.getName)
+      .flatMap { dir =>
+        val files = dataFiles(dir)
+        if (files.isEmpty) None
+        else {
+          val bytes = files.map(_.getLen).sum
+          val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+          Some((dir, files.size, nOut.toInt))
+        }
+      }
+    if (!dryRun) {
+      plans.foreach { case (dir, _, nOut) =>
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$tablePath/_cluster_tmp/${dir.getName}")
+        val old = new org.apache.hadoop.fs.Path(
+          s"$tablePath/_cluster_old/${dir.getName}")
+        fs.delete(tmp, true)
+        spark.read.parquet(dir.toString)
+          .repartitionByRange(nOut, org.apache.spark.sql.functions.col(clusterCol))
+          .sortWithinPartitions(clusterCol)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(tmp.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+        fs.mkdirs(old.getParent)
+        fs.delete(old, true)
+        if (!fs.rename(dir, old))
+          throw new java.io.IOException(s"clustering: cannot move $dir aside")
+        if (!fs.rename(tmp, dir)) {
+          fs.rename(old, dir) // restore — the old layout is still complete
+          throw new java.io.IOException(s"clustering: cannot move $tmp in")
+        }
+        fs.delete(old, true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/_cluster_tmp"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/_cluster_old"), true)
+      if (plans.nonEmpty &&
+          graft.sources.ManifestTable.exists(spark, tablePath)) {
+        val touched = plans.map { case (dir, _, _) =>
+          graft.sources.TableIO.unescapePathName(
+            dir.getName.stripPrefix(prefix))
+        }
+        graft.sources.ManifestTable.commit(
+          spark, tablePath, partitionCol, touched = Some(touched),
+          statsCols = if (statsCols.isEmpty) Seq(clusterCol) else statsCols)
+      }
+    }
+    plans.map { case (dir, before, after) => (dir.getName, before, after) }
+  }
 }

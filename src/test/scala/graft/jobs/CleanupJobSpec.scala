@@ -243,4 +243,53 @@ class CleanupJobSpec extends SparkSpec {
     assert(CleanupJob.compactPartitions(
       spark, dir, "source", maxFiles = 4, targetBytes = 1L << 30).isEmpty)
   }
+
+  test("clustered rewrite sorts partitions on the cluster column, " +
+      "preserves rows, and makes manifest zone maps prune") {
+    import graft.sources.ManifestTable
+    val dir = tmpDir("cluster")
+    // ingestion order: round-robin scatter, so every file spans nearly
+    // the full n_tok range and zone maps can prune nothing
+    SequenceGen.sequences(spark, 2000).toDF()
+      .repartition(6)
+      .write.mode("overwrite").partitionBy("source").parquet(dir)
+    ManifestTable.commit(spark, dir, statsCols = Seq("n_tok"))
+    val before = spark.read.parquet(dir)
+      .orderBy("source", "doc_id").collect().toSeq
+    val allFiles = ManifestTable.read(spark, dir).get.count()
+    val med = spark.read.parquet(dir)
+      .selectExpr("percentile_approx(n_tok, 0.5)").head.getInt(0).toLong
+    val prunedBefore =
+      ManifestTable.prunedFiles(spark, dir, "n_tok", med, med).get.size
+    assert(prunedBefore.toLong === allFiles) // scatter defeats zone maps
+
+    // dry run: report only, nothing moves
+    val planned = CleanupJob.clusterPartitions(
+      spark, dir, "source", "n_tok", targetBytes = 16L << 10, dryRun = true)
+    assert(planned.nonEmpty)
+    assert(ManifestTable.prunedFiles(spark, dir, "n_tok", med, med)
+      .get.size === prunedBefore)
+
+    val done = CleanupJob.clusterPartitions(
+      spark, dir, "source", "n_tok", targetBytes = 16L << 10)
+    assert(done.map(_._1) === planned.map(_._1))
+    // rows are untouched, the manifest was re-committed in lockstep
+    val after = spark.read.parquet(dir)
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(after === before)
+    assert(ManifestTable.verifyAgainstListing(spark, dir).isEmpty)
+    // disjoint per-file ranges: the point query now touches ~1 file per
+    // partition instead of every file
+    val afterAll = ManifestTable.read(spark, dir).get.count()
+    val prunedAfter =
+      ManifestTable.prunedFiles(spark, dir, "n_tok", med, med).get.size
+    assert(prunedAfter.toLong < afterAll)
+    assert(prunedAfter <= done.size) // <= 1 overlapping file per partition
+    // pruned read + row filter ≡ full scan + row filter
+    val viaPruned = ManifestTable.readPruned(spark, dir, "n_tok", med, med)
+      .get.filter(col("n_tok") === med).count()
+    val viaFull = spark.read.parquet(dir)
+      .filter(col("n_tok") === med).count()
+    assert(viaPruned === viaFull && viaFull > 0L)
+  }
 }
