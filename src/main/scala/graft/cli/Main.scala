@@ -109,9 +109,16 @@ object Main {
             sketchExpectedItems = sketchItems.getOrElse(1000000L),
             sketchFpp = sketchFpp.getOrElse(0.001),
             appendDelta = appendDelta,
-            rules =
-              if (refSnap.isDefined) graft.rules.Rules.withSnapshotEquality
-              else graft.rules.Rules.standard))
+            rules = {
+              val base =
+                if (refSnap.isDefined) graft.rules.Rules.withSnapshotEquality
+                else graft.rules.Rules.standard
+              // manifested input: the metadata row counts exist, so the
+              // scan-vs-manifest reconciliation rule can actually run
+              if (graft.sources.ManifestTable.exists(spark, input))
+                graft.rules.Rules.withStorageCount(base)
+              else base
+            }))
           println(
             s"""{"snapshot_id":"${report.snapshotId}",""" +
               s""""ruleset_hash":"${report.rulesetHash}",""" +

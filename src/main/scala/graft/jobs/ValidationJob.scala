@@ -376,6 +376,52 @@ object ValidationJob {
       fin.rowCount.map(_ - oldStateDocs).getOrElse(seqs.count())
     phase("stats_finish")
 
+    // Storage-manifest ROW-COUNT reconciliation (StorageCountRule): the
+    // per-partition scanned counts (free — fin.aggregates) against the
+    // table manifest's metadata counts (one |files|-row read). Catches
+    // rows lost or added between ingest-commit and validation — file
+    // truncation, debris a bypassing writer dropped in — as a partition
+    // FAIL instead of silently validating whatever the scan saw. A
+    // partition whose metadata can't answer (no manifest, unstatted
+    // files) rolls up NOT_COMPLETED, never PASS.
+    val storageRules = cfg.rules.storageCountRules
+    var storageNotCompleted = Set.empty[(String, String)]
+    val storageVios: Seq[Violation] = storageRules.flatMap { rule =>
+      val counts: Map[String, Option[Long]] =
+        ManifestTable.readFull(spark, cfg.inputPath) match {
+          case Some(mf) if mf.columns.contains("row_count") =>
+            mf.groupBy(col("partition"))
+              .agg(sum(col("row_count")).as("rows"),
+                count(lit(1)).as("files"),
+                count(col("row_count")).as("statted"))
+              .collect()
+              .map(r => r.getString(0) ->
+                (if (r.getLong(3) == r.getLong(2)) Some(r.getLong(1))
+                 else None))
+              .toMap
+          case _ => Map.empty
+        }
+      val actualBy = fin.aggregates.map(a => a.source -> a.nDocs).toMap
+      todo.sorted.flatMap { src =>
+        counts.get(src).flatten match {
+          case Some(exp) =>
+            val act = actualBy.getOrElse(src, 0L)
+            if (exp != act)
+              Some(Violation(
+                doc_id = null,
+                rule_id = rule.id,
+                observed =
+                  s"""{"scanned_rows":$act,"manifest_rows":$exp}""",
+                source = src,
+                severity = rule.severity))
+            else None
+          case None =>
+            storageNotCompleted += ((src, rule.id)); None
+        }
+      }
+    }
+    phase("storage_rowcount")
+
     // CROSS-RUN uniqueness (CrossRunUniqueRule): the reference's duplicate
     // gate is store-GLOBAL — every new upload's key is checked against the
     // accumulated ETag record (manifest_processor.py:283-305,
@@ -465,9 +511,9 @@ object ValidationJob {
     // Coalesced to ONE slice so the union stays clustered enough to write
     // without re-shuffling (scanVio is already repartitioned by source):
     // per source dir, <= 1 file from the scan side + 1 from this slice.
-    val driverVios = fin.driverViolations
+    val driverVios = (fin.driverViolations
       .filter(v => todoSet(v.source) ||
-        (!allPartsSet(v.source) && inScope(v.source)))
+        (!allPartsSet(v.source) && inScope(v.source)))) ++ storageVios
     // cross-run duplicates: a small distributed frame (the duplicated
     // slice of the NEW scope only), persisted so the two write chains and
     // the count reuse one materialization of the confirm join
@@ -598,7 +644,7 @@ object ValidationJob {
       // write, the run log, AND the checkpoint — zero re-reads.
       val rows = RuleEngine.rollUpVerdicts(
           spark, runSources, cfg.rules, vio, fin.stats,
-          fin.notCompleted ++ xrunNotCompleted)
+          fin.notCompleted ++ xrunNotCompleted ++ storageNotCompleted)
         .collect().toSeq
       TableIO.writePartitioned(
         spark.createDataset(rows).coalesce(1).toDF(),

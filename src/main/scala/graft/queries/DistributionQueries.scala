@@ -334,31 +334,65 @@ object DistributionQueries {
     // a = o1'·n2', b = o2'·n1' — order-free, one float division at the
     // end. Same dimension-grid shape as chi2: the corpus collapses to
     // per-(source, bin) counts with map-side combine.
-    "drift_psi_twosample" -> ((s, dir) => {
-      val d = docs(s, dir)
-        .select(col("source"), (col("n_chars") / lit(100)).cast("long").as("bin"))
-      val sb = d.groupBy("source", "bin").agg(count(lit(1)).as("o1"))
-      val pb = sb.groupBy("bin").agg(sum("o1").as("ob"))
-      val ns = sb.groupBy("source").agg(sum("o1").as("n1"))
-      val tot = pb.agg(sum(col("ob")).as("n_total"),
-        count(lit(1)).as("n_bins"))
-      val terms = ns.crossJoin(broadcast(pb))
-        .join(sb, Seq("source", "bin"), "left")
-        .na.fill(0L, Seq("o1"))
-        .crossJoin(broadcast(tot))
-        .withColumn("n2", col("n_total") - col("n1"))
-        .withColumn("a", (col("o1") + 1L) * (col("n2") + col("n_bins")))
-        .withColumn("b",
-          (col("ob") - col("o1") + 1L) * (col("n1") + col("n_bins")))
-        .withColumn("qterm", (col("a") - col("b")) * (qln(col("a")) - qln(col("b"))))
-      terms.groupBy(col("source"), col("n1"), col("n2"), col("n_bins"))
-        .agg(sum(col("qterm")).as("psi_qsum"))
-        .withColumn("psi", col("psi_qsum").cast("double")
-          / ((col("n1") + col("n_bins")) * (col("n2") + col("n_bins")))
-            .cast("double") / lit(1e6))
-        .select("source", "n1", "n2", "n_bins", "psi_qsum", "psi")
+    "drift_psi_twosample" -> ((s, dir) =>
+      psiOverBins(docs(s, dir).select(col("source"),
+        (col("n_chars") / lit(100)).cast("long").as("bin")))),
+
+    // Equi-depth PSI drift: the same PSI gate over corpus-TRAINED
+    // quantile bins (K=8 nearest-rank edges on n_chars) instead of
+    // fixed width — the binning production drift monitors actually use:
+    // fixed-width bins starve on skewed distributions (most bins empty,
+    // a few saturated), equi-depth bins carry ~n/8 expected mass each so
+    // every bin contributes signal. Training collapses the value
+    // histogram driver-side (the trained-literal pattern of
+    // quality_deciles / text_freq_score — |distinct values| rows, never
+    // the corpus); bucketing is a pure projection when-chain, so the
+    // drift pass shuffles only |sources × 8| partials.
+    "drift_psi_equidepth" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val hist = d0.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+        .orderBy("n_chars").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val n = hist.map(_._2).sum
+      val cums = hist.scanLeft(0L)(_ + _._2).tail
+      // edge(q) = min value whose cumulative count reaches q/8 of n —
+      // the same integer nearest-rank rule as quality_deciles
+      val thrs = (1 to 7).map { q =>
+        hist(cums.indexWhere(c => c * 8 >= q * n))._1
+      }
+      val bin = thrs.foldLeft(lit(0L)) { (acc, t) =>
+        acc + when(col("n_chars") > t, 1L).otherwise(0L)
+      }
+      psiOverBins(d0.select(col("source"), bin.as("bin")))
     })
   )
+
+  /** Laplace-smoothed integer-exact PSI per source vs rest over
+    * (source, bin) rows — the shared tail of the fixed-width and
+    * equi-depth drift queries (one definition, the two bin rules cannot
+    * drift apart). */
+  private def psiOverBins(d: DataFrame): DataFrame = {
+    val sb = d.groupBy("source", "bin").agg(count(lit(1)).as("o1"))
+    val pb = sb.groupBy("bin").agg(sum("o1").as("ob"))
+    val ns = sb.groupBy("source").agg(sum("o1").as("n1"))
+    val tot = pb.agg(sum(col("ob")).as("n_total"),
+      count(lit(1)).as("n_bins"))
+    val terms = ns.crossJoin(broadcast(pb))
+      .join(sb, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("o1"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n2", col("n_total") - col("n1"))
+      .withColumn("a", (col("o1") + 1L) * (col("n2") + col("n_bins")))
+      .withColumn("b",
+        (col("ob") - col("o1") + 1L) * (col("n1") + col("n_bins")))
+      .withColumn("qterm", (col("a") - col("b")) * (qln(col("a")) - qln(col("b"))))
+    terms.groupBy(col("source"), col("n1"), col("n2"), col("n_bins"))
+      .agg(sum(col("qterm")).as("psi_qsum"))
+      .withColumn("psi", col("psi_qsum").cast("double")
+        / ((col("n1") + col("n_bins")) * (col("n2") + col("n_bins")))
+          .cast("double") / lit(1e6))
+      .select("source", "n1", "n2", "n_bins", "psi_qsum", "psi")
+  }
 
   val oracles: Map[String, String] = Map(
     "text_entropy" ->
@@ -553,6 +587,44 @@ object DistributionQueries {
       """WITH sb AS (SELECT source, n_chars // 100 AS bin,
                        CAST(COUNT(*) AS BIGINT) AS o1
                      FROM documents GROUP BY source, bin),
+         pb AS (SELECT bin, CAST(SUM(o1) AS BIGINT) AS ob
+                FROM sb GROUP BY bin),
+         ns AS (SELECT source, CAST(SUM(o1) AS BIGINT) AS n1
+                FROM sb GROUP BY source),
+         tot AS (SELECT CAST(SUM(ob) AS BIGINT) AS n_total,
+                        CAST(COUNT(*) AS BIGINT) AS n_bins FROM pb),
+         terms AS (SELECT ns.source, ns.n1, (n_total - ns.n1) AS n2, n_bins,
+                     (COALESCE(sb.o1,0) + 1)
+                       * ((n_total - ns.n1) + n_bins) AS a,
+                     (pb.ob - COALESCE(sb.o1,0) + 1)
+                       * (ns.n1 + n_bins) AS b
+                   FROM ns CROSS JOIN pb
+                   LEFT JOIN sb ON sb.source = ns.source AND sb.bin = pb.bin,
+                   tot)
+         SELECT source, n1, n2, n_bins,
+           CAST(SUM((a - b) *
+             (CAST(floor(ln(CAST(a AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(b AS DOUBLE))*1e6) AS BIGINT)))
+             AS BIGINT) AS psi_qsum,
+           CAST(SUM((a - b) *
+             (CAST(floor(ln(CAST(a AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(b AS DOUBLE))*1e6) AS BIGINT)))
+             AS DOUBLE)
+             / CAST((n1 + n_bins) * (n2 + n_bins) AS DOUBLE) / 1e6 AS psi
+         FROM terms GROUP BY source, n1, n2, n_bins""",
+    "drift_psi_equidepth" ->
+      """WITH h AS (SELECT n_chars AS v, COUNT(*) AS c
+                    FROM documents GROUP BY 1),
+         cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+         tot0 AS (SELECT COUNT(*) AS n FROM documents),
+         t AS (SELECT d, MIN(v) AS thr
+               FROM cum, tot0, unnest(range(1,8)) AS r(d)
+               WHERE cum * 8 >= d * n GROUP BY d),
+         sb AS (SELECT source,
+                  CAST((SELECT COUNT(*) FROM t
+                        WHERE documents.n_chars > t.thr) AS BIGINT) AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS o1
+                FROM documents GROUP BY 1, 2),
          pb AS (SELECT bin, CAST(SUM(o1) AS BIGINT) AS ob
                 FROM sb GROUP BY bin),
          ns AS (SELECT source, CAST(SUM(o1) AS BIGINT) AS n1

@@ -85,6 +85,21 @@ final case class ManifestRule(id: String, severity: String)
   def descriptor: String = s"$id|$severity|manifest_integrity"
 }
 
+/** Storage-manifest ROW-COUNT reconciliation: each validated partition's
+  * scanned row count must equal the table manifest's metadata count
+  * ([[graft.sources.ManifestTable]] per-file `row_count` sums) — the
+  * scan-vs-metadata integrity gate Iceberg users get for free, catching
+  * files truncated/corrupted/added behind the manifest's back between
+  * ingest-commit and validation (the file-level form is
+  * `verifyAgainstListing`; this is the ROW-level form, and it rides
+  * counts both sides already computed). NOT_COMPLETED when the table has
+  * no manifest or a partition's files carry no counts — metadata the
+  * engine doesn't have degrades to "could not check", never to PASS. */
+final case class StorageCountRule(id: String, severity: String)
+    extends RuleSpec {
+  def descriptor: String = s"$id|$severity|storage_rowcount(manifest)"
+}
+
 /** Row-level cross-snapshot token-array equality (J10; the BASELINE
   * per-row invariant; reference move_to_new_pipeline_check.py:84-147):
   * every doc of the reference snapshot must exist in the current snapshot
@@ -121,6 +136,8 @@ final case class RuleSet(rules: Seq[RuleSpec]) {
     rules.collect { case r: ManifestRule => r }
   def snapshotRules: Seq[SnapshotEqualityRule] =
     rules.collect { case r: SnapshotEqualityRule => r }
+  def storageCountRules: Seq[StorageCountRule] =
+    rules.collect { case r: StorageCountRule => r }
 
   def ruleIds: Seq[String] = rules.map(_.id)
 
@@ -149,6 +166,7 @@ object Rules {
   val RDriftNtokPsi = "R_DRIFT_NTOK_PSI"
   val RManifest = "R_MANIFEST"
   val RSnapshotEquality = "R_SNAPSHOT_TOKEN_EQUALITY"
+  val RStorageCount = "R_STORAGE_ROWCOUNT"
 
   /** doc_id format — analog of the study-id regex gate
     * `^A[0-9]{7,8}$` (reference submission_data.py:18-22, 210-229). */
@@ -199,6 +217,13 @@ object Rules {
     * reference snapshot input — ValidationJob.Config.refSnapshotPath). */
   def withSnapshotEquality: RuleSet = RuleSet(standard.rules :+
     SnapshotEqualityRule(RSnapshotEquality, Severity.Error))
+
+  /** `base` + the storage-manifest row-count reconciliation (sensible
+    * only on MANIFESTED input tables — the CLI opts in automatically when
+    * the input carries a manifest; elsewhere the rule would sit at
+    * NOT_COMPLETED forever). */
+  def withStorageCount(base: RuleSet = standard): RuleSet =
+    RuleSet(base.rules :+ StorageCountRule(RStorageCount, Severity.Error))
 
   /** Row-rules-only subset (no manifest / baseline needed). */
   def rowOnly: RuleSet = RuleSet(standard.rules.collect {

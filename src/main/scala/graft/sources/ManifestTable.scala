@@ -282,6 +282,44 @@ object ManifestTable {
     true
   }
 
+  /** METADATA-ONLY `count(*)`: the sum of the manifest's per-file row
+    * counts — zero data bytes read (the Iceberg manifest-count answer).
+    * Some only when EVERY inventoried file carries a row count; a
+    * manifest with any unstatted file (older generation, stats-less
+    * commit) degrades to None — metadata answers are never wrong,
+    * merely unavailable, and the caller falls back to scanning. */
+  def tableCount(spark: SparkSession, table: String): Option[Long] =
+    readFull(spark, table).flatMap { df =>
+      if (!df.columns.contains("row_count")) None
+      else {
+        val r = df.agg(
+          sum(col("row_count")), count(lit(1)), count(col("row_count"))).head
+        if (r.getLong(2) != r.getLong(1)) None
+        else Some(if (r.isNullAt(0)) 0L else r.getLong(0))
+      }
+    }
+
+  /** METADATA-ONLY global [min, max] of a zone-mapped column — the
+    * two-sided analog of [[tableCount]]. None when any file lacks stats
+    * for `column` OR any statted file holds only nulls in it (a null
+    * file-min is indistinguishable from "unstatted", so both degrade to
+    * unavailable rather than risk a wrong bound). */
+  def columnRange(
+      spark: SparkSession, table: String,
+      column: String): Option[(Long, Long)] =
+    readFull(spark, table).flatMap { df =>
+      val (mnc, mxc) = (s"min_$column", s"max_$column")
+      if (!df.columns.contains(mnc) || !df.columns.contains(mxc)) None
+      else {
+        val r = df.agg(
+          min(col(mnc)), max(col(mxc)),
+          count(lit(1)), count(col(mnc)), count(col(mxc))).head
+        if (r.getLong(2) == 0L || r.getLong(3) != r.getLong(2) ||
+            r.getLong(4) != r.getLong(2)) None
+        else Some((r.getLong(0), r.getLong(1)))
+      }
+    }
+
   /** File list answering `lo <= column <= hi` from the latest
     * generation's zone maps: every file whose [min, max] overlaps the
     * range, plus every file with no stats for `column` (unprunable,

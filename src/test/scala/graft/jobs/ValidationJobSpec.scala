@@ -56,6 +56,53 @@ class ValidationJobSpec extends SparkSpec {
     assert(vio2.sameElements(vioSnapshot))
   }
 
+  test("storage row-count rule: manifested clean table passes, a file " +
+      "dropped behind the manifest fails exactly its partition, and an " +
+      "unmanifested table rolls up NOT_COMPLETED") {
+    import graft.sources.ManifestTable
+    import graft.rules.Rules
+    val dir = tmpDir("vjob_sc")
+    writeInput(dir)
+    val rules = Rules.withStorageCount()
+    ManifestTable.commit(spark, s"$dir/input", statsCols = Seq("n_tok"))
+    val cfg = ValidationJob.Config(s"$dir/input", s"$dir/manifest",
+      s"$dir/out", rules = rules)
+    ValidationJob.run(spark, cfg)
+    val ver = spark.read.parquet(ValidationJob.verdictsPath(cfg.outDir))
+    assert(ver.filter($"rule_id" === Rules.RStorageCount).count() > 0)
+    assert(ver.filter($"rule_id" === Rules.RStorageCount &&
+      $"status" =!= Status.Pass).count() === 0)
+
+    // a bypassing writer drops an extra file into ONE partition: the scan
+    // sees more rows than the manifest's metadata count. NOTE the write is
+    // also invisible to the manifest-first snapshot lineage (as in
+    // Iceberg), so the check fires whenever the partition next validates —
+    // here, a fresh run over a new outDir.
+    val extra = SequenceGen.sequences(spark, 25, seed = 11L)
+      .filter($"source" === "mito").drop("source")
+    assert(extra.count() > 0)
+    extra.write.mode("append").parquet(s"$dir/input/source=mito")
+    val cfgB = cfg.copy(outDir = s"$dir/out2")
+    ValidationJob.run(spark, cfgB)
+    val vio = spark.read.parquet(ValidationJob.violationsPath(cfgB.outDir))
+      .filter($"rule_id" === Rules.RStorageCount)
+    assert(vio.select("source").as[String].collect().toSeq === Seq("mito"))
+    val ver2 = spark.read.parquet(ValidationJob.verdictsPath(cfgB.outDir))
+    assert(ver2.filter($"rule_id" === Rules.RStorageCount &&
+      $"source" === "mito" && $"status" === Status.Fail).count() === 1)
+
+    // unmanifested table: the rule cannot run -> NOT_COMPLETED, no block
+    val dir2 = tmpDir("vjob_sc2")
+    writeInput(dir2)
+    val cfg2 = ValidationJob.Config(s"$dir2/input", s"$dir2/manifest",
+      s"$dir2/out", rules = rules)
+    val r2 = ValidationJob.run(spark, cfg2)
+    val ver3 = spark.read.parquet(ValidationJob.verdictsPath(cfg2.outDir))
+    assert(ver3.filter($"rule_id" === Rules.RStorageCount &&
+      $"status" === Status.NotCompleted).count() ===
+      r2.validatedPartitions.size.toLong)
+  }
+
   test("changing the rule set invalidates the checkpoint") {
     val dir = tmpDir("vjob2")
     writeInput(dir)

@@ -184,6 +184,30 @@ class ManifestTableSpec extends SparkSpec {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("metadata-only count and column range answer from the manifest " +
+      "alone and refuse when any file lacks stats") {
+    val dir = tmpDir("man_meta")
+    val t = s"$dir/t"
+    SequenceGen.sequences(spark, 300).toDF()
+      .write.mode("overwrite").partitionBy("source").parquet(t)
+    ManifestTable.commit(spark, t, statsCols = Seq("n_tok"))
+    assert(ManifestTable.tableCount(spark, t) === Some(300L))
+    val full = spark.read.parquet(t)
+      .selectExpr("cast(min(n_tok) as long)", "cast(max(n_tok) as long)")
+      .head
+    assert(ManifestTable.columnRange(spark, t, "n_tok")
+      === Some((full.getLong(0), full.getLong(1))))
+    // a column never zone-mapped: unavailable, not wrong
+    assert(ManifestTable.columnRange(spark, t, "n_chars") === None)
+    // a stats-less commit of ONE partition leaves unstatted files in the
+    // inventory: both answers degrade to None rather than undercount
+    val p = spark.read.parquet(t).select("source").distinct()
+      .orderBy("source").head.getString(0)
+    ManifestTable.commit(spark, t, touched = Some(Seq(p)))
+    assert(ManifestTable.tableCount(spark, t) === None)
+    assert(ManifestTable.columnRange(spark, t, "n_tok") === None)
+  }
+
   test("validation's snapshot lineage is identical through the manifest " +
       "and the listing") {
     import graft.jobs.ValidationJob
