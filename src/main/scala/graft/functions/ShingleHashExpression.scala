@@ -113,6 +113,14 @@ object ShingleHashes {
     org.apache.spark.sql.GraftColumnBridge.column(
       ShingleHashes(org.apache.spark.sql.GraftColumnBridge.expression(c), n))
 
+  /** ALL n-word window hashes in POSITION order (duplicates kept) — the
+    * sliding-window input of exact-span dedup, where index i is the hash
+    * of the window starting at word i+1. */
+  def sliding(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ShingleHashes(org.apache.spark.sql.GraftColumnBridge.expression(c),
+        n, distinct = false))
+
   /** ALL word hashes in order (n=1, duplicates kept) — the SimHash input,
     * where vote multiplicity matters. */
   def wordHashes(c: Column): Column =

@@ -541,4 +541,120 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Per-window keys for exact-substring span dedup: every SLIDING
+    * `windowWords`-word window of `textCol` as (pos, h1, h2), 1-based
+    * word position. h1 is the shared shingle spec ([[graft.functions
+    * .ShingleHashes]], = polyHash of the window joined with " "); h2 is
+    * an INDEPENDENT order-sensitive fold over the per-word hashes
+    * (a·37 + wHash mod 1e9+9), so the effective key is the ~60-bit pair —
+    * two windows collide only if both hashes collide. At 10^12-token
+    * scale the same construction widens to two 64-bit primes (the key
+    * shape, plan, and oracle are unchanged); the pair form exists so the
+    * verified small-scale config is not riding a single 30-bit hash whose
+    * birthday bound (~2^15 windows) a 10^5-window corpus already crosses. */
+  private def windowKeys(
+      df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int): DataFrame = {
+    import graft.functions.ShingleHashes
+    val wHashes = ShingleHashes.wordHashes(col(textCol))
+    val h2s = when(size(wHashes) >= windowWords,
+      transform(
+        sequence(lit(1), size(wHashes) - lit(windowWords) + 1),
+        i => aggregate(slice(wHashes, i, lit(windowWords)), lit(0L),
+          (a, x) => (a * lit(37L) + x) % lit(1000000009L))))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(
+        col(idCol),
+        posexplode(zip_with(
+          ShingleHashes.sliding(col(textCol), windowWords),
+          h2s,
+          (a, b) => struct(a.as("h1"), b.as("h2")))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
+  }
+
+  /** Exact repeated-SPAN detection — the full form of the substring
+    * dedup `chunkDupFractions` approximates (Lee et al. 2022's
+    * ExactSubstr, public algorithm, re-expressed for Spark): a word
+    * position is duplicated if ANY `windowWords`-long sliding window
+    * covering it occurs ≥ `minOccurrences` times corpus-wide (within- or
+    * cross-document), and the result is each document's MAXIMAL
+    * contiguous duplicated regions as (span_start, span_end, span_tokens),
+    * 1-based inclusive — the spans a span-level curation pass removes.
+    *
+    * Spark-first plan instead of a suffix array: sliding windows keyed by
+    * the (h1, h2) rolling-hash pair (one codegen'd projection, no window
+    * STRINGS ever materialized), duplicated keys found by one
+    * hash-aggregate with map-side partials, candidate positions
+    * semi-joined back (AQE broadcasts the key set when small, skew-join
+    * splits hot keys when not), and per-doc interval merge as a
+    * gaps-and-islands window (boundary where pos − prev > windowWords,
+    * i.e. coverage [pos, pos+W−1] detaches from the running region).
+    * Shuffle inventory: windows by key (narrow 32-byte rows — the
+    * operator's inherent cost, linear in corpus tokens), candidates by
+    * doc for the merge — pair space is NEVER materialized, so a fully
+    * duplicated corpus costs the same as a clean one. */
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 8, minOccurrences: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wh = windowKeys(df, idCol, textCol, windowWords)
+    val dupKeys = wh.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select("h1", "h2")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    wh.join(dupKeys, Seq("h1", "h2"), "left_semi")
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > windowWords,
+          1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(
+        min("pos").as("span_start"),
+        (max("pos") + lit(windowWords.toLong - 1L)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
+  /** Span REWRITE: each document with its [[repeatedSpans]] regions
+    * REMOVED — (id, clean_text, n_removed), the curation transform acting
+    * on what repeatedSpans measures (ExactSubstr's "cut the duplicated
+    * spans" step; documents with nothing duplicated pass through intact).
+    *
+    * Scale shape: spans collapse to ≤ (n_tok/W) (start, end) structs per
+    * doc (one aggregation), then the cut is a PURE per-row projection —
+    * higher-order filter on token position against the doc's own span
+    * list — so the text column is decoded once and no token-level rows
+    * are ever shuffled (the oracle's positional anti-join form would
+    * shuffle every token). */
+  def removeRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 8, minOccurrences: Long = 2L): DataFrame = {
+    val perDoc = repeatedSpans(df, idCol, textCol, windowWords,
+        minOccurrences)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    df.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), split(col(textCol), " ").as("toks"),
+        coalesce(col("spans"),
+          array().cast(
+            "array<struct<span_start:bigint,span_end:bigint>>"))
+          .as("spans"))
+      .withColumn("kept",
+        filter(
+          transform(col("toks"),
+            (t, i) => struct(t.as("t"), (i + 1).cast("long").as("p"))),
+          s => !exists(col("spans"),
+            sp => s("p") >= sp("span_start") && s("p") <= sp("span_end"))))
+      .select(
+        col(idCol),
+        array_join(transform(col("kept"), x => x("t")), " ")
+          .as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_removed"))
+  }
 }

@@ -270,6 +270,45 @@ object DedupQueries {
     "dedup_minhash_audit" -> ((s, dir) => {
       Dedup.minhashAuditPairs(docs(s, dir), "doc_id", "text",
         k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20)
+    }),
+
+    // Exact repeated-SPAN detection (ExactSubstr, Lee et al. 2022): each
+    // doc's maximal contiguous regions every position of which sits under
+    // an 8-word sliding window occurring >= 2x corpus-wide — the full
+    // substring-granularity form of dedup_chunk_fraction's fixed-chunk
+    // approximation, with positions exact enough to cut
+    "dedup_span_exact" -> ((s, dir) => {
+      Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", windowWords = 8)
+    }),
+
+    // Span REWRITE: the curation transform — duplicated spans removed,
+    // clean text reassembled, removal accounted per doc
+    "dedup_span_rewrite" -> ((s, dir) => {
+      Dedup.removeRepeatedSpans(docs(s, dir), "doc_id", "text",
+        windowWords = 8)
+    }),
+
+    // Span-dedup AUDIT: per-source duplication mass (the "fraction of
+    // tokens inside duplicated spans" number the paper reports per corpus
+    // — what a curation run publishes before deciding to cut)
+    "dedup_span_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val covered = Dedup.repeatedSpans(d, "doc_id", "text",
+          windowWords = 8)
+        .groupBy("doc_id")
+        .agg(sum("span_tokens").as("dup_toks"))
+      d.join(covered, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dup_toks").isNotNull, 1L).otherwise(0L))
+            .as("n_docs_with_dups"),
+          sum(size(split(col("text"), " ")).cast("long"))
+            .as("total_tokens"),
+          sum(coalesce(col("dup_toks"), lit(0L))).as("dup_tokens"))
+        .withColumn("dup_fraction",
+          col("dup_tokens").cast("double") /
+            col("total_tokens").cast("double"))
     })
   )
 
@@ -386,7 +425,76 @@ object DedupQueries {
     * shared definition — see sqlPolyHash). */
   private val textFpSql = TextQueries.sqlPolyHash("text")
 
+  /** Shared CTE chain for the span-dedup trio: sliding `w`-word windows
+    * keyed by the SAME (h1, h2) pair as Dedup.windowKeys — h1 = polyHash
+    * of the window joined with ' ' (identical to the shingle spec), h2 =
+    * the independent a·37+wordHash fold mod 1e9+9 — then duplicated keys,
+    * candidate positions, and gaps-and-islands merged maximal spans.
+    * One definition feeds all three oracles so the Spark operator and
+    * every oracle share a single keying spec. */
+  private def spanCte(w: Int): String =
+    s"""w0 AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents),
+       swh AS (SELECT doc_id, i AS pos,
+                ${TextQueries.sqlPolyHash(
+                  s"array_to_string(toks[i:i+${w - 1}], ' ')")} AS h1,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(toks[i:i+${w - 1}],
+                    w -> ${TextQueries.sqlPolyHash("w")})),
+                  (a,b)->(a*37+b)%1000000009) AS h2
+              FROM w0, unnest(range(1, greatest(len(toks)-$w+2, 1))) r(i)),
+       sdup AS (SELECT h1, h2 FROM swh GROUP BY h1, h2
+                HAVING COUNT(*) >= 2),
+       shits AS (SELECT doc_id, pos FROM swh JOIN sdup USING (h1, h2)),
+       sisl AS (SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev > $w
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM (SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+                     FROM shits)),
+       spans AS (SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + ${w - 1} AS BIGINT) AS span_end
+                 FROM sisl GROUP BY doc_id, island)"""
+
   val oracles: Map[String, String] = Map(
+    "dedup_span_exact" ->
+      s"""WITH ${spanCte(8)}
+         SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_tokens
+         FROM spans""",
+    "dedup_span_rewrite" ->
+      s"""WITH ${spanCte(8)},
+         toks2 AS (SELECT doc_id, i AS pos, toks[i] AS tok
+                   FROM w0, unnest(range(1, len(toks)+1)) r(i)),
+         kept AS (SELECT t.doc_id, t.pos, t.tok
+                  FROM toks2 t LEFT JOIN spans s
+                    ON s.doc_id = t.doc_id
+                   AND t.pos BETWEEN s.span_start AND s.span_end
+                  WHERE s.doc_id IS NULL)
+         SELECT w0.doc_id,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '')
+             AS clean_text,
+           CAST(len(w0.toks) - COUNT(k.pos) AS BIGINT) AS n_removed
+         FROM w0 LEFT JOIN kept k USING (doc_id)
+         GROUP BY w0.doc_id, len(w0.toks)""",
+    "dedup_span_stats" ->
+      s"""WITH ${spanCte(8)},
+         cov AS (SELECT doc_id,
+                   SUM(span_end - span_start + 1) AS dup_toks
+                 FROM spans GROUP BY doc_id)
+         SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.dup_toks IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_docs_with_dups,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(c.dup_toks, 0)) AS BIGINT) AS dup_tokens,
+           CAST(SUM(COALESCE(c.dup_toks, 0)) AS DOUBLE)
+             / CAST(SUM(len(toks)) AS DOUBLE) AS dup_fraction
+         FROM w0 LEFT JOIN cov c USING (doc_id)
+         GROUP BY source""",
     "dedup_incremental_bloom" ->
       """SELECT d.doc_id, md5(d.text) AS content_md5
          FROM documents d

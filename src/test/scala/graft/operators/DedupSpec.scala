@@ -291,4 +291,65 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === ((2L, 0L, 0.0)))  // self-repeat is NOT cross-doc
     assert(got(4L) === ((2L, 0L, 0.0)))  // [P Q R] + short [S]
   }
+
+  test("repeatedSpans finds maximal duplicated regions with exact " +
+      "positions, counts within-doc repeats, and skips short docs") {
+    // W=3: d1/d2 share the 5-word prefix "A B C D E" -> windows at 1,2,3
+    //   merge to span [1,5] in both; d1's tail "U V W" is unique.
+    // d3 repeats "M N O" twice WITHIN itself (positions 1 and 4, with the
+    //   window at 2 "N O M" and 3 "O M N" also duplicated inside the
+    //   doubled text? no — each appears once) -> windows [M N O]@1 and
+    //   [M N O]@4 share a key, islands merge (4-1 <= 3) into ONE span
+    //   [1,6].
+    // d4 is 2 words -> no windows at all.
+    val docs = Seq(
+      (1L, "A B C D E U V W"),
+      (2L, "A B C D E X Y Z"),
+      (3L, "M N O M N O"),
+      (4L, "P Q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", windowWords = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, 5L, 5L),
+      (2L, 1L, 5L, 5L),
+      (3L, 1L, 6L, 6L)))
+
+    // rewrite: covered tokens cut, the rest reassembled in order
+    val clean = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+        windowWords = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(clean(1L) === (("U V W", 5L)))
+    assert(clean(2L) === (("X Y Z", 5L)))
+    assert(clean(3L) === (("", 6L)))      // fully duplicated -> empty
+    assert(clean(4L) === (("P Q", 0L)))   // untouched pass-through
+
+    // partitioning invariance: same spans regardless of layout
+    val repart = Dedup.repeatedSpans(docs.repartition(7), "doc_id",
+        "text", windowWords = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(repart === got)
+  }
+
+  test("repeatedSpans separates non-adjacent duplicated regions into " +
+      "distinct spans") {
+    // W=2: "A B" duplicated (d1@1, d2@1) and "Y Z" duplicated (d1@6,
+    // d2@4); the gap (6-1 > 2) keeps them as two spans in d1
+    val docs = Seq(
+      (1L, "A B c d e Y Z"),
+      (2L, "A B q Y Z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", windowWords = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, 2L), (1L, 6L, 7L),
+      (2L, 1L, 2L), (2L, 4L, 5L)))
+  }
 }
