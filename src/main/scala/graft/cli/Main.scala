@@ -95,6 +95,15 @@ object Main {
           // --append-delta: changed partitions whose files only GREW scan
           // just the new files (ValidationJob.Config.appendDelta doc)
           val appendDelta = rest0.contains("--append-delta")
+          // --rules=path: declarative rule config (graft.rules.RuleConfig
+          // JSON) — taken VERBATIM as the full rule set; the automatic
+          // snapshot-equality / storage-count augmentation applies only to
+          // the compiled-in default (a config names every rule it wants).
+          // `rules` (command below) exports the default set to start from.
+          val rulesFile = rest0.collectFirst {
+            case a if a.startsWith("--rules=") =>
+              graft.rules.RuleConfig.fromJsonFile(a.stripPrefix("--rules="))
+          }
           val rest = rest0.filterNot(_.startsWith("--"))
           // optional 5th arg: reference snapshot for the J10 cross-snapshot
           // token-equality rule (rule set extends automatically)
@@ -109,7 +118,7 @@ object Main {
             sketchExpectedItems = sketchItems.getOrElse(1000000L),
             sketchFpp = sketchFpp.getOrElse(0.001),
             appendDelta = appendDelta,
-            rules = {
+            rules = rulesFile.getOrElse {
               val base =
                 if (refSnap.isDefined) graft.rules.Rules.withSnapshotEquality
                 else graft.rules.Rules.standard
@@ -244,12 +253,28 @@ object Main {
                   s""""transitions":$transitions}""")
           }
 
+        case "rules" :: rest =>
+          // export the compiled-in rule set as editable config JSON —
+          // the starting point for a --rules= file. Variants mirror the
+          // automatic augmentation validate applies.
+          val rs = rest match {
+            case Nil => graft.rules.Rules.standard
+            case "--with-snapshot-equality" :: Nil =>
+              graft.rules.Rules.withSnapshotEquality
+            case "--with-storage-count" :: Nil =>
+              graft.rules.Rules.withStorageCount()
+            case other => throw new IllegalArgumentException(
+              s"rules takes an optional variant flag, got: $other")
+          }
+          println(graft.rules.RuleConfig.toJson(rs))
+
         case _ =>
           System.err.println(
             "usage: gen <outDir> <nRows> [seed] [badNtokRate] [dupRate] " +
               "[unknownRate] [driftSrc:shift] | " +
               "validate <inputDir> <manifestDir> <outDir> [baselineDir] [--partitions=a,b] " +
-              "[refSnapshotDir] | " +
+              "[refSnapshotDir] [--rules=config.json] | " +
+              "rules [--with-snapshot-equality|--with-storage-count] | " +
               "transfer <inputDir> <validationOutDir> <storeDir> " +
               "<manifestTsvDir> | " +
               "cleanup <inputDir> <validationOutDir> <storeDir> [--dry-run] " +

@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** EAGER Column → Expression conversion: `expression` returns a lazy
+    * ColumnNodeExpression wrapper (whose `.sql` renders as a fake function
+    * call), while this walks the column node tree to the real Catalyst
+    * expression — what rule-config export needs to render SQL. */
+  def resolvedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
