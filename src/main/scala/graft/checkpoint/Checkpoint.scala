@@ -245,6 +245,58 @@ object Checkpoint {
 
   def statsStatePath(outDir: String): String = s"$outDir/_stats_state"
   def inventoryPath(outDir: String): String = s"$outDir/_inventory"
+  def rulesetsPath(outDir: String): String = s"$outDir/_rulesets"
+
+  /** Persist the PER-RULE fingerprint map of one ruleset hash — the
+    * lookup table rule-delta revalidation diffs against: a later run whose
+    * ruleset hash differs finds out WHICH rules changed (vs. today's
+    * all-or-nothing hash compare) and re-evaluates only those. One row per
+    * rule; dynamic overwrite of the hash's own partition (idempotent
+    * across replays). `hash_value` carries the exact hash — the hive
+    * partition column is only the directory key (type-inferred on read). */
+  def writeRulesetMap(
+      spark: SparkSession, outDir: String, rulesetHash: String,
+      fps: Map[String, String]): Unit = {
+    import spark.implicits._
+    if (fps.isEmpty) return
+    graft.sources.TableIO.writePartitioned(
+      fps.toSeq.toDF("rule_id", "rule_fp")
+        .withColumn("hash_value", lit(rulesetHash))
+        .withColumn("ruleset", lit(rulesetHash))
+        .coalesce(1),
+      rulesetsPath(outDir), partitionCol = "ruleset", recluster = false)
+  }
+
+  /** rule_id → per-rule fingerprint for one persisted ruleset hash; empty
+    * when that hash never ran with map-writing code (pre-feature runs →
+    * rule-delta falls back to a full revalidation). */
+  def readRulesetMap(
+      spark: SparkSession, outDir: String,
+      rulesetHash: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(rulesetsPath(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    spark.read.parquet(rulesetsPath(outDir))
+      .filter(col("hash_value") === rulesetHash)
+      .select("rule_id", "rule_fp")
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+  }
+
+  /** For each partition whose CURRENT snapshot id matches some completed
+    * checkpoint entry (under ANY ruleset hash): the ruleset hash of the
+    * latest such entry — i.e. "this exact data was last fully validated
+    * under THAT rule set". The rule-delta classifier starts here. */
+  def latestRulesetForSnapshots(
+      spark: SparkSession, path: String,
+      partitionSnapshots: Map[String, String]): Map[String, String] = {
+    read(spark, path)
+      .collect()
+      .filter(e => partitionSnapshots.get(e.partition).contains(e.snapshot_id))
+      .groupBy(_.partition)
+      .map { case (p, es) => p -> es.maxBy(_.completed_at).ruleset_hash }
+  }
 
   /** Persist each validated partition's mergeable per-source stats state
     * (see [[graft.drift.SourceStatsAggregate.serializeStates]]) — the

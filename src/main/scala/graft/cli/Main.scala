@@ -95,6 +95,10 @@ object Main {
           // --append-delta: changed partitions whose files only GREW scan
           // just the new files (ValidationJob.Config.appendDelta doc)
           val appendDelta = rest0.contains("--append-delta")
+          // --rule-delta: unchanged-data partitions whose RULES changed
+          // re-evaluate only the changed rules (ValidationJob.Config
+          // .ruleDelta doc) — pairs with --rules= config edits
+          val ruleDelta = rest0.contains("--rule-delta")
           // --rules=path: declarative rule config (graft.rules.RuleConfig
           // JSON) — taken VERBATIM as the full rule set; the automatic
           // snapshot-equality / storage-count augmentation applies only to
@@ -118,6 +122,7 @@ object Main {
             sketchExpectedItems = sketchItems.getOrElse(1000000L),
             sketchFpp = sketchFpp.getOrElse(0.001),
             appendDelta = appendDelta,
+            ruleDelta = ruleDelta,
             rules = rulesFile.getOrElse {
               val base =
                 if (refSnap.isDefined) graft.rules.Rules.withSnapshotEquality
@@ -133,6 +138,8 @@ object Main {
               s""""ruleset_hash":"${report.rulesetHash}",""" +
               s""""validated_partitions":${report.validatedPartitions.size},""" +
               s""""delta_partitions":${report.deltaPartitions.size},""" +
+              s""""rule_delta_partitions":${report.ruleDeltaPartitions.size},""" +
+              s""""rules_evaluated":${jarr(report.rulesEvaluated)},""" +
               s""""skipped_partitions":${report.skippedPartitions.size},""" +
               s""""rows_validated":${report.rowsValidated},""" +
               s""""violations":${report.violations},""" +

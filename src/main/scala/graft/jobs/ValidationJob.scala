@@ -66,6 +66,23 @@ object ValidationJob {
         * automatically. Incompatible with refSnapshotPath (the equality
         * join needs both sides complete). */
       appendDelta: Boolean = false,
+      /** RULE-DELTA mode: a partition whose data is UNCHANGED (same
+        * per-partition snapshot id as its latest completed checkpoint
+        * entry) but whose rule set changed re-validates only the CHANGED
+        * rules — the per-rule fingerprint maps persisted under _rulesets/
+        * say which — carrying forward verdicts of unchanged rules and
+        * preserving their violations. With declarative rule configs this
+        * makes "add one rule to a 10^12-row table" cost one scan
+        * evaluating one rule, not |rules| of them; a baseline refresh
+        * re-runs only the drift family (each drift rule's fingerprint
+        * folds the baseline snapshot id). All-or-nothing per run: if ANY
+        * to-validate partition is ineligible (data changed, or its old
+        * ruleset has no persisted map), the whole run falls back to full
+        * evaluation — partitions needing different rule subsets in one run
+        * would need one scan per subset, which is the full rescan it was
+        * avoiding. Incompatible with appendDelta (changed data vs
+        * changed rules — a partition is one or the other). */
+      ruleDelta: Boolean = false,
       /** Cache the fact table across the rule-family passes. OFF by
         * default since the r03 fusion: the only repeat reads of the fact
         * table are two NARROW column scans (uniqueness passes — doc_id
@@ -86,7 +103,13 @@ object ValidationJob {
       wallMs: Long,
       /** Subset of validatedPartitions that ran as append-delta (only
         * their new files were scanned). */
-      deltaPartitions: Seq[String] = Nil)
+      deltaPartitions: Seq[String] = Nil,
+      /** Subset of validatedPartitions that ran as rule-delta (same data,
+        * only changed rules evaluated). */
+      ruleDeltaPartitions: Seq[String] = Nil,
+      /** Rule ids actually evaluated this run (the changed subset under
+        * rule-delta; the full set otherwise). */
+      rulesEvaluated: Seq[String] = Nil)
 
   /** Everything an eligible append-delta partition carries into the run. */
   private final case class DeltaPart(
@@ -140,16 +163,28 @@ object ValidationJob {
     // changes its content; same for the reference snapshot). Folding the
     // baseline/refSnapshot snapshot ids into the hash re-validates exactly
     // when those inputs change.
-    val rulesetHash = {
-      val cfgFp =
-        s"|baseline=${cfg.baselinePath
-          .map(TableIO.snapshotId(spark, _)).getOrElse("none")}" +
-          s"|refSnapshot=${cfg.refSnapshotPath
-            .map(TableIO.snapshotId(spark, _)).getOrElse("none")}"
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest((cfg.rules.rulesetHash + cfgFp).getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-    }
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val baselineFp = cfg.baselinePath
+      .map(TableIO.snapshotId(spark, _)).getOrElse("none")
+    val refSnapshotFp = cfg.refSnapshotPath
+      .map(TableIO.snapshotId(spark, _)).getOrElse("none")
+    val rulesetHash = md5(cfg.rules.rulesetHash +
+      s"|baseline=$baselineFp|refSnapshot=$refSnapshotFp")
+    // PER-RULE lineage fingerprints (the _rulesets map): descriptor plus
+    // the rule's OWN input snapshot, so rule-delta re-runs exactly what a
+    // change touches — a baseline refresh changes only the drift rules'
+    // fingerprints, a refSnapshot swap only the equality rule's.
+    val ruleFps: Map[String, String] = cfg.rules.rules.map { r =>
+      val inputFp = r match {
+        case _: graft.rules.DriftRule => s"|baseline=$baselineFp"
+        case _: graft.rules.SnapshotEqualityRule =>
+          s"|refSnapshot=$refSnapshotFp"
+        case _ => ""
+      }
+      r.id -> md5(r.descriptor + inputFp)
+    }.toMap
 
     // Explicit schemas: parquet schema inference runs a footer-reading
     // job per table read (~0.5 s of SERIAL driver time per session at the
@@ -204,6 +239,49 @@ object ValidationJob {
         allParts.filter(inScope), 0L, 0L,
         (System.nanoTime() - t0) / 1000000)
     }
+
+    // RULE-DELTA classification: every to-validate partition must carry
+    // its current snapshot under some completed prior run whose persisted
+    // per-rule map exists — then the changed set is the union over
+    // partitions (re-running an unchanged rule for one partition is
+    // harmless; one engine pass beats one per distinct subset). A strict
+    // subset is required twice over: changed == all rules means delta buys
+    // nothing, and changed == ∅ (a config-input edit touching no rule that
+    // exists, e.g. baseline swap with no drift rules) still needs the new
+    // lineage hash stamped, which the full path does trivially.
+    require(!(cfg.ruleDelta && cfg.appendDelta),
+      "ruleDelta and appendDelta are mutually exclusive: a partition " +
+        "re-validates for changed DATA or changed RULES, never both ways")
+    val allIds = cfg.rules.ruleIds.toSet
+    val ruleDeltaChanged: Set[String] =
+      if (!cfg.ruleDelta || partSnaps.isEmpty) allIds
+      else {
+        val lastHash = Checkpoint.latestRulesetForSnapshots(
+          spark, checkpointPath(cfg.outDir), partSnaps)
+        val maps = lastHash.values.toSet.iterator
+          .map((h: String) =>
+            h -> Checkpoint.readRulesetMap(spark, cfg.outDir, h))
+          .toMap
+        val perPart: Seq[Option[Set[String]]] = todo.map { p =>
+          for {
+            h <- lastHash.get(p)
+            old = maps(h)
+            if old.nonEmpty
+          } yield allIds.filter(id => !old.get(id).contains(ruleFps(id)))
+        }
+        if (perPart.exists(_.isEmpty)) allIds // some partition ineligible
+        else perPart.flatten.flatten.toSet
+      }
+    val ruleDeltaActive = cfg.ruleDelta &&
+      ruleDeltaChanged.nonEmpty && ruleDeltaChanged != allIds
+    val evalRules =
+      if (ruleDeltaActive)
+        graft.rules.RuleSet(cfg.rules.rules.filter(r =>
+          ruleDeltaChanged(r.id)))
+      else cfg.rules
+    // rules whose verdicts/violations carry forward untouched
+    val carriedIds: Set[String] =
+      if (ruleDeltaActive) allIds -- evalRules.ruleIds else Set.empty
 
     // PER-PARTITION locks on exactly the sources this run will write
     // (todo, plus — for a restricted run — any requested manifest-only
@@ -317,7 +395,7 @@ object ValidationJob {
     // the per-source token stats via observe(); the narrow aggregation
     // pass below reads only (source, doc_id, n_tok).
     val staged = RuleEngine.planStaged(
-      seqs, manifest, cfg.rules, baseline, cfg.vocab, refSnapshot,
+      seqs, manifest, evalRules, baseline, cfg.vocab, refSnapshot,
       mergeStates =
         deltaInfo.map { case (p, d) => p -> d.oldState })
     phase("plan_build")
@@ -384,7 +462,7 @@ object ValidationJob {
     // FAIL instead of silently validating whatever the scan saw. A
     // partition whose metadata can't answer (no manifest, unstatted
     // files) rolls up NOT_COMPLETED, never PASS.
-    val storageRules = cfg.rules.storageCountRules
+    val storageRules = evalRules.storageCountRules
     var storageNotCompleted = Set.empty[(String, String)]
     val storageVios: Seq[Violation] = storageRules.flatMap { rule =>
       val counts: Map[String, Option[Long]] =
@@ -434,7 +512,7 @@ object ValidationJob {
     // Skipped entirely on a fresh checkpoint (no history → vacuous PASS,
     // zero extra work). History partitions with no lineage-matching
     // sketch make the check NOT_COMPLETED, never a silent partial PASS.
-    val crossRules = cfg.rules.crossRunRules
+    val crossRules = evalRules.crossRunRules
     // delta partitions' OLD content is history too: their persisted
     // sketches (lineage = the OLD snapshot id, verified at classification)
     // route delta keys, and the confirm scan reads exactly their OLD
@@ -524,14 +602,36 @@ object ValidationJob {
       p
     }
     val xrunCount = xrunVio.map(_.count()).getOrElse(0L)
-    // append-delta: OLD files' per-doc violations (row rules, uniqueness,
-    // prior cross-run hits) remain true and are PRESERVED from the current
-    // violations table — only the driver-rule families (stats / RI /
-    // drift / manifest) are dropped, since they re-derive from the merged
-    // aggregates. Materialized EAGERLY (persist + count): the violations
-    // chain deletes these partitions before rewriting them.
+
+    val doneSources = done.toSet
+    // fin.sources = data sources (already todo-filtered) ∪ ALL manifest
+    // sources; a restricted run reports (and deletes stale partitions!)
+    // only inside its locked scope — without the inScope filter a
+    // submission-scoped run would delete violations partitions a
+    // CONCURRENT run over the other sources is writing.
+    val runSources = fin.sources.filterNot(doneSources).filter(inScope)
+
+    // PRESERVED violations (materialized EAGERLY — the violations chain
+    // deletes these partitions before rewriting them):
+    //  · append-delta: OLD files' per-doc violations (row rules,
+    //    uniqueness, prior cross-run hits) remain true for the delta
+    //    partitions — only the driver-rule families (stats / RI / drift /
+    //    manifest) are dropped, since they re-derive from the merged
+    //    aggregates.
+    //  · rule-delta: every violation of a CARRIED (unchanged) rule remains
+    //    true — the data did not change — across the whole rewrite scope
+    //    (runSources, so a carried RI violation on a manifest-only source
+    //    survives the partition rewrite too); changed rules' old rows drop
+    //    and re-derive, removed rules' rows drop for good.
+    val (preserveSources, preserveIds): (Seq[String], Seq[String]) =
+      if (ruleDeltaActive) (runSources, carriedIds.toSeq.sorted)
+      else if (deltaParts.nonEmpty)
+        (deltaParts.toSeq.sorted,
+          evalRules.rowRules.map(_.id) ++ evalRules.uniqueRules.map(_.id) ++
+            evalRules.crossRunRules.map(_.id))
+      else (Nil, Nil)
     val preservedVio: Option[DataFrame] =
-      if (deltaParts.isEmpty) None
+      if (preserveSources.isEmpty || preserveIds.isEmpty) None
       else {
         val vp = new org.apache.hadoop.fs.Path(violationsPath(cfg.outDir))
         val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -546,12 +646,9 @@ object ValidationJob {
         }
         if (!fs.exists(vp) || !hasDataFiles) None
         else {
-          val keepIds = (cfg.rules.rowRules.map(_.id) ++
-            cfg.rules.uniqueRules.map(_.id) ++
-            cfg.rules.crossRunRules.map(_.id)).toSeq
           val p = spark.read.parquet(violationsPath(cfg.outDir))
-            .filter(col("source").isin(deltaParts.toSeq.map(x => x: Any): _*)
-              && col("rule_id").isin(keepIds.map(x => x: Any): _*))
+            .filter(col("source").isin(preserveSources.map(x => x: Any): _*)
+              && col("rule_id").isin(preserveIds.map(x => x: Any): _*))
             .select("doc_id", "rule_id", "observed", "source", "severity")
             .repartition(nPart, col("source"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -573,13 +670,6 @@ object ValidationJob {
     // versions should compare under this (widened, r02+) definition.
     val vioCount = scanVioCount + xrunCount + preservedCount + driverVios.size
 
-    val doneSources = done.toSet
-    // fin.sources = data sources (already todo-filtered) ∪ ALL manifest
-    // sources; a restricted run reports (and deletes stale partitions!)
-    // only inside its locked scope — without the inScope filter a
-    // submission-scoped run would delete violations partitions a
-    // CONCURRENT run over the other sources is writing.
-    val runSources = fin.sources.filterNot(doneSources).filter(inScope)
     val completedAt = java.time.Instant.now().toString
     // run lineage id: restricted runs fold their scope in, so two
     // concurrent disjoint-scope runs write DISTINCT run_id generations of
@@ -592,6 +682,34 @@ object ValidationJob {
     }
     val runId =
       s"${snapshotId.take(12)}-${rulesetHash.take(12)}$scopeSuffix"
+
+    // Rule-delta carried verdicts: collected driver-side BEFORE the write
+    // chains run (the verdict chain overwrites the table they come from).
+    // The domain is runSources × carriedIds; pairs the prior run never
+    // produced (a source newly in the manifest) synthesize NOT_COMPLETED.
+    val carriedVerdicts: Seq[Verdict] =
+      if (!ruleDeltaActive || carriedIds.isEmpty) Nil
+      else {
+        val vp = new org.apache.hadoop.fs.Path(verdictsPath(cfg.outDir))
+        val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior: Map[(String, String), Verdict] =
+          if (!fs.exists(vp)) Map.empty
+          else spark.read.parquet(verdictsPath(cfg.outDir))
+            .filter(col("source").isin(runSources.map(x => x: Any): _*) &&
+              col("rule_id").isin(carriedIds.toSeq.map(x => x: Any): _*))
+            .select("source", "rule_id", "status", "severity", "metrics")
+            .as[Verdict]
+            .collect()
+            .map(v => (v.source, v.rule_id) -> v)
+            .toMap
+        val sevOf = cfg.rules.rules.map(r => r.id -> r.severity).toMap
+        for {
+          src <- runSources
+          id <- carriedIds.toSeq.sorted
+        } yield prior.getOrElse((src, id), Verdict(
+          source = src, rule_id = id, status = Status.NotCompleted,
+          severity = sevOf(id), metrics = """{"carried":"no_prior_row"}"""))
+      }
 
     // The two write CHAINS below are independent of each other (both read
     // only the materialized violations cache + collected driver facts), so
@@ -642,10 +760,19 @@ object ValidationJob {
       // Verdicts are |sources| x |rules| rows: roll up from the cached
       // violations, collect once, and reuse the collected rows for the
       // write, the run log, AND the checkpoint — zero re-reads.
-      val rows = RuleEngine.rollUpVerdicts(
-          spark, runSources, cfg.rules, vio, fin.stats,
-          fin.notCompleted ++ xrunNotCompleted ++ storageNotCompleted)
-        .collect().toSeq
+      // Rule-delta: evaluated-rule verdicts roll up fresh; CARRIED rules'
+      // verdicts copy forward from the current verdicts table (the data
+      // is unchanged, so they still hold — metrics included). A carried
+      // (source, rule) pair with no prior row (a source new to the
+      // manifest) rolls up NOT_COMPLETED, never a silent PASS.
+      val rows = {
+        val fresh = RuleEngine.rollUpVerdicts(
+            spark, runSources, evalRules, vio, fin.stats,
+            fin.notCompleted ++ xrunNotCompleted ++ storageNotCompleted)
+          .collect().toSeq
+        if (!ruleDeltaActive) fresh
+        else fresh ++ carriedVerdicts
+      }
       TableIO.writePartitioned(
         spark.createDataset(rows).coalesce(1).toDF(),
         verdictsPath(cfg.outDir), recluster = false)
@@ -713,6 +840,10 @@ object ValidationJob {
           m.getOrElse(p, Nil).map(f => (p, snapOf(p), f)))
         Checkpoint.writeInventory(spark, cfg.outDir, invRows)
       }
+      // per-rule fingerprints of the FULL rule set under this run's hash —
+      // written by every run (delta or not) so any FUTURE rule edit can
+      // diff against what this lineage actually meant
+      Checkpoint.writeRulesetMap(spark, cfg.outDir, rulesetHash, ruleFps)
     }
 
     import scala.concurrent.duration.Duration
@@ -770,7 +901,9 @@ object ValidationJob {
     RunReport(snapshotId, rulesetHash, todo,
       done.toSeq.filter(inScope).sorted,
       rowsValidated, vioCount, wallMs,
-      deltaPartitions = deltaParts.toSeq.sorted)
+      deltaPartitions = deltaParts.toSeq.sorted,
+      ruleDeltaPartitions = if (ruleDeltaActive) todo.sorted else Nil,
+      rulesEvaluated = evalRules.ruleIds.sorted)
 
     } finally
       Checkpoint.releasePartitionLocks(spark, cfg.outDir, lockParts)

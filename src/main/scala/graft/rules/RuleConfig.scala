@@ -110,8 +110,12 @@ object RuleConfig {
     * whose `.sql` is prefix-style — legal to re-parse but hostile to
     * hand-editing, which is this file's whole purpose — so known operators
     * are first mapped onto their Catalyst forms, whose `.sql` renders
-    * infix (`(a AND b)`, `(a = b)`). */
-  private def sqlOf(c: org.apache.spark.sql.Column): String = {
+    * infix (`(a AND b)`, `(a = b)`). The rendering is a FIXPOINT across
+    * parse→render cycles, which is why [[RowRule.descriptor]] hashes this
+    * form: a rule loaded from an exported config fingerprints identically
+    * to its compiled-in original, so rule-delta revalidation sees a
+    * compiled→config migration as zero changed rules. */
+  private[rules] def sqlOf(c: org.apache.spark.sql.Column): String = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     import org.apache.spark.sql.catalyst.expressions._
     val binOps: Map[String, (Expression, Expression) => Expression] = Map(

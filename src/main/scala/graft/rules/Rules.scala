@@ -32,7 +32,13 @@ final case class RowRule(
     valid: Column,
     observed: Column)
     extends RuleSpec {
-  def descriptor: String = s"$id|$severity|${valid.toString}"
+  /** Hashes the RENDERED SQL of both expressions (not Column.toString):
+    * the rendering is parse-stable, so a rule round-tripped through a
+    * [[RuleConfig]] JSON export keeps its fingerprint — and the evidence
+    * expression is part of lineage too (changing what a violation reports
+    * changes what the persisted tables mean). */
+  def descriptor: String =
+    s"$id|$severity|${RuleConfig.sqlOf(valid)}|${RuleConfig.sqlOf(observed)}"
 }
 
 /** Key-uniqueness rule (analog of checksum/etag uniqueness, reference

@@ -16,10 +16,10 @@ class RuleConfigSpec extends SparkSpec {
     assert(loaded.rules.map(_.getClass.getSimpleName) ===
       Rules.standard.rules.map(_.getClass.getSimpleName))
 
-    // re-parsing the same config yields the same lineage hash (a checkpoint
-    // written by a config-loaded run is honored by the next one)
-    assert(RuleConfig.fromJson(json).rulesetHash === loaded.rulesetHash)
-    // and the export of the loaded set re-parses to the same hash too
+    // the round-trip preserves the lineage hash EXACTLY (descriptors hash
+    // the parse-stable rendered SQL): a compiled→config migration is a
+    // no-op to checkpoints and to rule-delta classification
+    assert(loaded.rulesetHash === Rules.standard.rulesetHash)
     assert(RuleConfig.fromJson(RuleConfig.toJson(loaded)).rulesetHash ===
       loaded.rulesetHash)
 
