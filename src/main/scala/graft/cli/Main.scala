@@ -220,6 +220,24 @@ object Main {
               s""""clustered_partitions":${clustered.size},""" +
               s""""dry_run":$dry}""")
 
+        case "quarantine" :: input :: valOut :: salvage :: quarantine ::
+            rest =>
+          // row-level salvage of FAILING sources (QuarantineJob doc):
+          // rows named by violations → quarantine table (with rule ids),
+          // the rest → salvage table; partition-level failures skip
+          val r = graft.jobs.QuarantineJob.run(
+            spark, input, valOut, salvage, quarantine,
+            dryRun = rest.contains("--dry-run"))
+          def counts(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
+            .map { case (s, n) => s"${jstr(s)}:$n" }.mkString("{", ",", "}")
+          val skippedJson = r.skipped.toSeq.sortBy(_._1)
+            .map { case (s, ids) => jstr(s) + ":" + jarr(ids) }
+            .mkString("{", ",", "}")
+          println(
+            s"""{"salvaged":${counts(r.salvaged)},""" +
+              s""""quarantined":${counts(r.quarantined)},""" +
+              s""""skipped":$skippedJson,"dry_run":${r.dryRun}}""")
+
         case "diff" :: valOut :: rest =>
           // cross-run verdict regression diff over the run_log: explicit
           // (before, after) run_ids, or latest-two by completion time
@@ -286,6 +304,8 @@ object Main {
               "<manifestTsvDir> | " +
               "cleanup <inputDir> <validationOutDir> <storeDir> [--dry-run] " +
               "[--prune-logs=k] [--compact-checkpoint] | " +
+              "quarantine <inputDir> <validationOutDir> <salvageDir> " +
+              "<quarantineDir> [--dry-run] | " +
               "diff <validationOutDir> [beforeRunId afterRunId] [--all]")
           sys.exit(2)
       }
