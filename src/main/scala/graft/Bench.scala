@@ -42,7 +42,8 @@ object Bench {
     "lm_unigram_score", "zipf_slope", "quality_confusion", "dsir_weight",
     "lm_bigram_score", "split_cluster_aware", "bpe_merges", "bpe_encode",
     "dedup_minhash_audit", "text_blocklist",
-    "dedup_span_exact", "dedup_span_rewrite", "drift_psi_equidepth")
+    "dedup_span_exact", "dedup_span_rewrite", "drift_psi_equidepth",
+    "emb_drift_centroid", "shard_assign", "dedup_source_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.words
+import graft.functions.TextFunctions.{fingerprint, words}
 import graft.functions.TopKByScoreAggregate
 import graft.operators.AsOfJoin
 
@@ -27,6 +27,27 @@ object CorpusQueries {
     Seq("table", "row", "scan", "key", "hash", "value", "spark", "sort")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic output SHARDING — the write-side step every training
+    // pipeline ends with: route each doc to shard = fingerprint mod 8
+    // (content-keyed, so membership is reproducible across runs, cluster
+    // sizes, and later re-shards — the same derandomization rule as
+    // mix_sample), and audit the balance the router achieves: per shard,
+    // doc count, token mass, and distinct sources touched. A skewed row
+    // would mean the hash is routing badly (it cannot — the fingerprint
+    // is uniform) or a pathological corpus. Pure projection + one
+    // 8-row aggregate: the corpus never sorts and never shuffles by
+    // anything finer than the 8 shard keys' partials.
+    "shard_assign" -> ((s, dir) => {
+      docs(s, dir)
+        .select(
+          pmod(fingerprint(col("text")), lit(8L)).as("shard"),
+          size(words(col("text"))).cast("long").as("nw"),
+          col("source"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+          countDistinct("source").as("n_sources"))
+    }),
 
     // BPE tokenizer TRAINING (Sennrich et al. 2016): the first 4 merges
     // learned from the corpus word vocabulary, with bit-exact replay in
@@ -405,6 +426,12 @@ object CorpusQueries {
       (1 to k).map(bpeStageSql)).mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "shard_assign" ->
+      s"""SELECT ((${TextQueries.sqlPolyHash("text")} % 8) + 8) % 8 AS shard,
+            COUNT(*) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          FROM documents GROUP BY 1""",
     "bpe_merges" ->
       s"""WITH ${bpeCtesSql(4)}
           SELECT CAST(1 AS INT) AS step, pr AS pair, cnt FROM m1
@@ -436,7 +463,8 @@ object CorpusQueries {
                          ORDER BY ${TextQueries.sqlPolyHash("text")} ASC,
                                   doc_id ASC) AS rn
                 FROM documents)
-          SELECT r.source, q.quota, CAST(rn AS INT) AS rank, doc_id
+          SELECT r.source, CAST(q.quota AS BIGINT) AS quota,
+                 CAST(rn AS INT) AS rank, doc_id
           FROM r JOIN q USING (source) WHERE rn <= q.quota""",
     "mix_temperature" ->
       s"""WITH c AS (SELECT source,
@@ -460,7 +488,8 @@ object CorpusQueries {
                          ORDER BY ${TextQueries.sqlPolyHash("text")} ASC,
                                   doc_id ASC) AS rn
                 FROM documents)
-          SELECT r.source, q.quota, CAST(rn AS INT) AS rank, doc_id
+          SELECT r.source, CAST(q.quota AS BIGINT) AS quota,
+                 CAST(rn AS INT) AS rank, doc_id
           FROM r JOIN q USING (source) WHERE rn <= q.quota""",
     "tfidf_terms" ->
       """WITH occ AS (SELECT source, doc_id,
@@ -490,10 +519,10 @@ object CorpusQueries {
                  AS cum_before
                FROM d)
          SELECT source, doc_id, n_words,
-                cum_before // 64 AS first_chunk,
-                (cum_before + n_words - 1) // 64 AS last_chunk,
-                ((cum_before + n_words - 1) // 64) - (cum_before // 64) + 1
-                  AS n_chunks
+                CAST(cum_before // 64 AS BIGINT) AS first_chunk,
+                CAST((cum_before + n_words - 1) // 64 AS BIGINT) AS last_chunk,
+                CAST(((cum_before + n_words - 1) // 64) - (cum_before // 64)
+                  + 1 AS BIGINT) AS n_chunks
          FROM c""",
     "ngram_topk" ->
       """WITH d AS (SELECT string_split(text,' ') AS ws FROM documents),

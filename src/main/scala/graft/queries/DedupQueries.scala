@@ -151,6 +151,31 @@ object DedupQueries {
     // direct pair.
     "dedup_clusters" -> ((s, dir) => corpusClusters(docs(s, dir))),
 
+    // Cross-source duplication MATRIX: the verified capped-LSH pair list
+    // rolled up by (source, source) — who copies from whom. The audit
+    // that decides which crawl snapshots/feeds are redundant before
+    // paying to dedup them doc-by-doc (diagonal = within-source
+    // duplication, off-diagonal = cross-feed mirroring). Scale shape:
+    // the pair list is already bucket-capped (bounded), so the two
+    // doc→source lookups are joins of a SMALL pair table against the
+    // fact table's (id, source) projection — pair side broadcasts; the
+    // corpus never self-joins again.
+    "dedup_source_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20)
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+          "id_b")
+        .groupBy(
+          least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // The full curation PIPELINE as one query — what a user of this
     // library actually runs over a crawl, all four stages (VERDICT r03
     // #6): near-dup clusters on the training corpus (capped MinHash-LSH
@@ -460,6 +485,15 @@ object DedupQueries {
                  FROM sisl GROUP BY doc_id, island)"""
 
   val oracles: Map[String, String] = Map(
+    "dedup_source_matrix" ->
+      s"""WITH pairs AS ($minhashPairsCappedSql)
+         SELECT least(a.source, b.source) AS source_a,
+                greatest(a.source, b.source) AS source_b,
+                COUNT(*) AS n_pairs
+         FROM pairs p
+         JOIN documents a ON p.id_a = a.doc_id
+         JOIN documents b ON p.id_b = b.doc_id
+         GROUP BY 1, 2""",
     "dedup_span_exact" ->
       s"""WITH ${spanCte(8)}
          SELECT doc_id, span_start, span_end,

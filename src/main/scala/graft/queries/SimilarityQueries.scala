@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, SimilaritySearch}
 
@@ -153,6 +153,52 @@ object SimilarityQueries {
         emb(s, dir), "vec_id", "embedding", k = 4, iters = 2, minCos = 0.4)
     }),
 
+    // EMBEDDING-DISTRIBUTION drift per label group — the vector-space
+    // analog of the scalar drift gates (KS/chi2/PSI run on n_chars; a
+    // semantically-shifted source moves its embedding CLOUD long before
+    // its length histogram): per group, cosine of the group centroid to
+    // the corpus centroid (mean direction shift) plus the variance trace
+    // (dispersion change — a collapsing/mode-seeking source shrinks it).
+    // Bit-portable by the codebook convention: per-(label, dim) moments
+    // accumulate as 2^-20-quantized int64 sums (order-free), the corpus
+    // moments RE-AGGREGATE those partials (never a second corpus scan),
+    // and every float op after is a pinned sequence of exactly-rounded
+    // IEEE ops folded in dim order. Scale shape: one posexplode exchange
+    // of |labels × dims| partials with map-side combine; everything
+    // downstream is dimension-table volume.
+    "emb_drift_centroid" -> ((s, dir) => {
+      val sums = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x").cast("double") * lit(1048576.0)).cast("long")
+            .as("qv"))
+        .groupBy("label", "dim")
+        .agg(sum("qv").as("sq"), sum(col("qv") * col("qv")).as("sq2"),
+          count(lit(1)).as("n"))
+      val corpus = sums.groupBy("dim")
+        .agg(sum("sq").as("cq"), sum("n").as("nt"))
+      val d = sums.join(broadcast(corpus), "dim")
+        .select(col("label"), col("dim"), col("n"),
+          ((col("sq").cast("double") / lit(1048576.0)) / col("n")).as("m"),
+          ((col("cq").cast("double") / lit(1048576.0)) / col("nt")).as("cm"),
+          (((col("sq2").cast("double") / lit(1099511627776.0)) / col("n"))
+            - ((col("sq").cast("double") / lit(1048576.0)) / col("n"))
+              * ((col("sq").cast("double") / lit(1048576.0)) / col("n")))
+            .as("var_d"))
+      def fold(ds: Column, f: Column => Column): Column =
+        aggregate(ds, lit(0.0), (a, x) => a + f(x))
+      d.groupBy(col("label"), col("n"))
+        .agg(sort_array(collect_list(struct(
+          col("dim"), col("m"), col("cm"), col("var_d")))).as("ds"))
+        .select(col("label"), col("n").as("n_vecs"),
+          (fold(col("ds"), x => x.getField("m") * x.getField("cm"))
+            / (sqrt(fold(col("ds"), x => x.getField("m") * x.getField("m")))
+              * sqrt(fold(col("ds"),
+                  x => x.getField("cm") * x.getField("cm")))))
+            .as("cos_to_corpus"),
+          fold(col("ds"), x => x.getField("var_d")).as("var_trace"))
+    }),
+
     // multimodal feature extraction through the batched codec stage
     // (FakeCodec emits integer-valued floats, so even the mapPartitions
     // stage has a full DuckDB oracle; payloads are the utf-8 bytes of
@@ -296,6 +342,39 @@ object SimilarityQueries {
           FROM ranked WHERE rank <= $k"""
 
   private val baseOracles: Map[String, String] = Map(
+    "emb_drift_centroid" ->
+      """WITH q AS (
+           SELECT label, dim,
+                  CAST(floor(CAST(embedding[dim+1] AS DOUBLE)*1048576.0)
+                    AS BIGINT) AS qv
+           FROM embeddings, (SELECT unnest(range(64)) AS dim)),
+         sums AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sq,
+                    CAST(SUM(qv*qv) AS BIGINT) AS sq2,
+                    CAST(COUNT(*) AS BIGINT) AS n
+                  FROM q GROUP BY 1, 2),
+         corpus AS (SELECT dim, CAST(SUM(sq) AS BIGINT) AS cq,
+                      CAST(SUM(n) AS BIGINT) AS nt
+                    FROM sums GROUP BY 1),
+         d AS (SELECT label, s.dim, n,
+                 (CAST(sq AS DOUBLE)/1048576.0)/n AS m,
+                 (CAST(cq AS DOUBLE)/1048576.0)/nt AS cm,
+                 (CAST(sq2 AS DOUBLE)/1099511627776.0)/n
+                   - ((CAST(sq AS DOUBLE)/1048576.0)/n)
+                     * ((CAST(sq AS DOUBLE)/1048576.0)/n) AS var_d
+               FROM sums s JOIN corpus c ON s.dim = c.dim),
+         f AS (SELECT label, n,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(m*cm ORDER BY dim)), (x,y)->x+y) AS dp,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(m*m ORDER BY dim)), (x,y)->x+y) AS na,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(cm*cm ORDER BY dim)), (x,y)->x+y) AS nb,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(var_d ORDER BY dim)), (x,y)->x+y) AS var_trace
+               FROM d GROUP BY label, n)
+         SELECT label, n AS n_vecs, dp/(sqrt(na)*sqrt(nb)) AS cos_to_corpus,
+                var_trace
+         FROM f""",
     "ann_ivfpq_topk" ->
       s"""WITH c0 AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)

@@ -279,7 +279,8 @@ object TextQueries {
                   SUM(COALESCE(t.c, 0)) AS freq_hits
            FROM docw d LEFT JOIN topk t ON d.w = t.w
            GROUP BY 1)
-         SELECT doc_id, n_words, known_words, freq_hits,
+         SELECT doc_id, n_words, CAST(known_words AS BIGINT) AS known_words,
+                CAST(freq_hits AS BIGINT) AS freq_hits,
                 CASE WHEN n_words > 0
                      THEN CAST(freq_hits AS DOUBLE) /
                           (n_words * (SELECT t FROM tot))
