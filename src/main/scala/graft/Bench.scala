@@ -43,7 +43,9 @@ object Bench {
     "lm_bigram_score", "split_cluster_aware", "bpe_merges", "bpe_encode",
     "dedup_minhash_audit", "text_blocklist",
     "dedup_span_exact", "dedup_span_rewrite", "drift_psi_equidepth",
-    "emb_drift_centroid", "shard_assign", "dedup_source_matrix")
+    "emb_drift_centroid", "shard_assign", "dedup_source_matrix",
+    "mm_phash_pairs", "fp_winnow", "dedup_winnow_pairs", "chunk_sliding",
+    "emb_align_margin", "emb_coreset_kcenter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -92,6 +92,13 @@ case class BaselineBin(
     count: Long,
     snapshot_id: String)
 
+/** One embedding row — the vector-side fact table (embeddings.parquet):
+  * `label` plays the per-group role `source` plays for sequences. */
+case class EmbVector(
+    vec_id: Long,
+    embedding: Array[Float],
+    label: Int)
+
 object Status {
   val Pass = "PASS"
   val Fail = "FAIL"

@@ -313,8 +313,17 @@ object Dedup {
     * 65536. `maxBucketSize` drops degenerate band buckets (same contract
     * as [[minhashLshPairs]]). */
   def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    bandedHammingPairs(simhash64(df, idCol, textCol), idCol,
+      maxHamming, maxBucketSize)
+
+  /** Hamming-banded near-dup pairs over ANY (id, bands: array<long>)
+    * signature table — the blocking join [[simhashPairs64]] runs on text
+    * SimHashes and [[graft.operators.Multimodal.phash64]] runs on media
+    * perceptual hashes. Same pigeonhole completeness (maxHamming ≤
+    * nBands − 1) and degenerate-bucket cap contract. */
+  def bandedHammingPairs(sh: DataFrame, idCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val sh = simhash64(df, idCol, textCol)
     val banded = sh.select(
       col(idCol), col("bands"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
@@ -656,5 +665,72 @@ object Dedup {
           .as("clean_text"),
         (size(col("toks")) - size(col("kept"))).cast("long")
           .as("n_removed"))
+  }
+
+  /** WINNOWED fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * local fingerprinting scheme; public algorithm): per document, the
+    * distinct minima of every `w`-long window over its sliding `k`-gram
+    * hash sequence. The winnowing guarantee: any shared run of at least
+    * w+k−1 words between two documents yields at least one SHARED selected
+    * fingerprint — so fingerprint density is ~2/(w+1) per k-gram (vs 1 for
+    * the full inverted index) while matches of guarantee length can never
+    * be missed. This is the position-robust middle ground between whole-doc
+    * hashing (misses everything partial) and the full shingle index
+    * (jaccardPairs — w times more index rows).
+    *
+    * Documents with at least one k-gram but fewer than w windows select
+    * their single global minimum (standard short-document convention —
+    * every document with any content carries ≥1 fingerprint).
+    *
+    * Output: (id, fp), one row per distinct selected fingerprint. Scale
+    * shape: ONE codegen'd projection (the fused sliding-hash kernel + a
+    * higher-order window-min over the in-row array) — zero exchanges; the
+    * fingerprint table is the ~2/(w+1)-density inverted index downstream
+    * joins consume.
+    *
+    * Reference analog: content-checksum duplicate gate
+    * (manifest_processor.py:283-305) generalized below document
+    * granularity with a sublinear index. */
+  def winnowFps(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    import graft.functions.ShingleHashes
+    val hs = ShingleHashes.sliding(col(textCol), k)
+    val sel = when(size(hs) === 0, array().cast("array<long>"))
+      .when(size(hs) < w, array(array_min(hs)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + 1, lit(w))))))
+    df.select(col(idCol), explode(sel).as("fp")).distinct()
+  }
+
+  /** Near-duplicate / shared-passage candidate pairs over [[winnowFps]]:
+    * documents sharing at least `minShared` winnowed fingerprints, with
+    * the shared count as evidence. By the winnowing guarantee a pair
+    * sharing any (w+k−1)-word passage shares ≥1 fingerprint, so
+    * minShared=1 is passage-complete at guarantee length; higher values
+    * trade recall for pair-list size.
+    *
+    * Scale shape: jaccardPairs' inverted-index discipline on a ~2/(w+1)
+    * density index — ONE exchange on fp serves the df-cap window and both
+    * self-join branches; `maxDf` drops boilerplate fingerprints (df > cap)
+    * before any pair forms, bounding the pair space by Σ_fp df². */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Long = 2L,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val idx0 = winnowFps(df, idCol, textCol, k, w)
+      .repartition(col("fp"))
+    val idx =
+      if (maxDf == Int.MaxValue) idx0
+      else idx0
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .filter(col("df") <= maxDf)
+        .drop("df")
+    idx.select(col("fp"), col(idCol).as("id_a"))
+      .join(idx.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 }

@@ -135,6 +135,50 @@ object Multimodal {
       }
   }
 
+  /** 64-bit PERCEPTUAL hash of a media payload, as 4 × 16-bit bands:
+    * banded SimHash over the payload's sampled-frame fingerprints (so two
+    * media that share most frames — a re-encode that changes a few, a
+    * video with an inserted bumper — land within small hamming distance,
+    * while exact copies collide on all 64 bits). This is the media analog
+    * of text SimHash: dHash/pHash in a real deployment would hash decoded
+    * pixel blocks; here the frame slicer stands in for the decoder, and
+    * everything downstream of frame fingerprints (vote arithmetic,
+    * banding, the pair join) is the production path.
+    *
+    * Scale shape: frame sampling is the batched map-only codec stage; the
+    * only exchange is one groupBy(media_id) over the SAMPLED frame-fp
+    * table (≤ len/(frameBytes·every) rows per media — bounded, and tiny
+    * next to the payload bytes). The SimHash fold is the codegen'd
+    * [[graft.functions.SimhashFromHashes]] kernel, order-invariant, so
+    * collect_list's nondeterministic order is harmless. Media too short
+    * to yield a single full frame have no perceptual content to hash and
+    * are absent from the output (same contract as the frames table). */
+  def phash64(
+      media: DataFrame,
+      frameBytes: Int = 32,
+      every: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    sampleFrames(media, frameBytes, every, batchSize)
+      .groupBy(col("media_id"))
+      .agg(collect_list(col("frame_fp")).as("fps"))
+      .select(col("media_id"),
+        graft.functions.SimhashFromHashes(col("fps"), 4, 16).as("bands"))
+  }
+
+  /** Media near-duplicate pairs: hamming ≤ `maxHamming` over [[phash64]],
+    * via the shared banded blocking join (pigeonhole-complete at radius 3;
+    * `maxBucketSize` drops degenerate buckets — the 100 TB contract shared
+    * with the text-side pair operators). */
+  def phashPairs(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = Int.MaxValue,
+      frameBytes: Int = 32,
+      every: Int = 4): DataFrame =
+    Dedup.bandedHammingPairs(
+      phash64(media, frameBytes, every), "media_id", maxHamming,
+      maxBucketSize)
+
   /** Deterministic 1-D nearest-neighbor payload downsample — the stub
     * "resize" stage (a real deployment resizes decoded images here): byte
     * i of the output is input byte floor(i·len/target). Payloads already

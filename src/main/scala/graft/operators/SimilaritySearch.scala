@@ -610,4 +610,128 @@ object SimilaritySearch {
       .select(col("vec_id"), col("cid"), col("ccos"),
         col("dup").isNull.as("kept"))
   }
+
+  /** Greedy k-CENTER coreset selection — farthest-point traversal
+    * (Gonzalez 1985's 2-approximation; the diversity-sampling step of
+    * embedding-space data pruning, Sener & Savarese 2018 core-set
+    * selection; public algorithms): seed with the smallest id, then
+    * repeatedly add the point LEAST similar to everything selected so far
+    * (min over candidates of max-cosine-to-selected, ties by ascending
+    * id). Where near-dup removal drops redundancy pairwise, the coreset
+    * picks the k items that together COVER the embedding space — the
+    * "choose what to keep under a budget" complement.
+    *
+    * Output: (sel_order, vec_id, max_cos) — max_cos is the selected
+    * point's max cosine to the prior selection at the moment it was
+    * picked (monotonically non-decreasing = the coverage radius curve;
+    * NULL for the seed).
+    *
+    * Determinism/oracle contract: cosine is the shared ordered-fold spec
+    * against driver-literal selected vectors (float→double promotion
+    * exact, centroid norms driver-side constants — the [[coarseScores]]
+    * pattern), the running distance is `greatest` over selected, and the
+    * argmin is a single min(struct(d, id, v)) aggregate; the oracle
+    * replays the same k-step greedy with the same tie-breaks.
+    *
+    * Scale shape: one corpus scan per selection step — a pure projection
+    * against ≤k literal vectors plus a partial-aggregated global min
+    * (map-side one struct per task; no shuffle of the corpus). k scans
+    * total, the k-means cost model; driver holds k×dims doubles. At
+    * production k, step i would persist the running d column instead of
+    * re-folding i literals (same plan shape, one column of state). */
+  def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).collect().head
+    def toDoubles(a: Any): Seq[Double] =
+      a.asInstanceOf[scala.collection.Seq[_]]
+        .map(x => x.asInstanceOf[Float].toDouble).toSeq
+    val selected = scala.collection.mutable.ListBuffer[
+      (Long, Seq[Double], Option[Double])](
+      (seed.getLong(0), toDoubles(seed.get(1)), None))
+    while (selected.size < k) {
+      val dists = selected.map { case (_, cv, _) =>
+        val cnorm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+        dot(col("v"), typedlit(cv)) / (col("n") * lit(cnorm))
+      }.toSeq
+      val d = if (dists.size == 1) dists.head else greatest(dists: _*)
+      val ids = selected.map(_._1).toSeq
+      val m = base.filter(!col("vec_id").isin(ids.map(x => x: Any): _*))
+        .select(min(struct(d.as("d"), col("vec_id").as("vec_id"),
+          col("v").as("v"))).as("m"))
+        .collect().head.getStruct(0)
+      selected += ((m.getLong(1), toDoubles(m.get(2)),
+        Some(m.getDouble(0))))
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _, dOpt), i) =>
+      (i.toLong, id, dOpt)
+    }.toSeq.toDF("sel_order", "vec_id", "max_cos")
+      .select(col("sel_order"), col("vec_id"),
+        col("max_cos").cast("double").as("max_cos"))
+  }
+
+  /** Margin-based cross-group ALIGNMENT mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" — the LASER bitext-mining scorer; public algorithm):
+    * between two label groups A and B, score every cross pair by its
+    * RATIO margin — cosine divided by the mean of the two sides' average
+    * k-NN cosines — and keep, per A item, its best-margin B match when
+    * that margin clears `minMargin`. The margin normalizes away hubness:
+    * a B vector globally close to everything has a high denominator, so
+    * only matches that are close RELATIVE to each side's neighborhood
+    * density survive — the property raw cosine thresholds lack.
+    *
+    * Output: (id_a, id_b, margin), ≤1 row per A item. Determinism: ties
+    * break by ascending id at both the k-NN and argmax steps (the
+    * TopKByScoreAggregate contract), and both denominator folds add in
+    * (cos desc, id asc) order — the oracle replays the same fold order.
+    *
+    * Scale shape: the A×B score pass is the declared brute-force
+    * semantics (at mining scale the same margin re-ranks an ANN
+    * candidate list — [[lshTopK]]'s output slots in where `scored` is
+    * built, nothing else changes). Norms are computed once per row
+    * before the join; both k-NN denominators and the per-A argmax ride
+    * bounded TopK aggregates (≤k map-side state, no single-reducer
+    * window); the denominator tables are |A| and |B| rows — broadcast
+    * joins, never a shuffle of the pair space. */
+  def marginAlignPairs(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, labelA: Int, labelB: Int,
+      k: Int = 4, minMargin: Double = 1.05): DataFrame = {
+    import graft.functions.TopKByScoreAggregate
+    val a = emb.filter(col(labelCol) === labelA)
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        norm(col(vecCol)).as("na"))
+    val b = emb.filter(col(labelCol) === labelB)
+      .select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        norm(col(vecCol)).as("nb"))
+    val scored = a.join(broadcast(b))
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))
+          .as("cos"))
+    // mean k-NN cosine per side: bounded top-k (cos desc, id asc), then
+    // an ordered fold over exactly that order (bit-reproducible)
+    def knnMean(grp: String, other: String, out: String): DataFrame =
+      scored.groupBy(col(grp))
+        .agg(TopKByScoreAggregate.topK(col("cos"), col(other), k).as("tk"))
+        .select(col(grp),
+          (aggregate(col("tk"), lit(0.0), (acc, e) => acc + e("cos")) /
+            size(col("tk"))).as(out))
+    scored
+      .join(broadcast(knnMean("id_a", "id_b", "da")), Seq("id_a"))
+      .join(broadcast(knnMean("id_b", "id_a", "db")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("cos") / ((col("da") + col("db")) / 2.0)).as("margin"))
+      .groupBy(col("id_a"))
+      .agg(TopKByScoreAggregate.topK(col("margin"), col("id_b"), 1)
+        .as("best"))
+      .select(col("id_a"), element_at(col("best"), 1).as("e"))
+      .select(col("id_a"), col("e")("neighbor_id").as("id_b"),
+        col("e")("cos").as("margin"))
+      .filter(col("margin") >= minMargin)
+  }
 }

@@ -207,6 +207,37 @@ object CorpusQueries {
           col("last_chunk") - col("first_chunk") + lit(1L))
     }),
 
+    // RAG passage extraction: CLAMPED sliding 32-word windows at stride
+    // 24 (8-word overlap) — the retrieval-side companion of seq_pack's
+    // training-side concat-and-chunk. Every chunk is full-width (the last
+    // start clamps to n−W, so no sub-width tail passage and full
+    // coverage); docs shorter than one window yield exactly one chunk of
+    // themselves. n_chunks = 1 + ceil((n−W)/S) in pure integer
+    // arithmetic. A per-row projection + in-row explode — zero exchanges,
+    // ~n/S output rows per doc; chunk_fp is the shared polynomial
+    // fingerprint of the passage text, the key passage-level dedup and
+    // the ANN index build consume downstream.
+    "chunk_sliding" -> ((s, dir) => {
+      val W = 32; val S = 24
+      docs(s, dir)
+        .select(col("doc_id"), words(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n"))
+        .withColumn("n_chunks",
+          when(col("n") <= W, lit(1L))
+            .otherwise(expr(s"1 + (n - $W + ${S - 1}) div $S")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+        .withColumn("start_word",
+          when(col("n") <= W, lit(1L))
+            .otherwise(least(col("chunk_idx") * S, col("n") - W) + 1L))
+        .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+          least(lit(W.toLong), col("n")).as("n_words"),
+          graft.functions.TextFunctions.polyHash(
+            array_join(slice(col("toks"), col("start_word"), lit(W)), " "))
+            .as("chunk_fp"))
+    }),
+
     // corpus-level top-50 bigrams: the n-gram frequency table behind
     // contamination screens and boilerplate detection. Bigrams are a
     // codegen'd projection (two aligned slices zipped — no sequence()
@@ -524,6 +555,26 @@ object CorpusQueries {
                 CAST(((cum_before + n_words - 1) // 64) - (cum_before // 64)
                   + 1 AS BIGINT) AS n_chunks
          FROM c""",
+    "chunk_sliding" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+                CAST(len(string_split(text,' ')) AS BIGINT) AS n
+              FROM documents),
+          c AS (SELECT *, CASE WHEN n <= 32 THEN 1
+                               ELSE 1 + (n - 32 + 23) // 24 END AS n_chunks
+                FROM d),
+          e AS (SELECT doc_id, toks, n, unnest(range(n_chunks)) AS ci
+                FROM c),
+          s AS (SELECT doc_id, toks, n, ci,
+                       CASE WHEN n <= 32 THEN 1
+                            ELSE least(ci*24, n-32) + 1 END AS start_word
+                FROM e)
+          SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+                 CAST(start_word AS BIGINT) AS start_word,
+                 CAST(least(32, n) AS BIGINT) AS n_words,
+                 ${TextQueries.sqlPolyHash(
+                   "array_to_string(toks[start_word:start_word+31], ' ')")}
+                   AS chunk_fp
+          FROM s""",
     "ngram_topk" ->
       """WITH d AS (SELECT string_split(text,' ') AS ws FROM documents),
          b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram

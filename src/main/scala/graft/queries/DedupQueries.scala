@@ -51,6 +51,23 @@ object DedupQueries {
         chunkWords = 10, maxDf = 4L)
     }),
 
+    // WINNOWED fingerprints (Schleimer et al. 2003 / MOSS): per doc, the
+    // distinct window-minima of its sliding 4-gram hash sequence (w=5) —
+    // the ~2/(w+1)-density local fingerprint index that still GUARANTEES a
+    // shared fingerprint for any shared run of >= w+k-1 = 8 words
+    "fp_winnow" -> ((s, dir) => {
+      Dedup.winnowFps(docs(s, dir), "doc_id", "text", k = 4, w = 5)
+    }),
+
+    // Shared-passage candidate pairs over the winnowed index: docs sharing
+    // >= 2 selected fingerprints, boilerplate fingerprints (df > 20)
+    // dropped before any pair forms — the SCALE configuration (pair space
+    // bounded by sum(df^2) over a w-times-sparser index than jaccard's)
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowPairs(docs(s, dir), "doc_id", "text",
+        k = 4, w = 5, minShared = 2L, maxDf = 20)
+    }),
+
     // Deterministic survivor selection — the BATCH form of the streaming
     // first-seen dedup's tie-break (StreamingValidation.dedupStream picks
     // the (source, n_tok)-least occurrence of a duplicated key so the
@@ -450,6 +467,30 @@ object DedupQueries {
     * shared definition — see sqlPolyHash). */
   private val textFpSql = TextQueries.sqlPolyHash("text")
 
+  /** doc_id -> winnowed fingerprint list (k=4, w=5), mirroring
+    * Dedup.winnowFps exactly: ordered sliding 4-gram hashes (the shared
+    * polyHash spec over the space-joined shingle), then the distinct
+    * minima of every 5-long window; short docs (>=1 k-gram, <5 windows)
+    * select their single global minimum. ONE definition shared by the
+    * fp_winnow and dedup_winnow_pairs oracles. */
+  private val winnowFpsCte: String =
+    s"""hs AS (
+         SELECT doc_id,
+                CASE WHEN len(w) < 4 THEN CAST([] AS BIGINT[])
+                     ELSE [${TextQueries.sqlPolyHash(
+                       "array_to_string(w[i:i+3], ' ')")}
+                           for i in range(1, len(w)-2)] END AS h
+         FROM (SELECT doc_id, string_split(text,' ') AS w
+               FROM documents)),
+       wf AS (
+         SELECT doc_id,
+                CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                     WHEN len(h) < 5 THEN [list_min(h)]
+                     ELSE list_distinct([list_min(h[i:i+4])
+                                         for i in range(1, len(h)-3)])
+                END AS fps
+         FROM hs)"""
+
   /** Shared CTE chain for the span-dedup trio: sliding `w`-word windows
     * keyed by the SAME (h1, h2) pair as Dedup.windowKeys — h1 = polyHash
     * of the window joined with ' ' (identical to the shingle spec), h2 =
@@ -588,6 +629,21 @@ object DedupQueries {
                  COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
                    ORDER BY pos), '') AS new_text
           FROM k GROUP BY 1""",
+    "fp_winnow" ->
+      s"""WITH $winnowFpsCte
+          SELECT doc_id, unnest(fps) AS fp FROM wf""",
+    "dedup_winnow_pairs" ->
+      s"""WITH $winnowFpsCte,
+          idx AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+          kept AS (
+            SELECT i.* FROM idx i
+            JOIN (SELECT fp FROM idx GROUP BY 1 HAVING COUNT(*) <= 20) z
+              USING (fp))
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                 COUNT(*) AS n_shared
+          FROM kept l JOIN kept r
+            ON l.fp = r.fp AND l.doc_id < r.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
     "dedup_first_seen" ->
       """SELECT content_md5, source, n_chars, doc_id, n_copies FROM (
            SELECT md5(text) AS content_md5, source, n_chars, doc_id,

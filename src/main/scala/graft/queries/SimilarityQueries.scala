@@ -143,6 +143,28 @@ object SimilarityQueries {
         maxBucketSize = 60)
     }),
 
+    // Greedy k-center coreset (farthest-point traversal): the 8 vectors
+    // that together COVER the embedding space — diversity selection under
+    // a budget (Sener & Savarese core-set), vs dedup's pairwise redundancy
+    // removal. max_cos is the coverage-radius curve; the oracle replays
+    // all 8 greedy steps with identical folds and tie-breaks.
+    "emb_coreset_kcenter" -> ((s, dir) => {
+      SimilaritySearch.kCenterGreedy(emb(s, dir), "vec_id", "embedding",
+        k = 8)
+    }),
+
+    // Margin-based cross-group alignment mining (Artetxe & Schwenk 2019,
+    // the LASER bitext-mining scorer): per label-0 vector, its best
+    // label-1 match by RATIO margin (cos over the mean of both sides'
+    // average 4-NN cosines), kept when margin >= 1.05 — the hubness-
+    // normalized pairing rule raw cosine thresholds lack. Oracle replays
+    // the k-NN folds in the same (cos desc, id asc) order.
+    "emb_align_margin" -> ((s, dir) => {
+      SimilaritySearch.marginAlignPairs(
+        emb(s, dir), "vec_id", "embedding", "label",
+        labelA = 0, labelB = 1, k = 4, minMargin = 1.05)
+    }),
+
     // SEMANTIC dedup (SemDeDup): trained k-means clusters (the exact
     // codebook ann_kmeans_codebook verifies) block the corpus; within a
     // cluster every item with a cos>=0.4 neighbor ranked before it
@@ -222,6 +244,27 @@ object SimilarityQueries {
         .toDF()
     }),
 
+    // media perceptual hash: 64-bit banded SimHash over sampled-frame
+    // fingerprints — the image/video near-dup signature (a re-encode that
+    // changes a few frames stays within small hamming distance); every
+    // vote and band replayed bit-for-bit by the oracle
+    "mm_phash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.phash64(Multimodal.mediaFromDocuments(docs))
+        .select(col("media_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band")))
+    }),
+
+    // media near-dup pairs over the perceptual hash (hamming <= 3,
+    // pigeonhole-complete 4-band blocking, degenerate buckets dropped at
+    // 20 — the SCALE configuration, same contract as the text-side pair
+    // operators)
+    "mm_phash_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.phashPairs(Multimodal.mediaFromDocuments(docs),
+        maxHamming = 3, maxBucketSize = 20)
+    }),
+
     // resize: nearest-neighbor byte downsample to 64 bytes; fingerprint
     // of the resized payload checked against index arithmetic in SQL
     "mm_resize" -> ((s, dir) => {
@@ -235,6 +278,35 @@ object SimilarityQueries {
     })
   )
 
+  /** Shared perceptual-hash oracle spec: sampled-frame fingerprints (the
+    * mm_frames arithmetic) → per-(media, bit) ±1 votes → 4 packed 16-bit
+    * bands. Used verbatim by the mm_phash and mm_phash_pairs oracles so
+    * the signature and the pair join cannot silently diverge. */
+  private val phashBandsCte: String =
+    """frames AS (
+         SELECT doc_id AS media_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(ascii(ch) AS BIGINT)
+                   for ch in string_split(
+                     substring(text, CAST(i*32+1 AS INT), 32),'')]),
+                  (a,b)->(a*31+b)%1000000007) AS frame_fp
+         FROM (SELECT doc_id, text,
+                      unnest(range(len(text)//32)) AS i FROM documents)
+         WHERE i % 4 = 0),
+       votes AS (
+         SELECT media_id, j,
+                SUM(CASE WHEN ((frame_fp*(2*j+1) + (j*1000003 + 12345))
+                               % 1000000007) % 2 = 1
+                         THEN 1 ELSE -1 END) AS v
+         FROM frames, (SELECT unnest(range(64)) AS j)
+         GROUP BY 1, 2),
+       bands AS (
+         SELECT media_id, CAST(j // 16 AS INT) AS band_idx,
+                CAST(SUM(CASE WHEN v > 0
+                              THEN CAST(1 AS BIGINT) << CAST(j % 16 AS INT)
+                              ELSE 0 END) AS BIGINT) AS band
+         FROM votes GROUP BY 1, 2)"""
+
   // ordered-fold dot product over double-promoted elements
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -243,6 +315,46 @@ object SimilarityQueries {
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** k-step greedy k-center oracle: a generated chain of MATERIALIZED
+    * CTEs (without the hint DuckDB inlines each d_i into every consumer
+    * and the chain re-expands exponentially) — sel0 = min-id seed, d_i =
+    * running max-cos-to-selected, p_i = the (d asc, vec_id asc) argmin
+    * pick of step i. Mirrors SimilaritySearch.kCenterGreedy's folds and
+    * tie-breaks exactly. */
+  private def kcenterSql(k: Int): String = {
+    val parts = new scala.collection.mutable.ListBuffer[String]
+    parts += s"""sel0 AS MATERIALIZED (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+         d0 AS MATERIALIZED (
+           SELECT e.vec_id, ${cosSql("e.embedding", "s.embedding")} AS d
+           FROM embeddings e, sel0 s WHERE e.vec_id <> s.vec_id)"""
+    for (i <- 1 until k) {
+      parts += s"""p$i AS MATERIALIZED (
+           SELECT e.vec_id, e.embedding,
+                  (SELECT d FROM d${i - 1}
+                   ORDER BY d ASC, vec_id ASC LIMIT 1) AS dsel
+           FROM embeddings e
+           WHERE e.vec_id = (SELECT vec_id FROM d${i - 1}
+                             ORDER BY d ASC, vec_id ASC LIMIT 1))"""
+      if (i < k - 1)
+        parts += s"""d$i AS MATERIALIZED (
+           SELECT dd.vec_id,
+                  GREATEST(dd.d, ${cosSql("e.embedding", "p.embedding")})
+                    AS d
+           FROM d${i - 1} dd JOIN embeddings e ON dd.vec_id = e.vec_id,
+                p$i p
+           WHERE dd.vec_id <> p.vec_id)"""
+    }
+    val tail = (Seq(
+      "SELECT CAST(0 AS BIGINT) AS sel_order, vec_id, " +
+        "CAST(NULL AS DOUBLE) AS max_cos FROM sel0") ++
+      (1 until k).map(i =>
+        s"SELECT CAST($i AS BIGINT), vec_id, dsel FROM p$i"))
+      .mkString(" UNION ALL ")
+    s"WITH ${parts.mkString(",\n")}\n$tail"
+  }
 
   // SRP bucket: bit j set iff sum_i v[i]*sign(seed,j,i) > 0, with
   // sign = +1 iff ((i+1)*2654435761 + (j+1)*40503 + 42) >> 16 is even
@@ -595,6 +707,34 @@ object SimilarityQueries {
             FROM scored)
           SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
           FROM ranked WHERE rank <= 3""",
+    "emb_coreset_kcenter" -> kcenterSql(8),
+    "emb_align_margin" ->
+      s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va
+                     FROM embeddings WHERE label = 0),
+          b AS (SELECT vec_id AS id_b, embedding AS vb
+                FROM embeddings WHERE label = 1),
+          sc AS (SELECT id_a, id_b, ${cosSql("va", "vb")} AS cos
+                 FROM a, b),
+          da AS (SELECT id_a,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     (list(cos ORDER BY cos DESC, id_b ASC))[1:4]),
+                     (x,y)->x+y)
+                   / len((list(cos ORDER BY cos DESC, id_b ASC))[1:4]) AS d
+                 FROM sc GROUP BY 1),
+          db AS (SELECT id_b,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     (list(cos ORDER BY cos DESC, id_a ASC))[1:4]),
+                     (x,y)->x+y)
+                   / len((list(cos ORDER BY cos DESC, id_a ASC))[1:4]) AS d
+                 FROM sc GROUP BY 1),
+          m AS (SELECT id_a, id_b, sc.cos / ((da.d + db.d)/2.0) AS margin
+                FROM sc JOIN da USING (id_a) JOIN db USING (id_b)),
+          best AS (SELECT id_a, id_b, margin,
+                          ROW_NUMBER() OVER (PARTITION BY id_a
+                            ORDER BY margin DESC, id_b ASC) AS rn
+                   FROM m)
+          SELECT id_a, id_b, margin FROM best
+          WHERE rn = 1 AND margin >= 1.05""",
     "dedup_semantic" ->
       s"""WITH c0 AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
@@ -653,6 +793,35 @@ object SimilarityQueries {
                    for i in range(0, len(c)) if i % 8 = 0]), 0) % 1009
                   AS FLOAT) AS f0
          FROM (SELECT doc_id, string_split(text,'') AS c FROM documents)""",
+    "mm_phash" ->
+      s"""WITH $phashBandsCte
+          SELECT media_id, band_idx, band FROM bands""",
+    "mm_phash_pairs" ->
+      s"""WITH $phashBandsCte,
+          sigs AS (SELECT media_id, list(band ORDER BY band_idx) AS bs
+                   FROM bands GROUP BY 1),
+          kept AS (
+            SELECT b.* FROM bands b
+            JOIN (SELECT band_idx, band FROM bands
+                  GROUP BY 1, 2 HAVING COUNT(*) <= 20) z
+              USING (band_idx, band)),
+          cand AS (
+            SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b
+            FROM kept l JOIN kept r
+              ON l.band_idx = r.band_idx AND l.band = r.band
+             AND l.media_id < r.media_id)
+          SELECT id_a, id_b,
+                 CAST(bit_count(xor(a.bs[1], b.bs[1]))
+                    + bit_count(xor(a.bs[2], b.bs[2]))
+                    + bit_count(xor(a.bs[3], b.bs[3]))
+                    + bit_count(xor(a.bs[4], b.bs[4])) AS INT) AS hamming
+          FROM cand
+          JOIN sigs a ON a.media_id = id_a
+          JOIN sigs b ON b.media_id = id_b
+          WHERE bit_count(xor(a.bs[1], b.bs[1]))
+              + bit_count(xor(a.bs[2], b.bs[2]))
+              + bit_count(xor(a.bs[3], b.bs[3]))
+              + bit_count(xor(a.bs[4], b.bs[4])) <= 3""",
     "mm_frames" ->
       s"""SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
                  32 AS frame_len,

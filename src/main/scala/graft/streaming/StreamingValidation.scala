@@ -239,6 +239,56 @@ object StreamingValidation {
         OutputMode.Append(), timeoutConf)(dedupStateFn(stateTtlMs))
   }
 
+  /** One emitted sample row: `gen` is the per-source generation counter —
+    * a reader keeps each source's max-gen rows (memory/update sinks append
+    * every re-emission, so the generation marks which one is current). */
+  final case class SampleEntry(
+      source: String, doc_id: String, fp: Long, gen: Long)
+
+  /** Content fingerprint of a token payload: the same polynomial fold the
+    * text queries use ((a·31 + x) mod 1e9+7), over token ids — so sample
+    * membership is a pure function of CONTENT. */
+  private[streaming] def tokenFp(tokens: Array[Int]): Long =
+    tokens.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
+
+  /** State transition for the streaming k-sample (factored out for
+    * direct unit-testing like dedupStateFn). State per source: the
+    * current sample (≤ k (fp, doc_id) pairs, sorted) + its generation. */
+  private[streaming] def sampleStateFn(k: Int)(
+      source: String, it: Iterator[Sequence],
+      state: GroupState[(Seq[(Long, String)], Long)])
+      : Iterator[SampleEntry] = {
+    val (cur, gen) =
+      if (state.exists) state.get else (Seq.empty[(Long, String)], 0L)
+    val merged = (cur ++ it.map(s => (tokenFp(s.tokens), s.doc_id)))
+      .distinct.sorted.take(k)
+    if (merged == cur) Iterator.empty
+    else {
+      state.update((merged, gen + 1))
+      merged.iterator.map { case (fp, id) =>
+        SampleEntry(source, id, fp, gen + 1)
+      }
+    }
+  }
+
+  /** Streaming per-source deterministic k-sample — the streaming form of
+    * the batch `sample_stratified` selection rule: per source, the k
+    * documents with the SMALLEST content fingerprints seen so far win
+    * (ties by doc_id). State is EXACTLY bounded at k entries per source,
+    * and membership is a pure function of the content SET — not arrival
+    * order, batch boundaries, partitioning, or parallelism — so after
+    * any prefix of the stream the current sample equals the batch top-k
+    * over the same rows (the convergence property the spec pins). A
+    * changed source re-emits its FULL current sample under a bumped
+    * generation; unchanged sources emit nothing that micro-batch. */
+  def sampleStream(seqs: Dataset[Sequence], k: Int): Dataset[SampleEntry] = {
+    import seqs.sparkSession.implicits._
+    seqs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(sampleStateFn(k))
+  }
+
   /** One ingestion event for the stateful sessionizer. */
   final case class SessionEvent(
       source: String, event_time: java.sql.Timestamp, is_violation: Boolean)
@@ -548,6 +598,163 @@ object StreamingValidation {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** One embedding-drift decision per (micro-batch, label group). */
+  final case class EmbDriftAlert(
+      batch_id: Long, label: Int, cos_to_baseline: Double,
+      min_cos: Double, rejected: Boolean, n: Long)
+
+  /** Open a landing directory as a stream of embedding rows. */
+  def readEmbeddingStream(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int = 16): Dataset[graft.model.EmbVector] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[graft.model.EmbVector]
+        .schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .as[graft.model.EmbVector]
+  }
+
+  /** Incremental EMBEDDING-distribution drift monitor — the streaming form
+    * of the batch `emb_drift_centroid` gate: per label group, the cosine
+    * of the CUMULATIVE group centroid to a baseline centroid (a
+    * semantically-shifted source moves its embedding cloud long before its
+    * scalar stats move — this is the vector-space analog of
+    * [[startDriftMonitor]]'s KS gate). Centroid sums are 2^-20-quantized
+    * int64 per dimension — order-free and exactly mergeable, which is what
+    * makes the monitor incremental at all (same trick as the trained
+    * k-means codebook). Cosine is taken on the SUMS (the 1/n scaling
+    * cancels), folded in ascending dim order on the driver.
+    *
+    * Same bounded-state contract as the scalar monitor (VERDICT r03 #2):
+    * the cumulative per-label moment vector lives in driver memory
+    * (|labels| × (dims+1) longs), is rebuilt from disk at most once per
+    * query run, each micro-batch persists its OWN generation (replay
+    * overwrites itself — idempotent), and [[compactDriftState]] folds old
+    * generations into a base every `compactEvery` batches — the persisted
+    * schema (source, bin, count) is reused as (label, dim, qsum) with the
+    * group count stored at bin = −1, so the SAME crash-safe compaction
+    * path serves both monitors. */
+  def startEmbDriftMonitor(
+      spark: SparkSession,
+      inputDir: String,
+      baseline: Map[Int, Array[Long]], // label -> per-dim qsums
+      outDir: String,
+      minCos: Double = 0.98,
+      compactEvery: Int = 64,
+      stats: Option[DriftMonitorStats] = None): StreamingQuery = {
+    import graft.sources.TableIO
+    // cumulative per-label quantized moment sums (dim -> qsum; -1 -> n)
+    val cum = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[Int, Long]]
+    var initialized = false
+    def mergeInto(label: String, dim: Int, q: Long): Unit = {
+      val m = cum.getOrElseUpdate(
+        label, scala.collection.mutable.Map.empty[Int, Long])
+      m.update(dim, m.getOrElse(dim, 0L) + q)
+    }
+    def cosToBaseline(qs: Map[Int, Long], base: Array[Long]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      var d = 0
+      while (d < base.length) {
+        val a = qs.getOrElse(d, 0L).toDouble
+        val b = base(d).toDouble
+        dp += a * b; na += a * a; nb += b * b
+        d += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    readEmbeddingStream(spark, inputDir)
+      .writeStream
+      .foreachBatch {
+        (batch: Dataset[graft.model.EmbVector], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        // the batch's OWN quantized moments: |labels| × (dims+1) rows,
+        // map-side-combined before they reach the driver
+        val moments = batch.toDF()
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("label"), col("dim"),
+            floor(col("x").cast("double") * lit(1048576.0)).cast("long")
+              .as("qv"))
+          .groupBy("label", "dim")
+          .agg(sum("qv").as("qsum"), count(lit(1)).as("cnt"))
+          .collect()
+          .flatMap { r =>
+            val base = (r.getInt(0).toString, r.getInt(1), r.getLong(2))
+            // one n row per label, carried on dim 0's count
+            if (r.getInt(1) == 0)
+              Seq(base, (r.getInt(0).toString, -1, r.getLong(3)))
+            else Seq(base)
+          }.toSeq
+        TableIO.writePartitioned(
+          moments.toDF("source", "bin", "count")
+            .withColumn("batch_id", lit(batchId)).coalesce(1),
+          driftStatePath(outDir), partitionCol = "batch_id",
+          recluster = false)
+        if (!initialized) {
+          val (baseHw, baseRows) = readBase(s, outDir)
+          baseRows.foreach { case (l, d, q) => mergeInto(l, d, q) }
+          val older =
+            if (pathExists(s, driftStatePath(outDir)))
+              s.read.parquet(driftStatePath(outDir))
+                .filter(col("batch_id") > baseHw &&
+                  col("batch_id") < batchId)
+                .select("source", "bin", "count")
+                .collect()
+                .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+            else Nil
+          older.foreach { case (l, d, q) => mergeInto(l, d, q) }
+          stats.foreach { st =>
+            st.rebuilds.incrementAndGet()
+            st.stateRowsRead.addAndGet(baseRows.size + older.size)
+          }
+          initialized = true
+        }
+        moments.foreach { case (l, d, q) => mergeInto(l, d, q) }
+        val alerts = cum.toSeq.sortBy(_._1.toInt)
+          .flatMap { case (labelStr, qs) =>
+            val label = labelStr.toInt
+            baseline.get(label).map { base =>
+              val cos = cosToBaseline(qs.toMap, base)
+              EmbDriftAlert(batchId, label, cos, minCos, cos < minCos,
+                qs.getOrElse(-1, 0L))
+            }
+          }
+        TableIO.writePartitioned(
+          s.createDataset(alerts).coalesce(1).toDF(),
+          s"$outDir/drift_alerts", partitionCol = "batch_id",
+          recluster = false)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactDriftState(s, outDir, batchId, stats)
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/drift_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Quantized per-label baseline centroid sums from a batch embeddings
+    * table — the training-time snapshot [[startEmbDriftMonitor]] gates
+    * against (same 2^-20 quantization as the monitor itself). */
+  def embBaseline(emb: DataFrame, dims: Int): Map[Int, Array[Long]] =
+    emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long")
+          .as("qv"))
+      .groupBy("label", "dim")
+      .agg(sum("qv").as("qsum"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (label, rows) =>
+        val arr = new Array[Long](dims)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        label -> arr
+      }
 
   /** Windowed per-source violation-rate monitor over an event-time column
     * (watermarked tumbling windows — the streaming aggregation surface). */

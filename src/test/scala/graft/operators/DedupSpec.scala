@@ -352,4 +352,78 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, 2L), (1L, 6L, 7L),
       (2L, 1L, 2L), (2L, 4L, 5L)))
   }
+
+  // driver-side winnowing reference: sliding k-gram polyHashes, then the
+  // distinct minima of every w-window (global min for short docs)
+  private def refWinnow(text: String, k: Int, w: Int): Set[Long] = {
+    def ph(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val words = text.split(" ", -1)
+    if (words.length < k) return Set.empty
+    val hs = (0 to words.length - k)
+      .map(i => ph(words.slice(i, i + k).mkString(" ")))
+    if (hs.length < w) Set(hs.min)
+    else (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+  }
+
+  test("winnowFps equals the driver reference; short docs select their " +
+      "global minimum; sub-k docs select nothing") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "one two three four five"), // 2 windows < w=5 -> global min
+      (3L, "x y z")                    // < k words -> no fingerprints
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowFps(docs, "doc_id", "text", k = 4, w = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert(got(1L) === refWinnow("a b c d e f g h i j k l m n o p", 4, 5))
+    assert(got(2L) === refWinnow("one two three four five", 4, 5))
+    assert(got(2L).size === 1)
+    assert(!got.contains(3L))
+    // density: far fewer fingerprints than k-grams (16-4+1 = 13 k-grams)
+    assert(got(1L).size < 13)
+  }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 words always " +
+      "yields a shared fingerprint") {
+    val shared = "the quick brown fox jumps over lazy dogs" // 8 = w+k-1
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"uno dos tres cuatro $shared cinco seis"),
+      (3L, "totally unrelated words that never overlap at all here")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFps(docs, "doc_id", "text", k = 4, w = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
+  test("winnowPairs equals the brute-force shared-fingerprint counts " +
+      "and the df cap drops boilerplate fingerprints") {
+    val boiler = "copyright footer all rights reserved forever and ever"
+    val texts = Seq(
+      1L -> s"alpha beta gamma delta epsilon zeta eta theta $boiler",
+      2L -> s"alpha beta gamma delta epsilon zeta eta theta iota $boiler",
+      3L -> s"one two three four five six seven eight nine $boiler",
+      4L -> s"uno dos tres cuatro cinco seis siete ocho nueve $boiler")
+    val docs = texts.toDF("doc_id", "text")
+    // no cap: every pair shares the boilerplate fingerprints
+    val uncapped = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val ref = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      n = (refWinnow(ta, 4, 5) intersect refWinnow(tb, 4, 5)).size
+      if n >= 1
+    } yield (a, b) -> n.toLong).toMap
+    assert(uncapped === ref)
+    // df cap 3 kills fingerprints present in all 4 docs (the boilerplate)
+    val capped = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1L, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L))) // genuinely near-dup pair survives
+    assert(!capped.contains((3L, 4L))) // boilerplate-only pair is gone
+  }
 }

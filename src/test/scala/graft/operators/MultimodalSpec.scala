@@ -69,6 +69,89 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash64: bit-exact vs a driver reference, order-invariant, " +
+      "and robust to a small frame change") {
+    // 4 full 32-byte frames; every=1 samples all of them
+    val base = "abcdefgh" * 16 // 128 chars
+    val tweaked = base.updated(100, 'Z').toString // one frame differs
+    val media = Seq(
+      (1L, "video/mp4", base.getBytes("UTF-8")),
+      (2L, "video/mp4", base.getBytes("UTF-8")), // exact copy
+      (3L, "video/mp4", tweaked.getBytes("UTF-8")))
+      .toDF("media_id", "mime", "payload")
+    val got = Multimodal.phash64(media, frameBytes = 32, every = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    // driver reference: votes over frame fps, same bit family
+    def ref(s: String): Seq[Long] = {
+      val fps = (0 until s.length / 32).map { i =>
+        s.substring(i * 32, i * 32 + 32)
+          .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      }
+      val votes = Array.fill(64)(0L)
+      for (h <- fps; j <- 0 until 64) {
+        val bit = ((h * (2 * j + 1) + (j * 1000003L + 12345L))
+          % 1000000007L) % 2L
+        votes(j) += (if (bit == 1L) 1L else -1L)
+      }
+      (0 until 4).map(b => (0 until 16)
+        .map(i => if (votes(16 * b + i) > 0) 1L << i else 0L).sum)
+    }
+    assert(got(1L) === ref(base))
+    assert(got(3L) === ref(tweaked))
+    assert(got(1L) === got(2L)) // exact copies collide on all 64 bits
+
+    // kernel is order-invariant in the hash array (collect_list order)
+    val fps = Seq(7L, 99L, 3L, 1234567L)
+    val a = Seq(fps).toDF("fps").select(
+      graft.functions.SimhashFromHashes(col("fps"), 4, 16)).head.getSeq[Long](0)
+    val b = Seq(fps.reverse).toDF("fps").select(
+      graft.functions.SimhashFromHashes(col("fps"), 4, 16)).head.getSeq[Long](0)
+    assert(a === b)
+  }
+
+  test("phashPairs equals the brute-force hamming-<=3 pair set " +
+      "(blocking is pigeonhole-complete at radius 3)") {
+    def ref(s: String): Seq[Long] = {
+      val fps = (0 until s.length / 32).map { i =>
+        s.substring(i * 32, i * 32 + 32)
+          .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      }
+      val votes = Array.fill(64)(0L)
+      for (h <- fps; j <- 0 until 64) {
+        val bit = ((h * (2 * j + 1) + (j * 1000003L + 12345L))
+          % 1000000007L) % 2L
+        votes(j) += (if (bit == 1L) 1L else -1L)
+      }
+      (0 until 4).map(b => (0 until 16)
+        .map(i => if (votes(16 * b + i) > 0) 1L << i else 0L).sum)
+    }
+    val base = "abcdefgh" * 40 // 10 frames at 32 bytes
+    val texts: Seq[(Long, String)] = Seq(
+      1L -> base, 2L -> base, // exact dup pair: hamming 0
+      3L -> base.updated(5, 'Q').toString, // one frame off
+      4L -> base.updated(5, 'Q').updated(100, 'R').toString, // two off
+      5L -> ("zyxwvuts" * 40), // unrelated
+      6L -> ("aZcdefgh" * 40)) // EVERY frame off: far from base
+    val media = texts
+      .map { case (id, s) => (id, "video/mp4", s.getBytes("UTF-8")) }
+      .toDF("media_id", "mime", "payload")
+
+    val refBands = texts.map { case (id, s) => id -> ref(s) }.toMap
+    val refPairs = (for {
+      (a, ba) <- refBands; (b, bb) <- refBands if a < b
+      h = ba.zip(bb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b) -> h).toMap
+
+    val got = Multimodal.phashPairs(media, maxHamming = 3,
+        maxBucketSize = 20, frameBytes = 32, every = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got === refPairs)
+    assert(got((1L, 2L)) === 0) // the exact dup is always caught
+  }
+
   test("mediaFromDocuments preserves byte lengths and routes mimes") {
     val docs = Seq((0L, "abc"), (1L, "defg")).toDF("doc_id", "text")
     val m = Multimodal.mediaFromDocuments(docs).collect()

@@ -263,4 +263,94 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) === false)  // neighbor 2 ranked before it
     assert(got(0L) === false)  // neighbor 1 ranked before it (not 2!)
   }
+
+  // shared driver-side cosine reference (same fold order as the engine)
+  private def refCos(a: Seq[Float], b: Seq[Float]): Double = {
+    val dp = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dp / (na * nb)
+  }
+
+  test("kCenterGreedy equals a driver-side farthest-point reference " +
+      "(seed, picks, tie-breaks, coverage curve)") {
+    // deterministic synthetic cloud, 2 clumps + outliers
+    val data = (0L until 20L).map { i =>
+      val ang = (i * 37 % 360).toDouble / 180.0 * math.Pi
+      (i, Array(math.cos(ang).toFloat, math.sin(ang).toFloat,
+        ((i % 5).toFloat / 10f)))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = SimilaritySearch
+      .kCenterGreedy(df, "vec_id", "embedding", k = 6)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+
+    val vecs = data.toMap.map { case (k, v) => k -> v.toSeq }
+    var sel = List(vecs.keys.min)
+    var dd = (vecs.keySet - sel.head).map(i =>
+      i -> refCos(vecs(i), vecs(sel.head))).toMap
+    val want = scala.collection.mutable.ListBuffer[
+      (Long, Long, Option[Double])]((0L, sel.head, None))
+    for (t <- 1 until 6) {
+      val pick = dd.toSeq.minBy { case (i, d) => (d, i) }
+      want += ((t.toLong, pick._1, Some(pick._2)))
+      sel ::= pick._1
+      dd = (dd - pick._1).map { case (i, d) =>
+        i -> math.max(d, refCos(vecs(i), vecs(pick._1)))
+      }
+    }
+    assert(got.toSeq === want.toSeq)
+    // coverage radius is monotonically non-decreasing after the seed
+    val curve = got.drop(1).map(_._3.get)
+    assert(curve.zip(curve.drop(1)).forall { case (a, b) => b >= a })
+  }
+
+  test("marginAlignPairs: hub B vector is margin-normalized away; " +
+      "result equals the driver-computed argmax") {
+    // A = label 0, B = label 1. b10 is a HUB (close to every A vector);
+    // b11/b12 are each genuinely aligned to one A vector.
+    val data = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f), 0),
+      (1L, Array(0.0f, 0.05f, 1.0f), 0),
+      (10L, Array(0.6f, 0.6f, 0.6f), 1), // hub: fairly close to both
+      (11L, Array(0.98f, 0.0f, 0.05f), 1), // aligned with a0
+      (12L, Array(0.05f, 0.0f, 0.98f), 1)) // aligned with a1
+      .toDF("vec_id", "embedding", "label")
+    val k = 2
+    val got = SimilaritySearch.marginAlignPairs(
+        data, "vec_id", "embedding", "label", labelA = 0, labelB = 1,
+        k = k, minMargin = 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+
+    // driver reference with the same ordered folds
+    val a = Seq(0L, 1L); val b = Seq(10L, 11L, 12L)
+    val vecs = Seq(
+      0L -> Seq(1.0f, 0.05f, 0.0f), 1L -> Seq(0.0f, 0.05f, 1.0f),
+      10L -> Seq(0.6f, 0.6f, 0.6f), 11L -> Seq(0.98f, 0.0f, 0.05f),
+      12L -> Seq(0.05f, 0.0f, 0.98f)).toMap
+    val cos = (for { x <- a; y <- b } yield
+      (x, y) -> refCos(vecs(x), vecs(y))).toMap
+    def knn(xs: Seq[Double]): Double = {
+      val top = xs.sorted(Ordering[Double].reverse).take(k)
+      top.foldLeft(0.0)(_ + _) / top.size
+    }
+    val da = a.map(x => x -> knn(b.map(y => cos((x, y))))).toMap
+    val db = b.map(y => y -> knn(a.map(x => cos((x, y))))).toMap
+    val want = a.flatMap { x =>
+      val (bestB, m) = b.map { y =>
+        y -> (cos((x, y)) / ((da(x) + db(y)) / 2.0))
+      }.minBy { case (y, mm) => (-mm, y) }
+      if (m >= 1.0) Some(x -> ((bestB, m))) else None
+    }.toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (x, (y, m)) =>
+      assert(got(x)._1 === y)
+      assert(math.abs(got(x)._2 - m) < 1e-12)
+    }
+    // the hub never wins an alignment despite decent raw cosine
+    assert(!got.values.map(_._1).toSet.contains(10L))
+  }
 }
