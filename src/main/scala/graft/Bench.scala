@@ -45,7 +45,9 @@ object Bench {
     "dedup_span_exact", "dedup_span_rewrite", "drift_psi_equidepth",
     "emb_drift_centroid", "shard_assign", "dedup_source_matrix",
     "mm_phash_pairs", "fp_winnow", "dedup_winnow_pairs", "chunk_sliding",
-    "emb_align_margin", "emb_coreset_kcenter")
+    "emb_align_margin", "emb_coreset_kcenter",
+    "emb_outlier", "decontaminate_semantic", "emb_pca_power",
+    "pack_bucket_waste", "skew_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

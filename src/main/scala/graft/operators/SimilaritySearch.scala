@@ -734,4 +734,166 @@ object SimilaritySearch {
         col("e")("cos").as("margin"))
       .filter(col("margin") >= minMargin)
   }
+
+  /** Per-group quantized centroid vectors: for each value of `labelCol`,
+    * the per-dimension sum of 2^-20-quantized elements, assembled in
+    * ascending-dim order as an `array<double>`. The 1/n scaling and the
+    * 2^-20 quantization scale both cancel in cosine, so callers use the
+    * SUM vector directly as the centroid direction. Integer sums are
+    * order-free — the result is partitioning/parallelism-invariant and
+    * bit-reproducible by the oracle (same trick as the k-means codebook).
+    * Output size is |labels| × dims rows pre-assembly — map-side combined,
+    * then |labels| rows: always broadcastable. */
+  private def quantizedCentroids(
+      emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    emb
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long")
+          .as("qv"))
+      .groupBy("label", "dim")
+      .agg(sum("qv").as("qsum"))
+      .groupBy("label")
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("qsum")))),
+        e => e("qsum").cast("double")).as("cvec"))
+
+  /** Per-group centroid-distance OUTLIERS: for each label group, the k
+    * members with the LOWEST cosine to their own group centroid — the
+    * mislabeled/garbage-embedding screen run before a labeled corpus is
+    * trusted (the vector-space analog of the scalar len_outliers gate).
+    *
+    * Scale shape: the centroid pass is one corpus scan with map-side
+    * combine (|labels| × dims partial rows); scoring is one more scan
+    * against the BROADCAST |labels|-row centroid table (corpus never
+    * shuffles); per-group bottom-k rides the bounded
+    * [[graft.functions.TopKByScoreAggregate]] with score = −cos (≤ k
+    * map-side state per group, no windows). Determinism: quantized int64
+    * centroid sums are order-free; cosine is the ordered double fold; ties
+    * break by ascending id (the TopK contract on −cos). */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    import graft.functions.TopKByScoreAggregate
+    val cents = quantizedCentroids(emb, vecCol, labelCol)
+      .withColumn("cn", norm(col("cvec")))
+    emb
+      .select(col(labelCol).as("label"), col(idCol).as("vec_id"),
+        col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        cosineWithNorms(col("v"), col("cvec"), col("vn"), col("cn"))
+          .as("cos"))
+      .groupBy(col("label"))
+      .agg(TopKByScoreAggregate.topK(-col("cos"), col("vec_id"), k)
+        .as("tk"))
+      .select(col("label"), posexplode(col("tk")).as(Seq("r0", "e")))
+      .select(col("label"), (col("r0") + 1).cast("int").as("rank"),
+        col("e")("neighbor_id").as("vec_id"), (-col("e")("cos")).as("cos"))
+  }
+
+  /** SEMANTIC decontamination (the embedding-space complement of the
+    * n-gram [[Dedup.decontaminate]]): corpus vectors whose best cosine
+    * against ANY benchmark vector clears `minCos` are flagged, with the
+    * nearest benchmark item as evidence — the screen that catches
+    * paraphrased/reworded benchmark leakage n-gram overlap misses
+    * (public practice: e.g. GPT-3 App. C / Llama 2 App. A.6 report both
+    * lexical and semantic contamination screens).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] with k = 1 — the
+    * benchmark set is broadcast (benchmarks are thousands of rows, the
+    * corpus is the 10^12 side), the corpus never shuffles, and the
+    * per-corpus-row argmax is a bounded TopK aggregate. At extreme
+    * benchmark sizes the same threshold applies to an LSH candidate list
+    * ([[lshTopK]]) instead of the full cross score — nothing downstream
+    * changes. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    import graft.functions.TopKByScoreAggregate
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val b = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bv"),
+      norm(col(vecCol)).as("bn"))
+    c.join(broadcast(b))
+      .select(col("corpus_id"), col("bench_id"),
+        cosineWithNorms(col("cv"), col("bv"), col("cn"), col("bn"))
+          .as("cos"))
+      .groupBy(col("corpus_id"))
+      .agg(TopKByScoreAggregate.topK(col("cos"), col("bench_id"), 1)
+        .as("best"))
+      .select(col("corpus_id"), element_at(col("best"), 1).as("e"))
+      .select(col("corpus_id"), col("e")("neighbor_id").as("bench_id"),
+        col("e")("cos").as("max_cos"))
+      .filter(col("max_cos") >= minCos)
+  }
+
+  /** Top principal direction of the centered embedding cloud via `iters`
+    * POWER ITERATIONS with quantized accumulation — the anisotropy /
+    * dominant-direction audit run on embedding tables before cosine
+    * thresholds are trusted (a collapsed or mean-dominated embedding
+    * space shows up as one direction soaking up the spectrum; public
+    * observation: Ethayarajh 2019, "How Contextual are Contextualized
+    * Word Representations?").
+    *
+    * Each iteration is ONE corpus scan: per row the scalar s = (x−μ)·v
+    * (ordered double fold against the LITERAL μ and v — same pattern as
+    * the k-means assignment), then per-dim partial sums of
+    * floor(s·(x_d−μ_d)·2^20) — int64, order-free, exactly mergeable, so
+    * the result is partitioning-invariant and the oracle replays every
+    * iteration bit-for-bit. The driver holds dims doubles (μ and v);
+    * nothing shuffles but dims-row partial aggregates. v₀ = the all-ones
+    * direction; each iterate is L2-normalized on the driver before the
+    * next scan.
+    *
+    * Output: (dim, q, component) — the final iteration's quantized sums
+    * and their normalization. */
+  def pcaPowerTop(emb: DataFrame, vecCol: String, dims: Int,
+      iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    // pass 1: global quantized mean — one scan, map-side combined
+    val muRows = emb
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long")
+          .as("qv"))
+      .groupBy("dim").agg(sum("qv").as("qsum"), count(lit(1)).as("n"))
+      .collect()
+    val mu = new Array[Double](dims)
+    muRows.foreach { r =>
+      mu(r.getInt(0)) = r.getLong(1).toDouble / r.getLong(2).toDouble /
+        1048576.0
+    }
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var q = new Array[Long](dims)
+    for (_ <- 1 to iters) {
+      val muLit = typedlit(mu.toSeq)
+      val vLit = typedlit(v.toSeq)
+      // s = (x − μ)·v as an ordered fold over ascending dims
+      val sCol = aggregate(
+        zip_with(col("v"), sequence(lit(0), lit(dims - 1)),
+          (x, i) => (x.cast("double") - element_at(muLit, i + 1)) *
+            element_at(vLit, i + 1)),
+        lit(0.0), (acc, p) => acc + p)
+      val qRows = emb
+        .select(col(vecCol).as("v"))
+        .select(col("v"), sCol.as("s"))
+        .select(col("s"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("dim"),
+          floor(col("s") * (col("x").cast("double") -
+            element_at(muLit, col("dim") + 1)) * lit(1048576.0))
+            .cast("long").as("qc"))
+        .groupBy("dim").agg(sum("qc").as("q"))
+        .collect()
+      q = new Array[Long](dims)
+      qRows.foreach(r => q(r.getInt(0)) = r.getLong(1))
+      val nrm = math.sqrt(q.foldLeft(0.0)((a, x) =>
+        a + x.toDouble * x.toDouble))
+      v = q.map(_.toDouble / nrm)
+    }
+    import spark.implicits._
+    q.toSeq.zipWithIndex.map { case (qd, d) => (d, qd, v(d)) }
+      .toDF("dim", "q", "component")
+      .select(col("dim").cast("int").as("dim"), col("q"),
+        col("component"))
+  }
 }

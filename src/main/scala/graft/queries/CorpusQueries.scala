@@ -26,7 +26,39 @@ object CorpusQueries {
   private val bm25Terms =
     Seq("table", "row", "scan", "key", "hash", "value", "spark", "sort")
 
+  /** Power-of-two padding bucket for an n-word doc (16..1024): the
+    * fixed-shape batch widths a padded training loader allocates. A
+    * when-chain over literal boundaries — integer-exact in both engines
+    * (no float log2 anywhere). */
+  private def pow2Bucket(n: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    Seq(16L, 32L, 64L, 128L, 256L, 512L)
+      .foldRight(lit(1024L): org.apache.spark.sql.Column) { (b, rest) =>
+        when(n <= b, lit(b)).otherwise(rest)
+      }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PADDING-WASTE audit of power-of-two length bucketing — the batch
+    // assembly question seq_pack's concat-and-chunk AVOIDS: if docs are
+    // instead padded to fixed power-of-two widths (the dynamic-shape
+    // loader strategy), how much compute is padding? Per bucket: docs,
+    // real token mass, padded mass (bucket × docs), waste fraction —
+    // the table that decides pack-vs-pad per corpus. Pure projection +
+    // one ≤7-row aggregate; never a corpus sort or repartition.
+    "pack_bucket_waste" -> ((s, dir) => {
+      docs(s, dir)
+        .select(size(words(col("text"))).cast("long").as("n"))
+        .select(pow2Bucket(col("n")).as("bucket"), col("n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_words"))
+        .select(col("bucket"), col("n_docs"), col("sum_words"),
+          (col("bucket") * col("n_docs") - col("sum_words")).as("padding"),
+          ((col("bucket") * col("n_docs") - col("sum_words"))
+            .cast("double") /
+            (col("bucket") * col("n_docs")).cast("double"))
+            .as("waste_frac"))
+    }),
 
     // Deterministic output SHARDING — the write-side step every training
     // pipeline ends with: route each doc to shard = fingerprint mod 8
@@ -457,6 +489,22 @@ object CorpusQueries {
       (1 to k).map(bpeStageSql)).mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "pack_bucket_waste" ->
+      """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                      AS n
+                    FROM documents),
+          b AS (SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                            WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                            WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                            ELSE 1024 END AS bucket, n
+                FROM d)
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS sum_words,
+                 CAST(bucket*COUNT(*) - SUM(n) AS BIGINT) AS padding,
+                 CAST(bucket*COUNT(*) - SUM(n) AS DOUBLE)
+                   / CAST(bucket*COUNT(*) AS DOUBLE) AS waste_frac
+          FROM b GROUP BY bucket""",
     "shard_assign" ->
       s"""SELECT ((${TextQueries.sqlPolyHash("text")} % 8) + 8) % 8 AS shard,
             COUNT(*) AS n_docs,

@@ -224,6 +224,35 @@ object RelationalQueries {
           col("n_bad"), col("n_docs"))
     }),
 
+    // KEY-SKEW audit — the introspection behind every salting decision
+    // this engine makes (RuleEngine's salted dedup, AQE skew joins): per
+    // candidate shuffle key, the heavy hitters with their share of the
+    // table and the salt factor that would level them across 32
+    // partitions (ceil(n·32/total), integer-exact). The per-key count
+    // table is |keys| rows (one hash agg with map-side combine); the
+    // global top-5 is a bounded TopK aggregate (≤5 state map-side — no
+    // global sort); total rides a 1-row broadcast.
+    "skew_audit" -> ((s, dir) => {
+      import graft.functions.TopKByScoreAggregate
+      val counts = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum("n").as("total"))
+      counts
+        .groupBy()
+        .agg(TopKByScoreAggregate
+          .topK(col("n").cast("double"), col("user_id"), 5).as("tk"))
+        .select(posexplode(col("tk")).as(Seq("r0", "e")))
+        .select((col("r0") + 1).cast("int").as("rank"),
+          col("e")("neighbor_id").as("user_id"),
+          col("e")("cos").cast("long").as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("user_id"), col("n"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("share"),
+          expr("CAST((n*32 + total - 1) div total AS BIGINT)")
+            .as("salt_factor"))
+    }),
+
     // O-ops: deterministic top-k with tie-break
     "o_topk_users" -> ((s, dir) => {
       t(s, dir, "events")
@@ -386,6 +415,18 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "skew_audit" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+          t AS (SELECT SUM(n) AS total FROM c),
+          r AS (SELECT user_id, n,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC)
+                         AS rank
+                FROM c)
+          SELECT CAST(rank AS INT) AS rank, user_id,
+                 CAST(n AS BIGINT) AS n,
+                 CAST(n AS DOUBLE)/CAST(total AS DOUBLE) AS share,
+                 CAST((n*32 + total - 1) // total AS BIGINT) AS salt_factor
+          FROM r, t WHERE rank <= 5""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -165,6 +165,38 @@ object SimilarityQueries {
         labelA = 0, labelB = 1, k = 4, minMargin = 1.05)
     }),
 
+    // Per-label centroid-distance OUTLIERS: the 5 members of each label
+    // group least aligned with their own centroid — the mislabeled /
+    // garbage-embedding screen (vector-space analog of len_outliers).
+    // Centroid = order-free quantized int64 sums; bottom-k rides the
+    // bounded TopK aggregate with score = -cos.
+    "emb_outlier" -> ((s, dir) => {
+      SimilaritySearch.centroidOutliers(emb(s, dir), "vec_id", "embedding",
+        "label", k = 5)
+    }),
+
+    // SEMANTIC decontamination — the embedding-space complement of the
+    // n-gram decontaminate_overlap: corpus (label 0) vectors whose best
+    // cosine against ANY benchmark (label 1) vector clears 0.35, with
+    // the nearest benchmark item as evidence. Benchmark broadcast; the
+    // corpus never shuffles; per-row argmax is a bounded TopK(1).
+    "decontaminate_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.semanticDecontaminate(
+        e.filter(col("label") === 0), e.filter(col("label") === 1),
+        "vec_id", "embedding", minCos = 0.35)
+    }),
+
+    // Top principal direction of the centered embedding cloud: 2 power
+    // iterations with 2^-20-quantized int64 accumulation (one corpus
+    // scan each, partials map-side combined) — the anisotropy audit run
+    // before cosine thresholds are trusted (Ethayarajh 2019). The oracle
+    // replays the mean pass and BOTH iterations bit-for-bit.
+    "emb_pca_power" -> ((s, dir) => {
+      SimilaritySearch.pcaPowerTop(emb(s, dir), "embedding", dims = 64,
+        iters = 2)
+    }),
+
     // SEMANTIC dedup (SemDeDup): trained k-means clusters (the exact
     // codebook ann_kmeans_codebook verifies) block the corpus; within a
     // cluster every item with a cos>=0.4 neighbor ranked before it
@@ -487,6 +519,94 @@ object SimilarityQueries {
          SELECT label, n AS n_vecs, dp/(sqrt(na)*sqrt(nb)) AS cos_to_corpus,
                 var_trace
          FROM f""",
+    "emb_outlier" ->
+      s"""WITH q AS (
+            SELECT label, vec_id, dim,
+                   CAST(floor(CAST(embedding[dim+1] AS DOUBLE)*1048576.0)
+                     AS BIGINT) AS qv
+            FROM embeddings, (SELECT unnest(range(64)) AS dim)),
+          cl AS (SELECT label,
+                        list(CAST(cq AS DOUBLE) ORDER BY dim) AS cvec
+                 FROM (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS cq
+                       FROM q GROUP BY 1, 2)
+                 GROUP BY 1),
+          s AS (SELECT e.label, e.vec_id,
+                       ${cosSql("e.embedding", "cl.cvec")} AS cos
+                FROM embeddings e JOIN cl USING (label)),
+          r AS (SELECT label, vec_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY label
+                         ORDER BY cos ASC, vec_id ASC) AS rank
+                FROM s)
+          SELECT label, CAST(rank AS INT) AS rank, vec_id, cos
+          FROM r WHERE rank <= 5""",
+    "decontaminate_semantic" ->
+      s"""WITH c AS (SELECT vec_id AS corpus_id, embedding AS cv
+                     FROM embeddings WHERE label = 0),
+          b AS (SELECT vec_id AS bench_id, embedding AS bv
+                FROM embeddings WHERE label = 1),
+          s AS (SELECT corpus_id, bench_id, ${cosSql("cv", "bv")} AS cos
+                FROM c, b),
+          r AS (SELECT corpus_id, bench_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY corpus_id
+                         ORDER BY cos DESC, bench_id ASC) AS rank
+                FROM s)
+          SELECT corpus_id, bench_id, cos AS max_cos
+          FROM r WHERE rank = 1 AND cos >= 0.35""",
+    "emb_pca_power" ->
+      """WITH muq AS (
+           SELECT dim,
+                  SUM(CAST(floor(CAST(embedding[dim+1] AS DOUBLE)
+                    *1048576.0) AS BIGINT)) AS qs,
+                  COUNT(*) AS n
+           FROM embeddings, (SELECT unnest(range(64)) AS dim)
+           GROUP BY 1),
+         mul AS MATERIALIZED (
+           SELECT list(CAST(qs AS DOUBLE)/n/1048576.0 ORDER BY dim) AS mu
+           FROM muq),
+         v0 AS (SELECT [1.0/sqrt(64.0) for i in range(64)] AS v),
+         s1 AS MATERIALIZED (
+           SELECT e.vec_id,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    [(CAST(e.embedding[i+1] AS DOUBLE) - mu[i+1]) * v[i+1]
+                     for i in range(64)]), (x,y)->x+y) AS s
+           FROM embeddings e, mul, v0),
+         q1 AS (
+           SELECT dim,
+                  SUM(CAST(floor(s1.s
+                    * (CAST(e.embedding[dim+1] AS DOUBLE) - mu[dim+1])
+                    * 1048576.0) AS BIGINT)) AS q
+           FROM embeddings e
+           JOIN s1 USING (vec_id), mul,
+                (SELECT unnest(range(64)) AS dim)
+           GROUP BY 1),
+         v1 AS MATERIALIZED (
+           SELECT [x / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    [y*y for y in qv]), (a,b)->a+b))
+                   for x in qv] AS v
+           FROM (SELECT list(CAST(q AS DOUBLE) ORDER BY dim) AS qv
+                 FROM q1)),
+         s2 AS MATERIALIZED (
+           SELECT e.vec_id,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    [(CAST(e.embedding[i+1] AS DOUBLE) - mu[i+1]) * v[i+1]
+                     for i in range(64)]), (x,y)->x+y) AS s
+           FROM embeddings e, mul, v1),
+         q2 AS (
+           SELECT dim,
+                  SUM(CAST(floor(s2.s
+                    * (CAST(e.embedding[dim+1] AS DOUBLE) - mu[dim+1])
+                    * 1048576.0) AS BIGINT)) AS q
+           FROM embeddings e
+           JOIN s2 USING (vec_id), mul,
+                (SELECT unnest(range(64)) AS dim)
+           GROUP BY 1),
+         nf AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  [y*y for y in qv]), (a,b)->a+b)) AS nrm
+                FROM (SELECT list(CAST(q AS DOUBLE) ORDER BY dim) AS qv
+                      FROM q2))
+         SELECT CAST(dim AS INT) AS dim, CAST(q AS BIGINT) AS q,
+                CAST(q AS DOUBLE)/nrm AS component
+         FROM q2, nf""",
     "ann_ivfpq_topk" ->
       s"""WITH c0 AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)

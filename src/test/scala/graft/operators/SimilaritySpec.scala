@@ -353,4 +353,113 @@ class SimilaritySpec extends SparkSpec {
     // the hub never wins an alignment despite decent raw cosine
     assert(!got.values.map(_._1).toSet.contains(10L))
   }
+
+  test("centroidOutliers flags the planted off-centroid member first " +
+      "and is partitioning-invariant") {
+    val data = Seq(
+      (0L, Array(1.0f, 0.02f), 0),
+      (1L, Array(0.98f, 0.05f), 0),
+      (2L, Array(1.02f, 0.0f), 0),
+      (3L, Array(0.97f, 0.01f), 0),
+      (4L, Array(0.0f, 1.0f), 0), // planted outlier in label 0
+      (10L, Array(0.0f, 0.9f), 1),
+      (11L, Array(0.05f, 1.0f), 1),
+      (12L, Array(0.9f, 0.1f), 1)) // planted outlier in label 1
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch
+      .centroidOutliers(data, "vec_id", "embedding", "label", k = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got((0, 1))._1 === 4L)
+    assert(got((1, 1))._1 === 12L)
+    // rank 1 is strictly less aligned than rank 2 in both groups
+    assert(got((0, 1))._2 < got((0, 2))._2)
+    assert(got((1, 1))._2 < got((1, 2))._2)
+    // quantized centroid sums are order-free: partitioning never moves
+    // a rank, an id, or a bit of the score
+    val rep = SimilaritySearch
+      .centroidOutliers(data.repartition(7), "vec_id", "embedding",
+        "label", k = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(rep === got)
+  }
+
+  test("semanticDecontaminate flags exactly the planted benchmark leak " +
+      "with its nearest benchmark item as evidence") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.70f, 0.69f, 0.2f))) // near-copy of benchmark 11
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (10L, Array(0.0f, 0.0f, 1.0f)),
+      (11L, Array(0.7f, 0.7f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilaritySearch.semanticDecontaminate(
+        corpus, bench, "vec_id", "embedding", minCos = 0.9)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 2L)
+    assert(got.head.getLong(1) === 11L)
+    val want = refCos(Seq(0.70f, 0.69f, 0.2f), Seq(0.7f, 0.7f, 0.2f))
+    assert(got.head.getDouble(2) === want)
+  }
+
+  test("pcaPowerTop equals an exact driver replica of the quantized " +
+      "power iterations and finds the dominant direction") {
+    val dims = 4
+    // cloud stretched along u = (2,1,0,1)/sqrt(6), plus small per-dim jitter
+    val u = Seq(2.0, 1.0, 0.0, 1.0)
+    val rows = (0 until 40).map { i =>
+      val a = (i % 9) - 4.0 // symmetric spread along u
+      val jitter = Seq(0.01 * ((i * 7) % 5 - 2), 0.02 * ((i * 3) % 3 - 1),
+        0.015 * ((i * 5) % 4 - 1), 0.0)
+      (i.toLong, u.zip(jitter).map { case (ud, j) =>
+        (a * ud + j).toFloat }.toArray)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = SimilaritySearch
+      .pcaPowerTop(df, "embedding", dims = dims, iters = 2)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getLong(1), r.getDouble(2)))
+
+    // exact driver replica: same quantization, same fold orders
+    val xs = rows.map(_._2.map(_.toDouble).toSeq)
+    val n = xs.size
+    val mu = (0 until dims).map { d =>
+      xs.foldLeft(0L)((acc, x) =>
+        acc + math.floor(x(d) * 1048576.0).toLong).toDouble /
+        n.toDouble / 1048576.0
+    }
+    var v = Seq.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var q = Seq.empty[Long]
+    for (_ <- 1 to 2) {
+      val qs = new Array[Long](dims)
+      xs.foreach { x =>
+        val s = (0 until dims).foldLeft(0.0)((acc, d) =>
+          acc + (x(d) - mu(d)) * v(d))
+        (0 until dims).foreach { d =>
+          qs(d) += math.floor(s * (x(d) - mu(d)) * 1048576.0).toLong
+        }
+      }
+      q = qs.toSeq
+      val nrm = math.sqrt(q.foldLeft(0.0)((a, x) =>
+        a + x.toDouble * x.toDouble))
+      v = q.map(_.toDouble / nrm)
+    }
+    assert(got.map(_._1).toSeq === q)
+    got.map(_._2).zip(v).foreach { case (g, w) => assert(g === w) }
+    // the found direction is the stretch direction (up to sign)
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val align = v.zip(u).map { case (a, b) => a * b / un }.sum
+    assert(math.abs(align) > 0.999)
+    // partitioning invariance: int64 partials merge order-free
+    val rep = SimilaritySearch
+      .pcaPowerTop(df.repartition(7), "embedding", dims = dims, iters = 2)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rep.toSeq === got.toSeq)
+  }
 }

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Driver-reference checks for the planning-audit queries: power-of-two
+  * padding waste (pack_bucket_waste) and shuffle-key skew (skew_audit).
+  * Both also carry full DuckDB oracles; these specs pin the invariants
+  * the oracle's value-hash alone doesn't name. */
+class AuditQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pack_bucket_waste: buckets cover their docs, masses conserve, " +
+      "waste fractions are sane") {
+    val rows = CorpusQueries.queries("pack_bucket_waste")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // buckets are the declared power-of-two widths
+    val widths = Set(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+    rows.foreach { case (b, nd, sw, pad, wf) =>
+      assert(widths.contains(b))
+      assert(nd > 0)
+      // every doc fits its bucket and none would fit the next one down:
+      // sum of words is within (bucket/2, bucket] per doc on average
+      assert(sw <= b * nd)
+      assert(pad === b * nd - sw)
+      assert(wf >= 0.0 && wf < 1.0)
+      assert(wf === pad.toDouble / (b * nd).toDouble)
+    }
+    // total word mass conserves against the raw table
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .select(sum(size(split(col("text"), " "))).cast("long"))
+      .collect().head.getLong(0)
+    assert(rows.map(_._3).sum === total)
+    // doc count conserves
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._2).sum === nDocs)
+  }
+
+  test("skew_audit equals a driver-computed heavy-hitter reference " +
+      "(counts, shares, salt factors, tie-breaks)") {
+    val got = RelationalQueries.queries("skew_audit")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id")).collect().map(_.getLong(0))
+    val counts = events.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val total = events.length.toLong
+    val want = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(5)
+      .zipWithIndex.map { case ((k, n), i) =>
+        (i + 1, k, n, n.toDouble / total.toDouble,
+          (n * 32 + total - 1) / total)
+      }
+    assert(got.toSeq === want)
+    // the audit's salt factor levels the heaviest key across <= 32 ways
+    assert(got.head._5 >= 1L && got.head._5 <= 32L)
+  }
+}
