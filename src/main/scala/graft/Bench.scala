@@ -47,7 +47,8 @@ object Bench {
     "mm_phash_pairs", "fp_winnow", "dedup_winnow_pairs", "chunk_sliding",
     "emb_align_margin", "emb_coreset_kcenter",
     "emb_outlier", "decontaminate_semantic", "emb_pca_power",
-    "pack_bucket_waste", "skew_audit")
+    "pack_bucket_waste", "skew_audit",
+    "dedup_canonical", "leak_benchmark_report", "quality_ablation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -83,17 +83,30 @@ object SchemaCheck {
     }
   }
 
+  private val InferKey =
+    "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+  /** Isolated session for a no-partition-type-inference metadata probe.
+    * A set/restore toggle on the SHARED session conf is a race: two
+    * concurrent probes (e.g. two submission-scoped validations on
+    * disjoint partition sets) can interleave as set(f)/set(f)/
+    * restore(t)/restore(f) and leave inference OFF for the whole JVM —
+    * every later reader of a numeric partition column then sees strings.
+    * `newSession` shares the SparkContext but owns its conf, so the
+    * probe setting never touches (and is never corrupted by) anyone
+    * else. */
+  private def probeSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set(InferKey, "false")
+    s
+  }
+
   /** Actual footer schema of a parquet table, with partition-column type
     * inference OFF (numeric-looking partition directory values would
     * otherwise probe as int and false-alarm against a string contract).
     * One footer read — metadata only. */
-  def parquetSchema(spark: SparkSession, path: String): StructType = {
-    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try spark.read.parquet(path).schema
-    finally spark.conf.set(key, prev)
-  }
+  def parquetSchema(spark: SparkSession, path: String): StructType =
+    probeSession(spark).read.parquet(path).schema
 
   /** Merged footer schema across an EXPLICIT file list. The table-level
     * probe above reads one footer, so a single retyped file hiding among
@@ -108,16 +121,13 @@ object SchemaCheck {
       basePath: String,
       files: Seq[String],
       what: String): StructType = {
-    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try spark.read
+    try probeSession(spark).read
       .option("mergeSchema", "true").option("basePath", basePath)
       .parquet(files: _*).schema
     catch {
       case e: org.apache.spark.SparkException =>
         throw new IllegalStateException(
           s"schema drift in $what — footers do not merge: ${e.getMessage}")
-    } finally spark.conf.set(key, prev)
+    }
   }
 }

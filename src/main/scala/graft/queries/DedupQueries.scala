@@ -168,6 +168,47 @@ object DedupQueries {
     // direct pair.
     "dedup_clusters" -> ((s, dir) => corpusClusters(docs(s, dir))),
 
+    // QUALITY-AWARE canonical selection per duplicate cluster: instead of
+    // dedup_clusters' min-id keeper, each cluster keeps its LONGEST
+    // member (n_chars desc, id asc — "keep the best copy", the rule real
+    // dedup pipelines apply when mirrors truncate or strip content).
+    // Per-cluster argmax is a bounded TopK(1) aggregate over the
+    // edge-bounded cluster table — never a window over the corpus.
+    "dedup_canonical" -> ((s, dir) => {
+      import graft.functions.TopKByScoreAggregate
+      val d = docs(s, dir)
+      corpusClusters(d)
+        .select(col("doc_id"), col("cluster_id"))
+        .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(
+          TopKByScoreAggregate
+            .topK(col("n_chars").cast("double"), col("doc_id"), 1)
+            .as("best"),
+          count(lit(1)).as("n_members"),
+          sum("n_chars").as("total_chars"))
+        .select(col("cluster_id"),
+          element_at(col("best"), 1)("neighbor_id").as("canonical_id"),
+          col("n_members"), col("total_chars"))
+    }),
+
+    // Benchmark-side LEAK report: decontaminate_overlap rolled up per
+    // benchmark item — which eval documents are most leaked into the
+    // training corpus, by how many copies and how completely. The table
+    // an eval owner reads before trusting a score; rides the verified
+    // containment operator (corpus reduced by the broadcast benchmark
+    // shingle set before anything shuffles).
+    "leak_benchmark_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Dedup.contaminationPairs(
+          d.filter(col("doc_id") % 50 =!= 0), "doc_id",
+          d.filter(col("doc_id") % 50 === 0), "doc_id",
+          "text", shingleN = 3, minContainment = 0.04)
+        .groupBy("bench_id")
+        .agg(count(lit(1)).as("n_contaminated"),
+          max("containment").as("max_containment"))
+    }),
+
     // Cross-source duplication MATRIX: the verified capped-LSH pair list
     // rolled up by (source, source) — who copies from whom. The audit
     // that decides which crawl snapshots/feeds are redundant before
@@ -702,6 +743,28 @@ object DedupQueries {
           SELECT doc_id, cluster AS cluster_id,
                  doc_id = cluster AS is_keeper
           FROM labels""",
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsCappedSql),
+          $clusterLabelsCte,
+          m AS (SELECT l.cluster AS cluster_id, l.doc_id, d.n_chars
+                FROM labels l JOIN documents d USING (doc_id)),
+          r AS (SELECT cluster_id, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                         ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY cluster_id)
+                         AS n_members,
+                       SUM(n_chars) OVER (PARTITION BY cluster_id)
+                         AS total_chars
+                FROM m)
+          SELECT cluster_id, doc_id AS canonical_id,
+                 CAST(n_members AS BIGINT) AS n_members,
+                 CAST(total_chars AS BIGINT) AS total_chars
+          FROM r WHERE rn = 1""",
+    "leak_benchmark_report" ->
+      s"""SELECT bench_id, COUNT(*) AS n_contaminated,
+                 MAX(containment) AS max_containment
+          FROM (${containmentSql(0.04)})
+          GROUP BY 1""",
     "pipeline_curate" ->
       s"""WITH RECURSIVE pairs AS (
             ${minhashPairsCappedSqlWhere("doc_id % 50 <> 0")}),

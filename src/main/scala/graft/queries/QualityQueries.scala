@@ -64,6 +64,52 @@ object QualityQueries {
   private val QlnDen: Long = math.floor(math.log(999984.0) * 1e6).toLong
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Quality-gate ABLATION — the filter-design table curation reports
+    // publish (RefinedWeb/FineWeb style): for each gate, how many docs it
+    // flags, how many ONLY it flags (its marginal contribution — a gate
+    // with n_only ≈ 0 is redundant with the others), and the word mass it
+    // would remove. Gates are the pipeline's own rules: the length gate
+    // (text_quality's class), the repetition gate (text_repetition's
+    // class), and the language gate (text_langid's pred). ONE corpus scan
+    // computing three booleans, one 1-row aggregate, a 4-row stack — no
+    // shuffle wider than the agg partials.
+    "quality_ablation" -> ((s, dir) => {
+      val w = words(col("text"))
+      def dupFrac(arr: org.apache.spark.sql.Column) =
+        when(size(arr) > 0,
+          lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+          .otherwise(lit(0.0))
+      val flags = docs(s, dir).select(
+        size(w).cast("long").as("nw"),
+        (!(col("n_chars") >= 100 && size(w) >= 20)).as("gl"),
+        (dupFrac(w) > 0.6 || dupFrac(shingles(w, 3)) > 0.2).as("gr"),
+        (stopwordRatio(col("text")) <= 0.03).as("gg"))
+      def n(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      def wm(c: org.apache.spark.sql.Column) =
+        sum(when(c, col("nw")).otherwise(0L))
+      val anyG = col("gl") || col("gr") || col("gg")
+      flags.agg(
+          n(col("gl")).as("l_n"),
+          n(col("gl") && !col("gr") && !col("gg")).as("l_only"),
+          wm(col("gl")).as("l_w"),
+          n(col("gr")).as("r_n"),
+          n(col("gr") && !col("gl") && !col("gg")).as("r_only"),
+          wm(col("gr")).as("r_w"),
+          n(col("gg")).as("g_n"),
+          n(col("gg") && !col("gl") && !col("gr")).as("g_only"),
+          wm(col("gg")).as("g_w"),
+          n(anyG).as("any_n"),
+          wm(anyG).as("any_w"))
+        .selectExpr(
+          """stack(4,
+               'length', l_n, l_only, l_w,
+               'repetition', r_n, r_only, r_w,
+               'language', g_n, g_only, g_w,
+               'any', any_n, l_only + r_only + g_only, any_w)
+             AS (gate, n_flagged, n_only, words_flagged)""")
+    }),
     // TRAINED quality-classifier weights: 3 full-batch LMS iterations,
     // quantized int64 gradient sums — the oracle replays training
     // bit-for-bit (the learned analog of ann_kmeans_codebook).
@@ -278,6 +324,58 @@ object QualityQueries {
         ${lmsStepSql("w3c", "g4", "w4c")}"""
 
   val oracles: Map[String, String] = Map(
+    "quality_ablation" ->
+      s"""WITH base AS (
+            SELECT doc_id, n_chars, text, string_split(text,' ') AS w
+            FROM documents),
+          grams AS (
+            SELECT *, CASE WHEN len(w) < 3 THEN []
+                           ELSE [w[i]||' '||w[i+1]||' '||w[i+2]
+                                 for i in range(1, len(w)-1)] END AS g3
+            FROM base),
+          fl AS (
+            SELECT CAST(len(w) AS BIGINT) AS nw,
+                   NOT (n_chars >= 100 AND len(w) >= 20) AS gl,
+                   ((CASE WHEN len(w) > 0
+                          THEN 1 - CAST(len(list_distinct(w)) AS DOUBLE)
+                                   / len(w)
+                          ELSE 0.0 END) > 0.6
+                    OR (CASE WHEN len(g3) > 0
+                             THEN 1 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                                      / len(g3)
+                             ELSE 0.0 END) > 0.2) AS gr,
+                   (${TextQueries.sqlStopRatio} <= 0.03) AS gg
+            FROM grams),
+          a AS (
+            SELECT
+              SUM(CASE WHEN gl THEN 1 ELSE 0 END) AS l_n,
+              SUM(CASE WHEN gl AND NOT gr AND NOT gg THEN 1 ELSE 0 END)
+                AS l_only,
+              SUM(CASE WHEN gl THEN nw ELSE 0 END) AS l_w,
+              SUM(CASE WHEN gr THEN 1 ELSE 0 END) AS r_n,
+              SUM(CASE WHEN gr AND NOT gl AND NOT gg THEN 1 ELSE 0 END)
+                AS r_only,
+              SUM(CASE WHEN gr THEN nw ELSE 0 END) AS r_w,
+              SUM(CASE WHEN gg THEN 1 ELSE 0 END) AS g_n,
+              SUM(CASE WHEN gg AND NOT gl AND NOT gr THEN 1 ELSE 0 END)
+                AS g_only,
+              SUM(CASE WHEN gg THEN nw ELSE 0 END) AS g_w,
+              SUM(CASE WHEN gl OR gr OR gg THEN 1 ELSE 0 END) AS any_n,
+              SUM(CASE WHEN gl OR gr OR gg THEN nw ELSE 0 END) AS any_w
+            FROM fl)
+          SELECT 'length' AS gate, CAST(l_n AS BIGINT) AS n_flagged,
+                 CAST(l_only AS BIGINT) AS n_only,
+                 CAST(l_w AS BIGINT) AS words_flagged FROM a
+          UNION ALL
+          SELECT 'repetition', CAST(r_n AS BIGINT),
+                 CAST(r_only AS BIGINT), CAST(r_w AS BIGINT) FROM a
+          UNION ALL
+          SELECT 'language', CAST(g_n AS BIGINT),
+                 CAST(g_only AS BIGINT), CAST(g_w AS BIGINT) FROM a
+          UNION ALL
+          SELECT 'any', CAST(any_n AS BIGINT),
+                 CAST(l_only + r_only + g_only AS BIGINT),
+                 CAST(any_w AS BIGINT) FROM a""",
     "quality_lr_weights" ->
       s"""WITH $trainSql
           SELECT 0 AS j, w0 AS w FROM w4c

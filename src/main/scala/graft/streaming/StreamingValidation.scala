@@ -756,6 +756,168 @@ object StreamingValidation {
         label -> arr
       }
 
+  /** One emitted heavy-hitter row: the rank-r most frequent token of
+    * `source` by cumulative CMS estimate at the end of `batch_id`. */
+  final case class HeavyHitter(
+      batch_id: Long, source: String, rank: Int, token: Long,
+      est_count: Long)
+
+  /** Streaming per-source TOKEN HEAVY HITTERS — the streaming form of the
+    * batch `ngram_topk`/`ngram_cms_est` pair: per source, the top-k most
+    * frequent token ids over the whole stream so far, estimated from a
+    * cumulative count-min sketch (Cormode & Muthukrishnan 2005). The
+    * vocabulary monitor that catches a source suddenly flooding one
+    * token (a stuck generator, a spam template) without ever keying
+    * state by the open token domain.
+    *
+    * State model (same bounded contract as [[startDriftMonitor]], which
+    * this reuses wholesale): per source the driver holds a fixed
+    * depth×width CMS (cell sums are order-free int64 — exactly mergeable)
+    * plus the current ≤k candidate set. Each micro-batch:
+    *   1. one batch-bounded (source, token) count aggregation (map-side
+    *      combined — the only shuffle, batch volume);
+    *   2. the batch's OWN CMS cells (from those counts) persist as a
+    *      batch_id generation in the SHARED drift_state schema
+    *      ((source, bin=cell, count) — additive, so
+    *      [[compactDriftState]]'s summing fold is the correct merge);
+    *   3. candidates = previous top-k ∪ the batch's own top-`candidateK`
+    *      tokens (bounded TopK aggregate); current top-k = best k by
+    *      (cumulative CMS estimate desc, token asc) — deterministic given
+    *      the batch sequence;
+    *   4. the top-k table persists as a batch_id generation of
+    *      `hh_topk`; restart rebuilds the CMS from base + generations
+    *      (≤ compactEvery + 1 reads) and candidates from the LATEST
+    *      hh_topk generation only.
+    *
+    * Estimate contract: CMS estimates OVERESTIMATE only (never under), by
+    * ≤ the cumulative stream mass / width per the CMS bound; with width ≥
+    * the true vocabulary the estimates are exact. Honest caveat (inherent
+    * to candidate-based heavy hitters): a token heavy ONLY by spreading
+    * thinly across many batches — never in any batch's local top-
+    * `candidateK` and never in a kept top-k — can be missed; at Zipfian
+    * token frequencies locally-invisible global heavy hitters do not
+    * occur, and `candidateK` widens the margin. */
+  def startHeavyHitterMonitor(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      k: Int = 10,
+      candidateK: Int = 32,
+      depth: Int = 4,
+      width: Int = 1024,
+      compactEvery: Int = 64,
+      stats: Option[DriftMonitorStats] = None): StreamingQuery = {
+    import graft.sources.TableIO
+    import graft.functions.{CountMinAggregate, TopKByScoreAggregate}
+    val cum = scala.collection.mutable.Map.empty[String, Array[Long]]
+    val topk = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    var initialized = false
+    def cells(src: String): Array[Long] =
+      cum.getOrElseUpdate(src, new Array[Long](depth * width))
+    def mergeCell(src: String, bin: Int, n: Long): Unit =
+      cells(src)(bin) += n
+    def tokenHash(t: Long): Long =
+      ((t % CountMinAggregate.P) + CountMinAggregate.P) % CountMinAggregate.P
+    readSequenceStream(spark, inputDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Sequence], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        // 1. batch-bounded exact (source, token) counts — the ONE shuffle
+        val counts = batch.toDF()
+          .select(col("source"), explode(col("tokens")).as("token"))
+          .select(col("source"), col("token").cast("long").as("token"))
+          .groupBy("source", "token")
+          .agg(count(lit(1)).as("cnt"))
+        // 2. the batch's own CMS (|sources| rows of depth×width cells) +
+        //    3a. its own top-candidateK candidate tokens
+        val batchSketch = counts
+          .groupBy("source")
+          .agg(
+            CountMinAggregate.agg(
+              pmod(col("token"), lit(CountMinAggregate.P)),
+              col("cnt"), depth, width).as("sk"),
+            TopKByScoreAggregate.topK(
+              col("cnt").cast("double"), col("token"), candidateK)
+              .as("cand"))
+          .collect()
+        val batchCells = batchSketch.flatMap { r =>
+          val src = r.getString(0)
+          val sk = r.getSeq[Long](1)
+          sk.indices.collect { case i if sk(i) != 0L => (src, i, sk(i)) }
+        }.toSeq
+        TableIO.writePartitioned(
+          batchCells.toDF("source", "bin", "count")
+            .withColumn("batch_id", lit(batchId)).coalesce(1),
+          driftStatePath(outDir), partitionCol = "batch_id",
+          recluster = false)
+        if (!initialized) {
+          val (baseHw, baseRows) = readBase(s, outDir)
+          baseRows.foreach { case (src, bin, n) => mergeCell(src, bin, n) }
+          val older =
+            if (pathExists(s, driftStatePath(outDir)))
+              s.read.parquet(driftStatePath(outDir))
+                .filter(col("batch_id") > baseHw &&
+                  col("batch_id") < batchId)
+                .select("source", "bin", "count")
+                .collect()
+                .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+            else Nil
+          older.foreach { case (src, bin, n) => mergeCell(src, bin, n) }
+          // candidates: the LATEST persisted top-k below this batch —
+          // one generation, ≤ k rows per source
+          if (pathExists(s, s"$outDir/hh_topk")) {
+            val gens = TableIO
+              .partitionValues(s, s"$outDir/hh_topk", "batch_id")
+              .getOrElse(Nil).map(_.toLong).filter(_ < batchId)
+            if (gens.nonEmpty)
+              s.read.parquet(s"$outDir/hh_topk")
+                .filter(col("batch_id") === gens.max)
+                .select("source", "token").collect()
+                .groupBy(_.getString(0))
+                .foreach { case (src, rs) =>
+                  topk.update(src, rs.map(_.getLong(1)).toSeq)
+                }
+          }
+          stats.foreach { st =>
+            st.rebuilds.incrementAndGet()
+            st.stateRowsRead.addAndGet(baseRows.size + older.size)
+          }
+          initialized = true
+        }
+        batchCells.foreach { case (src, bin, n) => mergeCell(src, bin, n) }
+        // 3b. candidates -> current top-k by cumulative estimate
+        val batchCands = batchSketch.map { r =>
+          r.getString(0) ->
+            r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0))
+        }.toMap
+        val out = (topk.keySet ++ batchCands.keySet).toSeq.sorted
+          .flatMap { src =>
+            val cand = (topk.getOrElse(src, Nil) ++
+              batchCands.getOrElse(src, Nil)).distinct
+            val ranked = cand
+              .map(t => t -> CountMinAggregate.estimate(
+                cells(src), tokenHash(t), depth, width))
+              .sortBy { case (t, est) => (-est, t) }
+              .take(k)
+            topk.update(src, ranked.map(_._1))
+            ranked.zipWithIndex.map { case ((t, est), i) =>
+              HeavyHitter(batchId, src, i + 1, t, est)
+            }
+          }
+        TableIO.writePartitioned(
+          s.createDataset(out).coalesce(1).toDF(),
+          s"$outDir/hh_topk", partitionCol = "batch_id",
+          recluster = false)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactDriftState(s, outDir, batchId, stats)
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/hh_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Windowed per-source violation-rate monitor over an event-time column
     * (watermarked tumbling windows — the streaming aggregation surface). */
   def violationRate(

@@ -80,4 +80,35 @@ class SchemaCheckSpec extends SparkSpec {
     assert(s("source").dataType == StringType, s.treeString)
     requireCompatible(s, seqSchema, "t") // compatible as a whole
   }
+
+  test("concurrent schema probes never corrupt the shared session's " +
+      "partition-type inference (regression: stuck-false race)") {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    assert(spark.conf.get(key) === "true")
+    val dir = tmpDir("partrace")
+    Seq(("D000000000001", Seq(1, 2), 2, "123"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .write.partitionBy("source").parquet(s"$dir/input")
+    // a set/restore toggle on the shared conf loses this race about
+    // half the time at 16 interleaved probes; the isolated probe
+    // session cannot — and inferring readers keep working THROUGHOUT
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val probes = (1 to 16).map { _ =>
+      Future(parquetSchema(spark, s"$dir/input"))
+    }
+    val readers = (1 to 4).map { _ =>
+      Future {
+        // shared-session read with inference ON: partition col is INT
+        spark.read.parquet(s"$dir/input").schema("source").dataType
+      }
+    }
+    Await.result(Future.sequence(probes), 120.seconds)
+      .foreach(s => assert(s("source").dataType == StringType))
+    Await.result(Future.sequence(readers), 120.seconds)
+      .foreach(dt => assert(dt == org.apache.spark.sql.types.IntegerType))
+    assert(spark.conf.get(key) === "true",
+      "shared session conf was corrupted by a schema probe")
+  }
 }

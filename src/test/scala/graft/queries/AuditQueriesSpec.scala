@@ -62,4 +62,44 @@ class AuditQueriesSpec extends SparkSpec {
     // the audit's salt factor levels the heaviest key across <= 32 ways
     assert(got.head._5 >= 1L && got.head._5 <= 32L)
   }
+
+  test("quality_ablation: marginal counts decompose consistently") {
+    val rows = QualityQueries.queries("quality_ablation")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rows.keySet === Set("length", "repetition", "language", "any"))
+    val gates = Seq("length", "repetition", "language").map(rows)
+    val any = rows("any")
+    // n_only <= n_flagged per gate; any covers each gate; union bound
+    gates.foreach { case (n, only, w) =>
+      assert(only <= n); assert(n <= any._1); assert(w <= any._3)
+    }
+    assert(any._1 <= gates.map(_._1).sum)
+    // 'any' n_only = sum of per-gate exclusives (the stack's definition)
+    assert(any._2 === gates.map(_._2).sum)
+    // the corpus has flagged docs at every gate (testdata sanity)
+    assert(gates.forall(_._1 > 0))
+  }
+
+  test("dedup_canonical keeps each cluster's longest member " +
+      "(tie: lowest id) and conserves membership") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = DedupQueries.queries("dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val got = DedupQueries.queries("dedup_canonical")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val want = clusters.groupBy(_._2).map { case (cid, ms) =>
+      val ids = ms.map(_._1).toSeq
+      val canon = ids.minBy(id => (-d(id), id))
+      cid -> ((canon, ids.size.toLong, ids.map(d).sum))
+    }
+    assert(got === want)
+    // every cluster is a genuine duplicate group
+    assert(got.values.forall(_._2 >= 2L))
+  }
 }
