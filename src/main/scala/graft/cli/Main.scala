@@ -278,6 +278,45 @@ object Main {
                   s""""transitions":$transitions}""")
           }
 
+        case "trend" :: valOut :: rest =>
+          // cross-run verdict trend over the last k runs: per (source,
+          // rule) covered by >= 2 runs, the status trajectory and its
+          // direction — degrading rows are the page-worthy ones
+          val k = rest.collectFirst {
+            case a if a.startsWith("--runs=") =>
+              scala.util.Try(a.stripPrefix("--runs=").toInt).toOption
+                .filter(_ >= 2).getOrElse(throw new IllegalArgumentException(
+                  s"--runs wants an int >= 2, got: $a"))
+          }.getOrElse(5)
+          val ids = graft.jobs.RunDiff.runIdsByTime(spark, valOut)
+            .takeRight(k)
+          if (ids.size < 2)
+            println("""{"error":"run_log holds fewer than two runs"}""")
+          else {
+            val rows = graft.jobs.RunDiff.trend(spark, valOut, k)
+              .orderBy("direction", "source", "rule_id").collect()
+            val byDir = rows.groupBy(_.getString(5)).view
+              .mapValues(_.length).toMap
+            def n(d: String) = byDir.getOrElse(d, 0)
+            val watch = rows
+              .filter(r => r.getString(5) == "degrading" ||
+                r.getString(5) == "volatile")
+              .map { r =>
+                s"""{"source":${jstr(r.getString(0))},""" +
+                  s""""rule_id":${jstr(r.getString(1))},""" +
+                  s""""n_runs":${r.get(2)},""" +
+                  s""""n_fail":${r.get(3)},""" +
+                  s""""trajectory":${jstr(r.getString(4))},""" +
+                  s""""direction":${jstr(r.getString(5))}}"""
+              }.mkString("[", ",", "]")
+            println(
+              s"""{"runs":${ids.map(jstr).mkString("[", ",", "]")},""" +
+                s""""degrading":${n("degrading")},""" +
+                s""""volatile":${n("volatile")},""" +
+                s""""improving":${n("improving")},""" +
+                s""""flat":${n("flat")},"watch":$watch}""")
+          }
+
         case "rules" :: rest =>
           // export the compiled-in rule set as editable config JSON —
           // the starting point for a --rules= file. Variants mirror the
@@ -306,7 +345,8 @@ object Main {
               "[--prune-logs=k] [--compact-checkpoint] | " +
               "quarantine <inputDir> <validationOutDir> <salvageDir> " +
               "<quarantineDir> [--dry-run] | " +
-              "diff <validationOutDir> [beforeRunId afterRunId] [--all]")
+              "diff <validationOutDir> [beforeRunId afterRunId] [--all] | " +
+              "trend <validationOutDir> [--runs=k]")
           sys.exit(2)
       }
     } finally spark.stop()

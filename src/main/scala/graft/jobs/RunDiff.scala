@@ -75,4 +75,61 @@ object RunDiff {
     else Some((ids(ids.size - 2), ids.last,
       diff(spark, outDir, ids(ids.size - 2), ids.last)))
   }
+
+  /** Cross-run verdict TREND over the last `lastK` runs — the "is this
+    * source getting better or worse" view the two-run diff can't give
+    * (a flapping rule looks like a regression or a recovery depending on
+    * which two runs you compare; over k runs it reads `volatile`).
+    * Per (source, rule_id) covered by ≥ 2 of those runs:
+    *   - `trajectory` — the run-ordered status path ("PASS>FAIL>PASS"),
+    *   - `n_fail` — how many of the covered runs failed,
+    *   - `direction` — `degrading` (first→last rank rose), `improving`
+    *     (fell), `volatile` (equal ends but both up- and down-steps in
+    *     between), `flat` otherwise.
+    * A resume-skipped run simply doesn't appear in a pair's path (run
+    * logs are run-scoped) — coverage is reported, never guessed.
+    *
+    * Scale shape: the run_log read partition-prunes to k generations
+    * (|sources| × |rules| × k rows — dimension-sized); one groupBy over
+    * (source, rule) with an in-row sorted fold; the run-time lookup is a
+    * broadcast of k rows. */
+  def trend(spark: SparkSession, outDir: String, lastK: Int = 5)
+      : DataFrame = {
+    val ids = runIdsByTime(spark, outDir).takeRight(lastK)
+    val log = spark.read.parquet(ValidationJob.runLogPath(outDir))
+      .filter(col("run_id").isin(ids.map(x => x: Any): _*))
+    val order = typedLit(ids.zipWithIndex.toMap)
+    val paths = log
+      .select(col("source"), col("rule_id"),
+        order(col("run_id")).as("ord"), col("status"))
+      .groupBy("source", "rule_id")
+      .agg(sort_array(collect_list(struct(col("ord"), col("status"))))
+        .as("path"))
+      .filter(size(col("path")) >= 2)
+      .select(col("source"), col("rule_id"),
+        transform(col("path"), _.getField("status")).as("statuses"))
+    val ranks = transform(col("statuses"), s => rank(s))
+    val steps = zip_with(
+      slice(ranks, lit(1), size(col("statuses")) - 1),
+      slice(ranks, lit(2), size(col("statuses")) - 1),
+      (a, b) => b - a)
+    paths.select(
+        col("source"), col("rule_id"),
+        size(col("statuses")).as("n_runs"),
+        aggregate(col("statuses"), lit(0L),
+          (acc, s) => acc + when(s === Status.Fail, 1L).otherwise(0L))
+          .as("n_fail"),
+        array_join(col("statuses"), ">").as("trajectory"),
+        element_at(ranks, 1).as("r_first"),
+        element_at(ranks, -1).as("r_last"),
+        exists(steps, _ > 0).as("rose"),
+        exists(steps, _ < 0).as("fell"))
+      .withColumn("direction",
+        when(col("r_last") > col("r_first"), lit("degrading"))
+          .when(col("r_last") < col("r_first"), lit("improving"))
+          .when(col("rose") && col("fell"), lit("volatile"))
+          .otherwise(lit("flat")))
+      .select("source", "rule_id", "n_runs", "n_fail", "trajectory",
+        "direction")
+  }
 }

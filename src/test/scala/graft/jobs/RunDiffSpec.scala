@@ -85,4 +85,38 @@ class RunDiffSpec extends SparkSpec {
     validate(dir)
     assert(RunDiff.diffLatest(spark, s"$dir/out").isEmpty)
   }
+
+  test("trend reads break-then-flap as degrading/volatile and fix as " +
+      "improving over three runs; flat pairs stay flat") {
+    val dir = tmpDir("runtrend")
+    val base = SequenceGen.sequences(spark, 300).toDF().as[Sequence]
+      .collect().toSeq
+    def write(rows: Seq[Sequence]): Unit =
+      rows.toDS().write.mode("overwrite")
+        .partitionBy("source").parquet(s"$dir/input")
+    SequenceGen.manifest(spark, 300)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+    val badMito = Sequence("DBAD000000001", Array(1, 2), 77, "mito")
+    val badCard = Sequence("DBAD000000002", Array(3), 55, "cardiac")
+    // run 1: mito bad, cardiac clean | run 2: mito fixed, cardiac broken
+    // | run 3: mito bad AGAIN (flap), cardiac still broken
+    write(base :+ badMito); validate(dir)
+    write(base :+ badCard); validate(dir)
+    write(base ++ Seq(badMito, badCard)); validate(dir)
+
+    val t = RunDiff.trend(spark, s"$dir/out", lastK = 3)
+      .as[(String, String, Long, Long, String, String)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val mito = t(("mito", "R_CONSISTENT_NTOK"))
+    // equal ends, but a fall AND a rise in between: the flap signature
+    assert(mito._5 === "FAIL>PASS>FAIL" && mito._6 === "volatile",
+      mito.toString)
+    val card = t(("cardiac", "R_CONSISTENT_NTOK"))
+    assert(card._5 === "PASS>FAIL>FAIL" && card._6 === "degrading",
+      card.toString)
+    assert(card._4 === 2L) // n_fail counts covered-run failures
+    // an always-passing pair is flat with zero failures
+    val flat = t.values.find(v => v._5 == "PASS>PASS>PASS")
+    assert(flat.isDefined && flat.get._6 === "flat" && flat.get._4 === 0L)
+  }
 }

@@ -291,4 +291,43 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), plan.take(3000))
     staged.finish() // consume the observation
   }
+
+  test("semantic decontamination broadcasts the benchmark side and " +
+      "ranks via the bounded aggregate, not a window") {
+    val plan = executedPlan("decontaminate_semantic")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window ["), plan.take(3000))
+    assert(plan.contains("topk_by_score"), plan.take(3000))
+  }
+
+  test("per-group outliers: centroid table broadcasts back; bottom-k is " +
+      "the bounded aggregate; the corpus never exchanges by row") {
+    val plan = executedPlan("emb_outlier")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window ["), plan.take(3000))
+    assert(plan.contains("topk_by_score"), plan.take(3000))
+    // exchanges carry only label-keyed partials/centroids, never vec_id
+    "Exchange hashpartitioning\\(([^)]*)".r.findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(1).contains("vec_id"),
+        plan.take(3000)))
+  }
+
+  test("skew audit: per-key counts partial-aggregate map-side; global " +
+      "top-k is one bounded aggregate, no global sort") {
+    val plan = executedPlan("skew_audit")
+    assert(plan.contains("partial_count") ||
+      plan.contains("HashAggregate"), plan.take(3000))
+    assert(plan.contains("topk_by_score"), plan.take(3000))
+    assert(!plan.contains("Sort ["), plan.take(3000))
+  }
+
+  test("padding-waste audit and sliding chunking stay projection-only " +
+      "up to their tiny aggregates (no joins, no windows)") {
+    Seq("pack_bucket_waste", "chunk_sliding").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("Join"), s"$q\n" + plan.take(3000))
+      assert(!plan.contains("Window ["), s"$q\n" + plan.take(3000))
+    }
+  }
 }
