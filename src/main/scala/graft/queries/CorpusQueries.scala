@@ -185,6 +185,38 @@ object CorpusQueries {
         .select("source", "quota", "rank", "doc_id")
     }),
 
+    // EPOCH allocation under a token budget — the data-constrained
+    // scaling table (Muennighoff et al. 2023, "Scaling Data-Constrained
+    // Language Models": repeating up to ~4 epochs is near-fresh data,
+    // beyond that returns decay): per source, the tokens the temperature-
+    // scaled mixture WANTS at budget = 2× the corpus, the epochs that
+    // requires over what the source HAS (ceil, capped at 4), the realized
+    // tokens under the cap, and the unmet deficit. Integer-exact end to
+    // end (shares ride mix_temperature's quantized-sqrt weights; ceil and
+    // min are integer ops). Scale shape: one |sources|-row aggregate +
+    // a 1-row broadcast — the whole plan is dimension-sized.
+    "mix_epoch_plan" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val avail = d
+        .select(col("source"),
+          size(words(col("text"))).cast("long").as("nw"))
+        .groupBy("source").agg(sum(col("nw")).as("m"))
+        .withColumn("qs",
+          floor(sqrt(col("m").cast("double")) * lit(1048576.0))
+            .cast("long"))
+      avail
+        .crossJoin(broadcast(avail.agg(
+          sum(col("qs")).as("qt"), sum(col("m")).as("total"))))
+        .withColumn("wanted", expr("((2 * total) * qs) DIV qt"))
+        .withColumn("epochs",
+          least(expr("(wanted + m - 1) DIV m"), lit(4L)))
+        .withColumn("realized", least(col("wanted"), col("epochs") * col("m")))
+        .select(col("source"), col("m").as("avail_tokens"),
+          col("wanted").as("wanted_tokens"), col("epochs"),
+          col("realized").as("realized_tokens"),
+          (col("wanted") - col("realized")).as("deficit"))
+    }),
+
     // TF-IDF source characterization: per source, the top-5 most
     // DISTINCTIVE terms by tf(source, term) * (qln(N) − qln(df(term)))
     // — integer-exact via the shared quantized log (DistributionQueries
@@ -570,6 +602,26 @@ object CorpusQueries {
           SELECT r.source, CAST(q.quota AS BIGINT) AS quota,
                  CAST(rn AS INT) AS rank, doc_id
           FROM r JOIN q USING (source) WHERE rn <= q.quota""",
+    "mix_epoch_plan" ->
+      """WITH c AS (SELECT source,
+                 CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS m
+               FROM documents GROUP BY 1),
+          w AS (SELECT source, m,
+                 CAST(floor(sqrt(CAST(m AS DOUBLE)) * 1048576.0) AS BIGINT)
+                   AS qs
+               FROM c),
+          t AS (SELECT SUM(qs) AS qt, SUM(m) AS total FROM w),
+          p AS (SELECT source, m, ((2*total)*qs)//qt AS wanted
+                FROM w CROSS JOIN t),
+          e AS (SELECT source, m, wanted,
+                       least((wanted + m - 1)//m, 4) AS epochs
+                FROM p)
+          SELECT source, CAST(m AS BIGINT) AS avail_tokens,
+                 CAST(wanted AS BIGINT) AS wanted_tokens,
+                 CAST(epochs AS BIGINT) AS epochs,
+                 CAST(least(wanted, epochs*m) AS BIGINT) AS realized_tokens,
+                 CAST(wanted - least(wanted, epochs*m) AS BIGINT) AS deficit
+          FROM e""",
     "tfidf_terms" ->
       """WITH occ AS (SELECT source, doc_id,
                              UNNEST(string_split(text, ' ')) AS word
