@@ -183,6 +183,63 @@ object StreamingValidation {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming SPLIT ingest — the streaming form of the batch
+    * QuarantineJob's fix-forward contract: every micro-batch is gated by
+    * the row rules BEFORE it lands; clean rows commit to the manifested
+    * main table (exactly-once via [[graft.sources.ManifestTable
+    * .commitAppend]]'s replay key), rows named by any row-rule violation
+    * divert to a quarantine table carrying the sorted rule ids that
+    * condemned them. The main table therefore NEVER holds a row a row
+    * rule rejects — the "validate at the door" ingestion posture, vs
+    * [[start]]'s record-violations-but-land-everything posture (both are
+    * real deployments; cross-row/partition rules remain batch concerns
+    * per the header note).
+    *
+    * Idempotence: a replayed micro-batch no-ops on the main table (its
+    * commit key is already latest) and OVERWRITES its own batch_id
+    * generation of the quarantine table (dynamic partition overwrite) —
+    * no double-landing on either side. Per-batch cost: one row-rule
+    * projection over the batch + one batch-volume anti/semi join on
+    * doc_id; nothing keyed by history. */
+  def startSplitIngest(
+      spark: SparkSession,
+      inputDir: String,
+      manifest: Dataset[ManifestEntry],
+      table: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      rules: RuleSet = Rules.standard,
+      partitionCol: String = "source",
+      maxFilesPerTrigger: Int = 1024): StreamingQuery =
+    readSequenceStream(spark, inputDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Sequence], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val enriched = RuleEngine.withManifest(b.toDF(), manifest)
+          val vio = RuleEngine.rowViolations(enriched, rules.rowRules)
+          val condemned = vio.toDF()
+            .groupBy("doc_id")
+            .agg(concat_ws(",", sort_array(collect_set(col("rule_id"))))
+              .as("rule_ids"))
+          val quarantined = b.toDF()
+            .join(condemned, Seq("doc_id"))
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.TableIO.writePartitioned(
+            quarantined, quarantineDir, partitionCol = "batch_id",
+            recluster = false)
+          val clean = b.toDF().join(condemned, Seq("doc_id"), "left_anti")
+          graft.sources.ManifestTable.commitAppend(
+            s, table, clean, key = s"split-$batchId",
+            partitionCol = partitionCol)
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup, first-seen wins — the reference's
     * duplicate-etag gate (manifest_processor.py:283-305) applied
     * incrementally: a key seen in ANY earlier micro-batch is dropped,
