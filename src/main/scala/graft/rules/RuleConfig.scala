@@ -100,6 +100,9 @@ object RuleConfig {
         obj("drift", id, sev,
           "kind" -> JString(kindS), "test" -> JString(test),
           "alpha" -> JDouble(alpha))
+      case EntropyRule(id, sev, kindS, minBits) =>
+        obj("entropy", id, sev,
+          "kind" -> JString(kindS), "min_bits" -> JDouble(minBits))
     }
     JsonMethods.pretty(JsonMethods.render(
       JObject("rules" -> JArray(items.toList))))
@@ -196,6 +199,20 @@ object RuleConfig {
             fail(s"$where: alpha must be a number, got ${kind(other)}")
         }
         DriftRule(id, sev, kindS, test, alpha)
+      case "entropy" =>
+        val kindS = str(jv, "kind", where)
+        if (!driftKinds(kindS))
+          fail(s"$where: entropy kind must be one of " +
+            s"${driftKinds.toSeq.sorted.mkString(", ")}; got \"$kindS\"")
+        val minBits = jv \ "min_bits" match {
+          case JDouble(d) => d
+          case JInt(n) => n.toDouble
+          case JDecimal(d) => d.toDouble
+          case JNothing => 1.0
+          case other =>
+            fail(s"$where: min_bits must be a number, got ${kind(other)}")
+        }
+        EntropyRule(id, sev, kindS, minBits)
       case other => fail(s"$where: unknown rule type \"$other\"")
     }
   }

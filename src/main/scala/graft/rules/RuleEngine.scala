@@ -153,7 +153,7 @@ object RuleEngine {
     val enriched = withManifest(seqs.toDF(), manifest)
 
     val needAgg = rules.statsRules.nonEmpty || rules.refRules.nonEmpty ||
-      rules.driftRules.nonEmpty
+      rules.driftRules.nonEmpty || rules.entropyRules.nonEmpty
     val aggs: Seq[SourceAggregate] =
       if (needAgg) aggregateBySource(seqs.toDF(), vocab) else Nil
     // A check that never ran must not read as PASS (ADVICE r01; reference
@@ -237,7 +237,7 @@ object RuleEngine {
     import spark.implicits._
 
     val needAgg = rules.statsRules.nonEmpty || rules.refRules.nonEmpty ||
-      rules.driftRules.nonEmpty
+      rules.driftRules.nonEmpty || rules.entropyRules.nonEmpty
     val rideRowScan = needAgg && rules.rowRules.nonEmpty
 
     val obs = if (rideRowScan) Some(org.apache.spark.sql.Observation()) else None
@@ -307,6 +307,7 @@ object RuleEngine {
         rules.driftRules.flatMap(r =>
           if (baselineRows.isEmpty) Nil
           else driftViolationsFromAgg(aggs, baselineRows, r)) ++
+        rules.entropyRules.flatMap(r => entropyViolationsFromAgg(aggs, r)) ++
         rules.manifestRules.flatMap(r => manifestViolations(manifestRows, r))
 
     val sources0 =
@@ -382,6 +383,39 @@ object RuleEngine {
       }
     }
   }
+
+  /** Entropy floor from the collected aggregates — baseline-free, rides
+    * the histograms the stats pass already holds. Shannon entropy in
+    * bits, folded in ascending bin order (deterministic); an empty
+    * source is vacuously valid (emptiness is the count rules' job). */
+  def entropyViolationsFromAgg(
+      aggs: Seq[SourceAggregate],
+      rule: EntropyRule): Seq[Violation] =
+    aggs.sortBy(_.source).flatMap { a =>
+      val hist = if (rule.kind == "ntok_hist") a.ntokHist else a.tokenHist
+      val n = hist.foldLeft(0L)(_ + _)
+      if (n == 0L) None
+      else {
+        var h = 0.0
+        var i = 0
+        while (i < hist.length) {
+          if (hist(i) > 0L) {
+            val p = hist(i).toDouble / n.toDouble
+            h -= p * (math.log(p) / math.log(2.0))
+          }
+          i += 1
+        }
+        if (h < rule.minBits)
+          Some(Violation(
+            doc_id = null,
+            rule_id = rule.id,
+            observed = s"""{"kind":"${rule.kind}","entropy_bits":$h,""" +
+              s""""min_bits":${rule.minBits},"n":$n}""",
+            source = a.source,
+            severity = rule.severity))
+        else None
+      }
+    }
 
   /** Drift tests from the collected aggregates vs the collected baseline
     * bins (driver-side on <= a few hundred bins per source). */

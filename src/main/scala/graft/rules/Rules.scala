@@ -116,6 +116,22 @@ final case class SnapshotEqualityRule(id: String, severity: String)
   def descriptor: String = s"$id|$severity|snapshot_token_equality(doc_id)"
 }
 
+/** Token-distribution ENTROPY floor — the stuck-generator / template-spam
+  * gate: a source whose binned token histogram collapses toward one value
+  * (a looping producer, a constant-padding bug) fails this long before
+  * any baseline comparison could see it, and it needs NO baseline at all.
+  * Shannon entropy in bits over the histogram the stats pass ALREADY
+  * collects (zero extra scan work); kind in {ntok_hist, token_hist}.
+  * Deterministic: the entropy fold runs in ascending bin order. */
+final case class EntropyRule(
+    id: String,
+    severity: String,
+    kind: String = "token_hist",
+    minBits: Double = 1.0)
+    extends RuleSpec {
+  def descriptor: String = s"$id|$severity|entropy($kind,$minBits)"
+}
+
 /** Two-sample distribution drift vs a persisted baseline histogram.
   * kind in {ntok_hist, token_hist}; test in {ks, chi2}. */
 final case class DriftRule(
@@ -138,6 +154,8 @@ final case class RuleSet(rules: Seq[RuleSpec]) {
   }
   def statsRules: Seq[StatsRule] = rules.collect { case r: StatsRule => r }
   def driftRules: Seq[DriftRule] = rules.collect { case r: DriftRule => r }
+  def entropyRules: Seq[EntropyRule] =
+    rules.collect { case r: EntropyRule => r }
   def manifestRules: Seq[ManifestRule] =
     rules.collect { case r: ManifestRule => r }
   def snapshotRules: Seq[SnapshotEqualityRule] =
@@ -170,6 +188,7 @@ object Rules {
   val RDriftNtokKs = "R_DRIFT_NTOK_KS"
   val RDriftTokenChi2 = "R_DRIFT_TOKENHIST_CHI2"
   val RDriftNtokPsi = "R_DRIFT_NTOK_PSI"
+  val RTokenEntropy = "R_TOKEN_ENTROPY"
   val RManifest = "R_MANIFEST"
   val RSnapshotEquality = "R_SNAPSHOT_TOKEN_EQUALITY"
   val RStorageCount = "R_STORAGE_ROWCOUNT"
@@ -216,7 +235,12 @@ object Rules {
     // threshold itself (0.25 = "act"), warning severity — the
     // industry-standard second opinion next to the significance-gated KS.
     DriftRule(RDriftNtokPsi, Severity.Warning, "ntok_hist", "psi",
-      alpha = 0.25)
+      alpha = 0.25),
+    // entropy floor on the SAME collected token histogram (zero extra
+    // scan work, no baseline needed): 1 bit flags true collapse (a
+    // looping/constant producer) while natural corpora sit far above
+    EntropyRule(RTokenEntropy, Severity.Warning, "token_hist",
+      minBits = 1.0)
   ))
 
   /** Standard rules + the cross-snapshot token-equality invariant (needs a

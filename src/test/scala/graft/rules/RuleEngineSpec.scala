@@ -206,4 +206,38 @@ class RuleEngineSpec extends SparkSpec {
     val total = stats.map(_.getAs[Long]("n_docs")).sum
     assert(total === 1000L)
   }
+
+  test("R_TOKEN_ENTROPY flags a collapsed-token source (stuck generator) " +
+      "and passes natural data; the rule round-trips through config") {
+    val base = SequenceGen.sequences(spark, N).collect().toSeq
+    // a looping producer: one source emits ONLY the constant token 7
+    val stuck = (0 until 40).map(i =>
+      Sequence(f"D0000000009$i%02d", Array.fill(32)(7), 32, "stuck_src"))
+    val seqs = (base ++ stuck).toDS()
+    val manifest = SequenceGen.manifest(spark, N)
+    val res = RuleEngine.validate(seqs, manifest, Rules.standard)
+    val flagged = res.violations
+      .filter($"rule_id" === Rules.RTokenEntropy).collect()
+    assert(flagged.map(_.source).toSet === Set("stuck_src"),
+      flagged.mkString("\n"))
+    assert(flagged.head.severity === Severity.Warning)
+    assert(flagged.head.observed.contains("\"entropy_bits\":0.0"))
+    // natural sources clear the floor with PASS verdicts
+    res.verdicts.filter($"rule_id" === Rules.RTokenEntropy).collect()
+      .foreach { v =>
+        if (v.source == "stuck_src")
+          assert(v.status == Status.PassWithWarnings, v)
+        else assert(v.status == Status.Pass, v)
+      }
+    // config round-trip: same descriptor (hence same ruleset hash), and
+    // an edited floor fingerprints differently
+    val rt = RuleConfig.fromJson(RuleConfig.toJson(Rules.standard))
+    assert(rt.entropyRules.map(_.descriptor) ===
+      Rules.standard.entropyRules.map(_.descriptor))
+    val edited = RuleConfig.fromJson(RuleConfig.toJson(
+      RuleSet(Seq(EntropyRule(Rules.RTokenEntropy, Severity.Warning,
+        "token_hist", minBits = 2.5)))))
+    assert(edited.entropyRules.head.descriptor !==
+      Rules.standard.entropyRules.head.descriptor)
+  }
 }
