@@ -49,7 +49,7 @@ object Bench {
     "emb_outlier", "decontaminate_semantic", "emb_pca_power",
     "pack_bucket_waste", "skew_audit",
     "dedup_canonical", "leak_benchmark_report", "quality_ablation",
-    "mix_epoch_plan")
+    "mix_epoch_plan", "src_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

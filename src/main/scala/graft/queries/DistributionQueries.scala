@@ -79,6 +79,26 @@ object DistributionQueries {
             / (col("n_words").cast("double") * lit(1e6))).as("entropy"))
     }),
 
+    // Per-SOURCE Shannon entropy of the unigram distribution — the batch
+    // query form of the engine's R_TOKEN_ENTROPY floor (a collapsed
+    // source reads near 0 bits long before any drift baseline exists;
+    // text_entropy is the per-DOC form). Integer-exact on the shared
+    // quantized log: qh = n·qln(n) − Σ c·qln(c) is an order-free int64;
+    // the bits conversion is one pinned IEEE chain. Reuses the ONE word
+    // exchange (sourceWordCounts); everything after is vocab-sized.
+    "src_entropy" -> ((s, dir) => {
+      sourceWordCounts(docs(s, dir))
+        .groupBy("source")
+        .agg(sum("c_sw").as("n"),
+          count(lit(1)).as("n_types"),
+          sum(col("c_sw") * qln(col("c_sw"))).as("qsum"))
+        .select(col("source"), col("n").as("n_words"), col("n_types"),
+          (col("n") * qln(col("n")) - col("qsum")).as("qh"),
+          (((col("n") * qln(col("n")) - col("qsum")).cast("double")
+            / (col("n").cast("double") * lit(1e6)))
+            / lit(0.6931471805599453)).as("entropy_bits"))
+    }),
+
     // Per-source unigram KL divergence against the whole-corpus
     // distribution — the vocabulary-drift check (a shifted source scores
     // high). KL_s = Σ_w (c_sw/n_s)·ln(c_sw·N / (n_s·c_w)), aggregated as
@@ -407,6 +427,24 @@ object DistributionQueries {
            CAST(CAST(floor(ln(CAST(n_words AS DOUBLE))*1e6) AS BIGINT)
                   * n_words - qsum AS DOUBLE)
              / (CAST(n_words AS DOUBLE) * 1e6) AS entropy
+         FROM a""",
+    "src_entropy" ->
+      """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS w
+                    FROM documents),
+         c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM t GROUP BY source, w),
+         a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE))*1e6) AS BIGINT))
+                   AS BIGINT) AS qsum
+               FROM c GROUP BY source)
+         SELECT source, n AS n_words, n_types,
+           CAST(n * CAST(floor(ln(CAST(n AS DOUBLE))*1e6) AS BIGINT) - qsum
+             AS BIGINT) AS qh,
+           (CAST(n * CAST(floor(ln(CAST(n AS DOUBLE))*1e6) AS BIGINT) - qsum
+              AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1e6)) / 0.6931471805599453
+             AS entropy_bits
          FROM a""",
     "src_kl" ->
       """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS w
