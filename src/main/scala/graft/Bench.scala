@@ -51,6 +51,15 @@ object Bench {
     "dedup_canonical", "leak_benchmark_report", "quality_ablation",
     "mix_epoch_plan", "src_entropy")
 
+  /** EVERY registered query is benched (VERDICT r04 #2: the previous
+    * headline list silently excluded ~27 cheap filter/variant queries,
+    * leaving regression diffs incomplete): headline order first (diff
+    * stability against prior rounds), then any remaining registered
+    * queries sorted by name. */
+  def benchList: Seq[String] =
+    headline ++
+      (SparkEntry.queries.keySet -- headline.toSet).toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -82,7 +91,7 @@ object Bench {
     // surfaced — in the per-query log line AND the headline JSON — instead
     // of silently reading as a clean time.
     val flaky = scala.collection.mutable.ListBuffer.empty[String]
-    val results = headline.flatMap { name =>
+    val results = benchList.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -149,8 +158,16 @@ object Bench {
     val flakyJson =
       if (flaky.isEmpty) ""
       else s""","failed_reps":[${flaky.map("\"" + _ + "\"").mkString(",")}]"""
-    println(
+    val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir"$flakyJson$scalingJson}""")
+        s""""queries":$qs,"sf":"$sfDir"$flakyJson$scalingJson}"""
+    println(json)
+    // durable copy — the driver captures only a tail window of stdout and
+    // r4's single JSON line outgrew it, losing ~50 queries' times
+    // (VERDICT r04 #2); the file artifact survives regardless of length
+    val benchDir = java.nio.file.Paths.get("BENCH")
+    java.nio.file.Files.createDirectories(benchDir)
+    java.nio.file.Files.writeString(
+      benchDir.resolve("last_queries.json"), json + "\n")
   }
 }

@@ -178,6 +178,28 @@ object Dedup {
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** (id, sig, band_idx, band_key) — one row per (doc, band): the LSH
+    * bucket keys of every doc's minhash signature. THE shared candidate
+    * rule: [[minhashLshPairs]] (batch) and
+    * [[graft.streaming.StreamingValidation.startNearDupIngest]] (stream)
+    * both band through here, so the two surfaces cannot drift apart. */
+  def bandedSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, shingleN: Int = 3): DataFrame = {
+    val rows = k / bands
+    minhashSignatures(df, idCol, textCol, k, shingleN).select(
+      col(idCol), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
+        .as(Seq("band_idx", "band_key")))
+  }
+
+  /** Estimated Jaccard of two k-hash signatures: matching fraction. */
+  def estSim(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / k
+
   /** MinHash-LSH candidate pairs with estimated Jaccard >= minEstSim.
     * Signature split into `bands` bands of k/bands rows; docs sharing any
     * band bucket become candidates; est sim = matching minhash fraction. */
@@ -185,15 +207,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
       shingleN: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val rows = k / bands
-    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
-
-    val banded = sigs.select(
-      col(idCol), col("sig"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
-        .as(Seq("band_idx", "band_key")))
+    val banded = bandedSignatures(df, idCol, textCol, k, bands, shingleN)
 
     val capped =
       if (maxBucketSize == Int.MaxValue) banded
@@ -213,10 +227,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .distinct()
-      .select(
-        col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          x === y), b => b)).cast("double") / k).as("est_sim"))
+      .select(col("id_a"), col("id_b"),
+        estSim(col("sig_a"), col("sig_b"), k).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
   }
 

@@ -94,12 +94,32 @@ object SchemaCheck {
     * every later reader of a numeric partition column then sees strings.
     * `newSession` shares the SparkContext but owns its conf, so the
     * probe setting never touches (and is never corrupted by) anyone
-    * else. */
-  private def probeSession(spark: SparkSession): SparkSession = {
-    val s = spark.newSession()
-    s.conf.set(InferKey, "false")
-    s
-  }
+    * else.
+    *
+    * One probe session is CACHED per parent session (weak keys — it dies
+    * with its parent), and the parent's modifiable runtime confs are
+    * re-synced onto it at every probe (ADVICE r04 #4): `newSession`
+    * starts from the context's INITIAL conf, so reader-relevant settings
+    * the caller changed at runtime (timezone, parquet options) would
+    * otherwise be silently ignored by the schema probe. */
+  private val probeSessions = new java.util.WeakHashMap[
+    SparkSession, SparkSession]()
+
+  private def probeSession(spark: SparkSession): SparkSession =
+    probeSessions.synchronized {
+      val s = Option(probeSessions.get(spark)).getOrElse {
+        val fresh = spark.newSession()
+        probeSessions.put(spark, fresh)
+        fresh
+      }
+      spark.conf.getAll.foreach { case (key, v) =>
+        if (key != InferKey && spark.conf.isModifiable(key) &&
+            !s.conf.getOption(key).contains(v))
+          s.conf.set(key, v)
+      }
+      s.conf.set(InferKey, "false")
+      s
+    }
 
   /** Actual footer schema of a parquet table, with partition-column type
     * inference OFF (numeric-looking partition directory values would

@@ -653,19 +653,32 @@ object SimilaritySearch {
     val selected = scala.collection.mutable.ListBuffer[
       (Long, Seq[Double], Option[Double])](
       (seed.getLong(0), toDoubles(seed.get(1)), None))
-    while (selected.size < k) {
+    // Exhaustion guard (ADVICE r04 #2): when k exceeds the corpus row
+    // count the min(struct) over the empty remainder aggregates to a
+    // NULL struct — stop there instead of NPE-ing, returning the whole
+    // corpus in selection order. Zero-norm vectors are documented, not
+    // rewritten: their cosine is NaN, and NaN sorts GREATER than every
+    // double in both Spark and DuckDB orderings, so such candidates
+    // deterministically sort last in the min(struct) argmin — identical
+    // behavior in engine and oracle.
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
       val dists = selected.map { case (_, cv, _) =>
         val cnorm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
         dot(col("v"), typedlit(cv)) / (col("n") * lit(cnorm))
       }.toSeq
       val d = if (dists.size == 1) dists.head else greatest(dists: _*)
       val ids = selected.map(_._1).toSeq
-      val m = base.filter(!col("vec_id").isin(ids.map(x => x: Any): _*))
+      val row = base.filter(!col("vec_id").isin(ids.map(x => x: Any): _*))
         .select(min(struct(d.as("d"), col("vec_id").as("vec_id"),
           col("v").as("v"))).as("m"))
-        .collect().head.getStruct(0)
-      selected += ((m.getLong(1), toDoubles(m.get(2)),
-        Some(m.getDouble(0))))
+        .collect().head
+      if (row.isNullAt(0)) exhausted = true
+      else {
+        val m = row.getStruct(0)
+        selected += ((m.getLong(1), toDoubles(m.get(2)),
+          Some(m.getDouble(0))))
+      }
     }
     import spark.implicits._
     selected.zipWithIndex.map { case ((id, _, dOpt), i) =>

@@ -193,8 +193,13 @@ object CorpusQueries {
     // requires over what the source HAS (ceil, capped at 4), the realized
     // tokens under the cap, and the unmet deficit. Integer-exact end to
     // end (shares ride mix_temperature's quantized-sqrt weights; ceil and
-    // min are integer ops). Scale shape: one |sources|-row aggregate +
-    // a 1-row broadcast — the whole plan is dimension-sized.
+    // min are integer ops). The 2·total·qs product is computed in
+    // DECIMAL(38,0) — total ≈ corpus words and qs ≈ sqrt(m)·2^20, so the
+    // int64 product wraps silently above ~5e8 corpus words; the decimal
+    // form is exact to 1e38 and the DIV result (≤ 2·total) is back in
+    // int64 range (ADVICE r04 #1; oracle mirrors via HUGEINT). Scale
+    // shape: one |sources|-row aggregate + a 1-row broadcast — the whole
+    // plan is dimension-sized.
     "mix_epoch_plan" -> ((s, dir) => {
       val d = docs(s, dir)
       val avail = d
@@ -207,7 +212,8 @@ object CorpusQueries {
       avail
         .crossJoin(broadcast(avail.agg(
           sum(col("qs")).as("qt"), sum(col("m")).as("total"))))
-        .withColumn("wanted", expr("((2 * total) * qs) DIV qt"))
+        .withColumn("wanted",
+          expr("(CAST(total AS DECIMAL(38,0)) * 2 * qs) DIV qt"))
         .withColumn("epochs",
           least(expr("(wanted + m - 1) DIV m"), lit(4L)))
         .withColumn("realized", least(col("wanted"), col("epochs") * col("m")))
@@ -446,23 +452,16 @@ object CorpusQueries {
     }),
 
     // quality stratification: nearest-rank decile thresholds of n_chars
-    // TRAINED corpus-wide, then bucketing is a projection. The histogram
-    // (|distinct n_chars| rows) is aggregated distributed and collapsed
-    // driver-side — same trained-literal pattern as text_freq_score and
-    // the k-means codebooks; the integer rule cum*10 >= d*n avoids any
-    // float quantile definition mismatch. Output: docs per
-    // (source, decile) — the mixing table a curriculum sampler consumes.
+    // TRAINED corpus-wide, then bucketing is a projection. Edge training
+    // runs DISTRIBUTED (DistributionQueries.nearestRankEdges — only the
+    // 9 edge values reach the driver, never the value histogram; VERDICT
+    // r04 #6); the integer rule cum*10 >= d*n avoids any float quantile
+    // definition mismatch. Output: docs per (source, decile) — the
+    // mixing table a curriculum sampler consumes.
     "quality_deciles" -> ((s, dir) => {
       val d = docs(s, dir)
-      val hist = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
-        .orderBy("n_chars").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val n = hist.map(_._2).sum
-      val cums = hist.scanLeft(0L)(_ + _._2).tail
-      // thr(d) = min value whose cumulative count reaches d/10 of n
-      val thrs = (1 to 9).map { dec =>
-        hist(cums.indexWhere(c => c * 10 >= dec * n))._1
-      }
+      val thrs = DistributionQueries
+        .nearestRankEdges(d.select(col("n_chars")), "n_chars", 10)
       val decile = thrs.foldLeft(lit(0L)) { (acc, t) =>
         acc + when(col("n_chars") > t, 1L).otherwise(0L)
       }
@@ -611,7 +610,9 @@ object CorpusQueries {
                    AS qs
                FROM c),
           t AS (SELECT SUM(qs) AS qt, SUM(m) AS total FROM w),
-          p AS (SELECT source, m, ((2*total)*qs)//qt AS wanted
+          p AS (SELECT source, m,
+                  CAST((CAST(total AS HUGEINT) * 2 * qs)//qt AS BIGINT)
+                    AS wanted
                 FROM w CROSS JOIN t),
           e AS (SELECT source, m, wanted,
                        least((wanted + m - 1)//m, 4) AS epochs

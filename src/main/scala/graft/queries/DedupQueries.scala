@@ -125,6 +125,25 @@ object DedupQueries {
         k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20)
     }),
 
+    // FIRST-SEEN near-dup verdict per doc — the batch-oracled form of the
+    // streaming ingest gate (StreamingValidation.startNearDupIngest), the
+    // near-dup analog of `dedup_first_seen`: a doc is flagged iff it
+    // shares a band bucket with an EARLIER doc (doc_id order — the batch
+    // stand-in for (batch, id) arrival order) at est_sim >= 0.5, and the
+    // earliest such match is recorded. Same bandedSignatures/estSim rule
+    // the stream applies per micro-batch, pinned here against DuckDB.
+    "dedup_lsh_first_seen" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val flagged = Dedup.minhashLshPairs(d, "doc_id", "text",
+          k = 16, bands = 4, minEstSim = 0.5)
+        .groupBy(col("id_b").as("doc_id"))
+        .agg(min(col("id_a")).as("first_match"))
+      d.select("doc_id")
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("first_match"),
+          col("first_match").isNotNull.as("is_neardup"))
+    }),
+
     // 64-bit SimHash in 4 x 16-bit band form
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhash64(docs(s, dir), "doc_id", "text")
@@ -721,6 +740,29 @@ object DedupQueries {
                    i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
                    AS DOUBLE)/16 >= 0.5""",
     "dedup_minhash_pairs_capped" -> minhashPairsCappedSql,
+    "dedup_lsh_first_seen" ->
+      s"""WITH $shingleHashCte,
+          sigs AS (SELECT doc_id, $sigExpr AS sig FROM sh),
+          bands AS (
+            SELECT doc_id, sig, CAST(b AS INT) AS band_idx,
+                   array_to_string(list_slice(sig, b*4+1, b*4+4), '_') AS band_key
+            FROM sigs, (SELECT unnest(range(4)) AS b)),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   l.sig AS sig_a, r.sig AS sig_b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id),
+          pairs AS (
+            SELECT id_a, id_b FROM cand
+            WHERE CAST(len(list_filter(range(16),
+                    i -> list_extract(sig_a, i+1) = list_extract(sig_b, i+1)))
+                    AS DOUBLE)/16 >= 0.5),
+          f AS (SELECT id_b AS doc_id, MIN(id_a) AS first_match
+                FROM pairs GROUP BY 1)
+          SELECT d.doc_id, f.first_match,
+                 f.first_match IS NOT NULL AS is_neardup
+          FROM documents d LEFT JOIN f USING (doc_id)""",
     "dedup_minhash_audit" ->
       s"""WITH pairs AS ($minhashPairsCappedSql),
           $shingleHashCte

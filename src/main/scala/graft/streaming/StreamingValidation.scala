@@ -476,8 +476,16 @@ object StreamingValidation {
     val compactions = new java.util.concurrent.atomic.AtomicLong
   }
 
-  private def driftStatePath(outDir: String) = s"$outDir/drift_state"
-  private def driftBasePath(outDir: String) = s"$outDir/drift_base"
+  /** Monitor-namespaced state/base paths (ADVICE r04 #3): the scalar
+    * drift monitor, the embedding drift monitor, and the heavy-hitter
+    * monitor persist structurally different rows through the SAME
+    * (source, bin, count) schema — pointing two monitors at one outDir
+    * must not silently merge incompatible state, so each monitor owns a
+    * distinct namespace prefix ("drift_", "emb_drift_", "hh_"). */
+  private def driftStatePath(outDir: String, ns: String) =
+    s"$outDir/${ns}state"
+  private def driftBasePath(outDir: String, ns: String) =
+    s"$outDir/${ns}base"
 
   private def pathExists(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -491,9 +499,10 @@ object StreamingValidation {
     * (a crash between writing the new base and deleting superseded
     * generations leaves duplicates on disk that no reader ever counts). */
   private def readBase(
-      s: SparkSession, outDir: String): (Long, Seq[(String, Int, Long)]) = {
+      s: SparkSession, outDir: String,
+      ns: String): (Long, Seq[(String, Int, Long)]) = {
     import graft.sources.TableIO
-    val path = driftBasePath(outDir)
+    val path = driftBasePath(outDir, ns)
     TableIO.partitionValues(s, path, "hw") match {
       case None => (-1L, Nil)
       case Some(hws) =>
@@ -515,11 +524,12 @@ object StreamingValidation {
     * the new base's hw). Returns true if anything was compacted. */
   def compactDriftState(
       spark: SparkSession, outDir: String, belowBatchId: Long,
-      stats: Option[DriftMonitorStats] = None): Boolean = {
+      stats: Option[DriftMonitorStats] = None,
+      ns: String = "drift_"): Boolean = {
     import graft.sources.TableIO
-    val statePath = driftStatePath(outDir)
+    val statePath = driftStatePath(outDir, ns)
     if (!pathExists(spark, statePath)) return false
-    val (baseHw, baseRows) = readBase(spark, outDir)
+    val (baseHw, baseRows) = readBase(spark, outDir, ns)
     val gens = spark.read.parquet(statePath)
       .filter(col("batch_id") > baseHw && col("batch_id") < belowBatchId)
       .select("source", "bin", "count", "batch_id")
@@ -536,14 +546,14 @@ object StreamingValidation {
     TableIO.writePartitioned(
       merged.toDF("source", "bin", "count")
         .withColumn("hw", lit(newHw)).coalesce(1),
-      driftBasePath(outDir), partitionCol = "hw", recluster = false)
+      driftBasePath(outDir, ns), partitionCol = "hw", recluster = false)
     // superseded files are invisible to readers from here on; dropping
     // them is pure space reclamation, crash-tolerant in any order
     TableIO.deletePartitions(
       spark, statePath, "batch_id", genIds.map(_.toString))
     if (baseHw >= 0)
       TableIO.deletePartitions(
-        spark, driftBasePath(outDir), "hw", Seq(baseHw.toString))
+        spark, driftBasePath(outDir, ns), "hw", Seq(baseHw.toString))
     stats.foreach(_.compactions.incrementAndGet())
     true
   }
@@ -611,16 +621,16 @@ object StreamingValidation {
         TableIO.writePartitioned(
           batchHist.toDF("source", "bin", "count")
             .withColumn("batch_id", lit(batchId)).coalesce(1),
-          driftStatePath(outDir), partitionCol = "batch_id",
+          driftStatePath(outDir, "drift_"), partitionCol = "batch_id",
           recluster = false)
         if (!initialized) {
           // restart rebuild: base generation + every generation STRICTLY
           // below this batch (a replayed batch must not count itself)
-          val (baseHw, baseRows) = readBase(s, outDir)
+          val (baseHw, baseRows) = readBase(s, outDir, "drift_")
           baseRows.foreach { case (src, bin, n) => mergeInto(src, bin, n) }
           val older =
-            if (pathExists(s, driftStatePath(outDir)))
-              s.read.parquet(driftStatePath(outDir))
+            if (pathExists(s, driftStatePath(outDir, "drift_")))
+              s.read.parquet(driftStatePath(outDir, "drift_"))
                 .filter(col("batch_id") > baseHw &&
                   col("batch_id") < batchId)
                 .select("source", "bin", "count")
@@ -648,7 +658,7 @@ object StreamingValidation {
           s"$outDir/drift_alerts", partitionCol = "batch_id",
           recluster = false)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compactDriftState(s, outDir, batchId, stats)
+          compactDriftState(s, outDir, batchId, stats, "drift_")
         ()
       }
       .option("checkpointLocation", s"$outDir/drift_checkpoint")
@@ -750,14 +760,14 @@ object StreamingValidation {
         TableIO.writePartitioned(
           moments.toDF("source", "bin", "count")
             .withColumn("batch_id", lit(batchId)).coalesce(1),
-          driftStatePath(outDir), partitionCol = "batch_id",
+          driftStatePath(outDir, "emb_drift_"), partitionCol = "batch_id",
           recluster = false)
         if (!initialized) {
-          val (baseHw, baseRows) = readBase(s, outDir)
+          val (baseHw, baseRows) = readBase(s, outDir, "emb_drift_")
           baseRows.foreach { case (l, d, q) => mergeInto(l, d, q) }
           val older =
-            if (pathExists(s, driftStatePath(outDir)))
-              s.read.parquet(driftStatePath(outDir))
+            if (pathExists(s, driftStatePath(outDir, "emb_drift_")))
+              s.read.parquet(driftStatePath(outDir, "emb_drift_"))
                 .filter(col("batch_id") > baseHw &&
                   col("batch_id") < batchId)
                 .select("source", "bin", "count")
@@ -783,13 +793,13 @@ object StreamingValidation {
           }
         TableIO.writePartitioned(
           s.createDataset(alerts).coalesce(1).toDF(),
-          s"$outDir/drift_alerts", partitionCol = "batch_id",
+          s"$outDir/emb_drift_alerts", partitionCol = "batch_id",
           recluster = false)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compactDriftState(s, outDir, batchId, stats)
+          compactDriftState(s, outDir, batchId, stats, "emb_drift_")
         ()
       }
-      .option("checkpointLocation", s"$outDir/drift_checkpoint")
+      .option("checkpointLocation", s"$outDir/emb_drift_checkpoint")
       .trigger(Trigger.AvailableNow())
       .start()
   }
@@ -906,14 +916,14 @@ object StreamingValidation {
         TableIO.writePartitioned(
           batchCells.toDF("source", "bin", "count")
             .withColumn("batch_id", lit(batchId)).coalesce(1),
-          driftStatePath(outDir), partitionCol = "batch_id",
+          driftStatePath(outDir, "hh_"), partitionCol = "batch_id",
           recluster = false)
         if (!initialized) {
-          val (baseHw, baseRows) = readBase(s, outDir)
+          val (baseHw, baseRows) = readBase(s, outDir, "hh_")
           baseRows.foreach { case (src, bin, n) => mergeCell(src, bin, n) }
           val older =
-            if (pathExists(s, driftStatePath(outDir)))
-              s.read.parquet(driftStatePath(outDir))
+            if (pathExists(s, driftStatePath(outDir, "hh_")))
+              s.read.parquet(driftStatePath(outDir, "hh_"))
                 .filter(col("batch_id") > baseHw &&
                   col("batch_id") < batchId)
                 .select("source", "bin", "count")
@@ -967,10 +977,128 @@ object StreamingValidation {
           s"$outDir/hh_topk", partitionCol = "batch_id",
           recluster = false)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compactDriftState(s, outDir, batchId, stats)
+          compactDriftState(s, outDir, batchId, stats, "hh_")
         ()
       }
       .option("checkpointLocation", s"$outDir/hh_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One near-duplicate flag emitted at ingest: `doc_id` (arriving in
+    * `batch_id`) matched the earlier doc `match_doc_id` (ingested in
+    * `match_batch_id`) with estimated Jaccard `est_sim`. */
+  final case class NearDupFlag(
+      batch_id: Long, doc_id: Long, match_batch_id: Long,
+      match_doc_id: Long, est_sim: Double)
+
+  /** Open a landing directory as a stream of document rows
+    * (doc_id, text, source) — the near-dup ingest input shape. */
+  def readDocumentStream(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, source STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .select("doc_id", "text", "source")
+
+  /** Streaming NEAR-duplicate dedup at ingest — persisted MinHash-LSH
+    * band-bucket state (VERDICT r04 #4): the streaming form of the batch
+    * `dedup_minhash_pairs` family, exactly as `dedup_first_seen` is the
+    * batch-oracled form of [[dedupStream]]. The exact-key streaming
+    * dedups ([[dedupStream]], [[dedupWithinWatermark]], Bloom) miss a
+    * document that is ALMOST a previous one; this operator catches it in
+    * the micro-batch it arrives.
+    *
+    * Candidate rule — shared with batch, not reimplemented: band keys
+    * come from [[graft.operators.Dedup.bandedSignatures]] and the
+    * estimate from [[graft.operators.Dedup.estSim]], the same functions
+    * `dedup_minhash_pairs` uses, and the batch-oracled query
+    * `dedup_lsh_first_seen` pins the identical rule (shared band bucket
+    * AND est_sim ≥ minEstSim against any EARLIER doc) against DuckDB.
+    * "Earlier" is (batch_id, doc_id) lexicographic: any prior batch's
+    * doc, or a smaller-id doc of the same batch (the same deterministic
+    * within-batch tie-break discipline as [[dedupStream]]).
+    *
+    * State model: the band-bucket index `neardup_index`
+    * ((band_idx, band_key, doc_id, sig) partitioned by batch_id) persists
+    * on disk, NOT in driver memory — per batch the work is ONE join of
+    * the batch's banded keys against the index on (band_idx, band_key)
+    * plus the batch's internal self-join, both shuffle-bounded by band-key
+    * volume. Every doc is indexed (flagged ones too), so the flag rule is
+    * "matches any earlier doc" — exactly the batch query's rule. Replay
+    * idempotence: a replayed micro-batch reads only index generations
+    * STRICTLY below its own id and overwrites its own index + flag
+    * generations (dynamic partition overwrite), so it can neither match
+    * against its own debris nor double-land. At production scale the
+    * index would be bucketed BY BAND KEY (hash-bucketed table) so the
+    * per-batch probe join co-locates without a full index shuffle —
+    * the batch_id partitioning here is the replay-contract layout, and
+    * the probe join already pushes the band keys down as a semi-join. */
+  def startNearDupIngest(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      k: Int = 16,
+      bands: Int = 4,
+      minEstSim: Double = 0.5,
+      shingleN: Int = 3,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.sources.TableIO
+    val indexPath = s"$outDir/neardup_index"
+    readDocumentStream(spark, inputDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val banded = Dedup
+          .bandedSignatures(batch, "doc_id", "text", k, bands, shingleN)
+          .persist()
+        try {
+          val intra = banded.select(lit(batchId).as("bid_a"),
+            col("band_idx"), col("band_key"),
+            col("doc_id").as("id_a"), col("sig").as("sig_a"))
+          val earlier =
+            if (pathExists(s, indexPath))
+              s.read.parquet(indexPath)
+                .filter(col("batch_id") < batchId)
+                .select(col("batch_id").as("bid_a"),
+                  col("band_idx"), col("band_key"),
+                  col("doc_id").as("id_a"), col("sig").as("sig_a"))
+                .union(intra)
+            else intra
+          val probe = banded.select(col("band_idx"), col("band_key"),
+            col("doc_id").as("id_b"), col("sig").as("sig_b"))
+          val flags = earlier.join(probe, Seq("band_idx", "band_key"))
+            .filter(col("bid_a") < batchId || col("id_a") < col("id_b"))
+            .select(col("bid_a"), col("id_a"), col("id_b"),
+              col("sig_a"), col("sig_b"))
+            .distinct()
+            .select(col("id_b"), col("bid_a"), col("id_a"),
+              Dedup.estSim(col("sig_a"), col("sig_b"), k).as("est"))
+            .filter(col("est") >= minEstSim)
+            // first match wins — the earliest (batch, id) among matches,
+            // est_sim carried on the winning struct
+            .groupBy(col("id_b"))
+            .agg(min(struct(col("bid_a"), col("id_a"), col("est")))
+              .as("m"))
+            .select(lit(batchId).as("batch_id"),
+              col("id_b").as("doc_id"),
+              col("m.bid_a").as("match_batch_id"),
+              col("m.id_a").as("match_doc_id"),
+              col("m.est").as("est_sim"))
+          // distributed write — flags never visit the driver
+          TableIO.writePartitioned(
+            flags.coalesce(1),
+            s"$outDir/neardup_flags", partitionCol = "batch_id",
+            recluster = false)
+          TableIO.writePartitioned(
+            banded.withColumn("batch_id", lit(batchId)),
+            indexPath, partitionCol = "batch_id", recluster = false)
+          ()
+        } finally { banded.unpersist(); () }
+      }
+      .option("checkpointLocation", s"$outDir/neardup_checkpoint")
       .trigger(Trigger.AvailableNow())
       .start()
   }

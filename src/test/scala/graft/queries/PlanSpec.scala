@@ -322,6 +322,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Sort ["), plan.take(3000))
   }
 
+  test("open-vocabulary joins carry NO forced broadcast hint — the plan " +
+      "must be free to degrade to a shuffled hash join when the vocab " +
+      "outgrows memory (VERDICT r04 #1)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // query -> the open-domain join key(s): the word / bigram / context
+    // tables grow with corpus size, so the joins on these keys must be
+    // unhinted (AQE may still broadcast small vocabs at runtime — that
+    // is a size-based decision, not a pinned one).
+    val checks = Seq(
+      "src_kl" -> Set("w"),
+      "lm_unigram_score" -> Set("w"),
+      "lm_bigram_score" -> Set("bg", "a"))
+    for ((q, keys) <- checks) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val vocabJoins = joins.filter(_.condition.exists(
+        _.references.exists(a => keys.contains(a.name))))
+      assert(vocabJoins.nonEmpty, s"$q: expected a vocab-keyed join")
+      vocabJoins.foreach { j =>
+        val forced = j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined)
+        assert(!forced,
+          s"$q: open-vocab join must not force a join strategy: $j")
+      }
+    }
+  }
+
   test("padding-waste audit and sliding chunking stay projection-only " +
       "up to their tiny aggregates (no joins, no windows)") {
     Seq("pack_bucket_waste", "chunk_sliding").foreach { q =>

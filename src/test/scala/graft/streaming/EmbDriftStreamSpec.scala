@@ -61,7 +61,7 @@ class EmbDriftStreamSpec extends SparkSpec {
     assert(StreamingValidation.startEmbDriftMonitor(
       spark, in, baseline, out, minCos = 0.98).awaitTermination(300000),
       "monitor run 1 did not finish in time")
-    val a1 = spark.read.parquet(s"$out/drift_alerts").collect()
+    val a1 = spark.read.parquet(s"$out/emb_drift_alerts").collect()
     assert(a1.map(_.getAs[Int]("label")).sorted.toSeq === Labels)
     assert(a1.forall(!_.getAs[Boolean]("rejected")), a1.mkString("\n"))
 
@@ -71,7 +71,7 @@ class EmbDriftStreamSpec extends SparkSpec {
     assert(StreamingValidation.startEmbDriftMonitor(
       spark, in, baseline, out, minCos = 0.98).awaitTermination(300000),
       "monitor run 2 did not finish in time")
-    val a2 = spark.read.parquet(s"$out/drift_alerts").collect()
+    val a2 = spark.read.parquet(s"$out/emb_drift_alerts").collect()
     val latest = a2.map(_.getAs[Number]("batch_id").longValue).max
     val last = a2.filter(_.getAs[Number]("batch_id").longValue == latest)
       .map(r => r.getAs[Int]("label") ->
@@ -123,7 +123,7 @@ class EmbDriftStreamSpec extends SparkSpec {
     assert(st2.stateRowsRead.get <= 3L * Labels.size * (Dims + 1),
       s"rebuild read ${st2.stateRowsRead.get} state rows")
     val gens = graft.sources.TableIO
-      .partitionValues(spark, s"$out/drift_state", "batch_id")
+      .partitionValues(spark, s"$out/emb_drift_state", "batch_id")
       .getOrElse(Nil)
     assert(gens.size <= 3, s"state generations not compacted: $gens")
   }

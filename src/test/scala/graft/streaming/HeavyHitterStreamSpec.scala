@@ -116,7 +116,7 @@ class HeavyHitterStreamSpec extends SparkSpec {
     assert(st2.stateRowsRead.get <= 3L * 4 * 10,
       s"rebuild read ${st2.stateRowsRead.get} state rows")
     val gens = graft.sources.TableIO
-      .partitionValues(spark, s"$out/drift_state", "batch_id")
+      .partitionValues(spark, s"$out/hh_state", "batch_id")
       .getOrElse(Nil)
     assert(gens.size <= 3, s"state generations not compacted: $gens")
     // the result is still exact (width >= vocab): cumulative top-1
