@@ -317,6 +317,28 @@ object Main {
                 s""""flat":${n("flat")},"watch":$watch}""")
           }
 
+        case "report" :: valOut :: rest =>
+          // human-readable per-run report (reference report.py:149-166 +
+          // notification.py rendered body): per-source verdicts, summary
+          // funnel, example violations. Default run: latest by completion.
+          val runId = rest.collectFirst {
+            case a if a.startsWith("--run=") => a.stripPrefix("--run=")
+          }
+          val topK = rest.collectFirst {
+            case a if a.startsWith("--top=") =>
+              a.stripPrefix("--top=").toInt
+          }.getOrElse(10)
+          val rendered = graft.jobs.ReportJob.render(spark, valOut, runId, topK)
+          rest.collectFirst {
+            case a if a.startsWith("--out=") => a.stripPrefix("--out=")
+          }.foreach { out =>
+            val p = new org.apache.hadoop.fs.Path(out)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val os = fs.create(p, true)
+            try os.write(rendered.text.getBytes("UTF-8")) finally os.close()
+          }
+          println(rendered.text)
+
         case "rules" :: rest =>
           // export the compiled-in rule set as editable config JSON —
           // the starting point for a --rules= file. Variants mirror the
@@ -346,7 +368,8 @@ object Main {
               "quarantine <inputDir> <validationOutDir> <salvageDir> " +
               "<quarantineDir> [--dry-run] | " +
               "diff <validationOutDir> [beforeRunId afterRunId] [--all] | " +
-              "trend <validationOutDir> [--runs=k]")
+              "trend <validationOutDir> [--runs=k] | " +
+              "report <validationOutDir> [--run=id] [--top=k] [--out=path]")
           sys.exit(2)
       }
     } finally spark.stop()

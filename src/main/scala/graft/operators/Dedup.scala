@@ -612,18 +612,32 @@ object Dedup {
     * splits hot keys when not), and per-doc interval merge as a
     * gaps-and-islands window (boundary where pos − prev > windowWords,
     * i.e. coverage [pos, pos+W−1] detaches from the running region).
+    *
+    * `maxOccurrences` is the boilerplate valve, mirroring
+    * [[jaccardPairs]]' maxDf: a window key occurring MORE often than the
+    * cap is corpus boilerplate (license headers, templated footers — at
+    * web scale a single 8-gram can sit in 30% of documents), and is
+    * EXCLUDED from span detection rather than allowed to stamp
+    * near-every document as "duplicated". Semantics are explicit: capped
+    * keys are not spans here — route true boilerplate to
+    * [[substringDedup]]'s df > maxDf drop path, which removes ALL
+    * occurrences. The cap also keeps the semi-join's hot partitions
+    * bounded when AQE's skew split is unavailable (broadcast side).
+    *
     * Shuffle inventory: windows by key (narrow 32-byte rows — the
     * operator's inherent cost, linear in corpus tokens), candidates by
     * doc for the merge — pair space is NEVER materialized, so a fully
     * duplicated corpus costs the same as a clean one. */
   def repeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      windowWords: Int = 8, minOccurrences: Long = 2L): DataFrame = {
+      windowWords: Int = 8, minOccurrences: Long = 2L,
+      maxOccurrences: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wh = windowKeys(df, idCol, textCol, windowWords)
     val dupKeys = wh.groupBy("h1", "h2")
       .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= minOccurrences)
+      .filter(col("occ") >= minOccurrences &&
+        col("occ") <= maxOccurrences)
       .select("h1", "h2")
     val w = Window.partitionBy(idCol).orderBy("pos")
     wh.join(dupKeys, Seq("h1", "h2"), "left_semi")
@@ -653,9 +667,10 @@ object Dedup {
     * shuffle every token). */
   def removeRepeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      windowWords: Int = 8, minOccurrences: Long = 2L): DataFrame = {
+      windowWords: Int = 8, minOccurrences: Long = 2L,
+      maxOccurrences: Long = Long.MaxValue): DataFrame = {
     val perDoc = repeatedSpans(df, idCol, textCol, windowWords,
-        minOccurrences)
+        minOccurrences, maxOccurrences)
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("spans"))

@@ -390,6 +390,16 @@ object DedupQueries {
         windowWords = 8)
     }),
 
+    // Span dedup with the boilerplate valve ENGAGED: window keys more
+    // frequent than maxOccurrences are excluded from span detection
+    // (the jaccardPairs.maxDf mirror — VERDICT r04 #7). The sf0.01
+    // corpus has occ=3 keys, so the cap of 2 provably binds: this row
+    // set differs from dedup_span_exact's
+    "dedup_span_capped" -> ((s, dir) => {
+      Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", windowWords = 8,
+        maxOccurrences = 2L)
+    }),
+
     // Span-dedup AUDIT: per-source duplication mass (the "fraction of
     // tokens inside duplicated spans" number the paper reports per corpus
     // — what a curation run publishes before deciding to cut)
@@ -558,7 +568,7 @@ object DedupQueries {
     * candidate positions, and gaps-and-islands merged maximal spans.
     * One definition feeds all three oracles so the Spark operator and
     * every oracle share a single keying spec. */
-  private def spanCte(w: Int): String =
+  private def spanCte(w: Int, maxOcc: Long = Long.MaxValue): String =
     s"""w0 AS (SELECT doc_id, source, string_split(text, ' ') AS toks
               FROM documents),
        swh AS (SELECT doc_id, i AS pos,
@@ -570,7 +580,9 @@ object DedupQueries {
                   (a,b)->(a*37+b)%1000000009) AS h2
               FROM w0, unnest(range(1, greatest(len(toks)-$w+2, 1))) r(i)),
        sdup AS (SELECT h1, h2 FROM swh GROUP BY h1, h2
-                HAVING COUNT(*) >= 2),
+                HAVING COUNT(*) >= 2${
+                  if (maxOcc == Long.MaxValue) ""
+                  else s" AND COUNT(*) <= $maxOcc"}),
        shits AS (SELECT doc_id, pos FROM swh JOIN sdup USING (h1, h2)),
        sisl AS (SELECT doc_id, pos,
                  SUM(CASE WHEN prev IS NULL OR pos - prev > $w
@@ -597,6 +609,11 @@ object DedupQueries {
          GROUP BY 1, 2""",
     "dedup_span_exact" ->
       s"""WITH ${spanCte(8)}
+         SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_tokens
+         FROM spans""",
+    "dedup_span_capped" ->
+      s"""WITH ${spanCte(8, 2L)}
          SELECT doc_id, span_start, span_end,
            span_end - span_start + 1 AS span_tokens
          FROM spans""",

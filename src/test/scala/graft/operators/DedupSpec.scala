@@ -336,6 +336,56 @@ class DedupSpec extends SparkSpec {
     assert(repart === got)
   }
 
+  test("repeatedSpans under planted boilerplate skew: one 8-gram in 30% " +
+      "of docs is found on every planted doc, and maxOccurrences drops " +
+      "it while a genuine occ=2 span survives") {
+    // VERDICT r04 #7. 3000 docs; 900 (30%) open with the SAME 8-word
+    // boilerplate phrase — ONE window key carrying 900 occurrences, the
+    // hot key the (h1,h2) shuffle + semi-join must survive (AQE skew
+    // split / broadcast). Docs 100 and 200 additionally share a genuine
+    // 8-word tail (occ=2) that the cap must NOT touch. Filler words are
+    // doc-unique, so no other window duplicates.
+    val boiler = "terms of use apply to this document here"
+    val tail = "shared genuine duplicated tail words appear twice only"
+    val rows = (0L until 3000L).map { i =>
+      val filler = (0 until 8).map(j => s"w${i}_$j").mkString(" ")
+      val pre = if (i % 10 < 3) s"$boiler $filler" else filler
+      (i, if (i == 100L || i == 200L) s"$pre $tail" else pre)
+    }
+    val docs = spark.createDataset(rows).toDF("doc_id", "text")
+      .repartition(16)
+
+    val uncapped = Dedup.repeatedSpans(docs, "doc_id", "text",
+        windowWords = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val plantedIds = (0L until 3000L).filter(_ % 10 < 3)
+    val expectedUncapped =
+      plantedIds.map(i => (i, 1L, 8L, 8L)).toSet ++
+        Set((100L, 17L, 24L, 8L), (200L, 17L, 24L, 8L))
+    assert(uncapped === expectedUncapped) // 902 spans, all exact
+
+    // cap below the boilerplate multiplicity: its key leaves the
+    // candidate set entirely; the genuine pair-duplicated tail stays
+    val capped = Dedup.repeatedSpans(docs, "doc_id", "text",
+        windowWords = 8, maxOccurrences = 8L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(capped === Set((100L, 17L, 24L, 8L), (200L, 17L, 24L, 8L)))
+
+    // the capped rewrite cuts only the genuine span — boilerplate is
+    // explicitly NOT this operator's job under a cap (substringDedup's
+    // df > maxDf path removes it instead)
+    val clean100 = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+        windowWords = 8, maxOccurrences = 8L)
+      .filter($"doc_id" === 100L).collect().head
+    assert(clean100.getLong(2) === 8L)
+    assert(clean100.getString(1).startsWith(boiler))
+    assert(!clean100.getString(1).contains("tail"))
+  }
+
   test("repeatedSpans separates non-adjacent duplicated regions into " +
       "distinct spans") {
     // W=2: "A B" duplicated (d1@1, d2@1) and "Y Z" duplicated (d1@6,
