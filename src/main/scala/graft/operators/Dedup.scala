@@ -143,6 +143,60 @@ object Dedup {
           " ").as("new_text"))
   }
 
+  /** Content-defined chunking (CDC) duplicate-mass audit — the
+    * storage-dedup boundary rule applied to text (FastCDC family,
+    * public algorithm): a chunk boundary falls BEFORE every word whose
+    * content hash ≡ 0 (mod `modulus`), so expected chunk length is
+    * `modulus` words and boundaries move WITH the content. Unlike
+    * [[chunkDupFractions]]'s fixed-offset grid, inserting one word near
+    * the head of a doc shifts every later fixed chunk but leaves all
+    * CDC chunks after the next boundary identical — the property that
+    * makes CDC the right chunking for near-identical page revisions.
+    *
+    * Scale shape: one corpus word explode (codegen'd projection), the
+    * running boundary count is a per-DOC window (partition = one
+    * document, bounded by max doc length — never a global sort), chunk
+    * assembly is one (doc, chunk) aggregation, and duplicate counting
+    * reuses chunkDupFractions' discipline: ONE exchange on the chunk
+    * hash serves the corpus-wide occurrence window, then a |sources|-row
+    * roll-up. No pair space; linear in corpus words.
+    *
+    * Returns per source: chunk count, duplicated-chunk instances
+    * (content seen >= 2x corpus-wide), word mass inside duplicated
+    * chunks, and the duplicated-word fraction. */
+  def cdcDupStats(
+      df: DataFrame, idCol: String, textCol: String, srcCol: String,
+      modulus: Int = 16): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chash"))
+    df.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("b",
+        when(polyHash(col("w")) % modulus === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("b")).over(byDoc))
+      .groupBy("doc_id", "source", "chunk_id")
+      .agg(count(lit(1)).as("n_words"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x("w")), " ").as("chunk"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        polyHash(col("chunk")).as("chash"))
+      .repartition(col("chash"))
+      .withColumn("occ", count(lit(1)).over(byHash))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_words")).as("total_words"),
+        sum(when(col("occ") > 1, col("n_words")).otherwise(0L))
+          .as("dup_words"))
+      .withColumn("dup_fraction",
+        col("dup_words").cast("double") / col("total_words").cast("double"))
+  }
+
   /** (id, minhash signature) for every doc. k = signature length.
     *
     * ONE codegen'd projection (native [[graft.functions.MinhashSig]]): the

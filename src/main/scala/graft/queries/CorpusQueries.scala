@@ -101,20 +101,50 @@ object CorpusQueries {
     // BPE ENCODE with the trained merges: per-doc subword-token count
     // after applying the 4 learned merges in training order — the
     // "how many tokens will this corpus cost" accounting pass run with
-    // a freshly trained tokenizer. The trained word→sym vocabulary is
-    // broadcast; encoding is one corpus word pass + per-doc roll-up.
+    // a freshly trained tokenizer. The word→sym vocabulary join is
+    // UNHINTED: the trained vocab spans the corpus's open word domain
+    // (the same scale class as the lm_* count tables — VERDICT r04 #1),
+    // so the w-keyed shuffled hash join is the safe plan and AQE still
+    // broadcasts when the vocab happens to fit.
     "bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
       val (_, vocab) = graft.operators.BpeTokenizer.train(d, "text", 4)
       val out = d
         .select(col("doc_id"), explode(words(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
-        .join(broadcast(vocab.select(col("w"), col("sym"))), "w")
+        .join(vocab.select(col("w"), col("sym")), "w")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
           sum(size(graft.operators.BpeTokenizer.symbols(col("sym")))
             .cast("long")).as("n_bpe_tokens"))
       out
+    }),
+
+    // Tokenizer FERTILITY audit per language: subword tokens per word
+    // and chars per subword token under the freshly trained BPE — the
+    // standard "how well does this tokenizer fit each language slice"
+    // health check (high fertility = the slice pays more sequence
+    // length per word of content; budget/mixing decisions key off it).
+    // Same single corpus word pass + unhinted vocab join as bpe_encode,
+    // rolled up to |lang| rows; the ratios are exact-integer divisions
+    // performed once at the end.
+    "bpe_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (_, vocab) = graft.operators.BpeTokenizer.train(d, "text", 4)
+      d.select(col("lang"), explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(vocab.select(col("w"), col("sym")), "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(graft.operators.BpeTokenizer.symbols(col("sym")))
+            .cast("long")).as("n_bpe_tokens"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+        .withColumn("fertility",
+          col("n_bpe_tokens").cast("double")
+            / col("n_words").cast("double"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double")
+            / col("n_bpe_tokens").cast("double"))
     }),
 
     // EXACT-budget source mixing: allocate a global budget of 100 docs
@@ -557,6 +587,21 @@ object CorpusQueries {
                    AS n_bpe_tokens
           FROM tok JOIN v4 v USING (w)
           GROUP BY doc_id""",
+    "bpe_fertility" ->
+      s"""WITH ${bpeCtesSql(4)},
+          tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(len(string_split(trim(v.sym), '  '))) AS BIGINT)
+                   AS n_bpe_tokens,
+                 CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+                 CAST(SUM(len(string_split(trim(v.sym), '  '))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS fertility,
+                 CAST(SUM(len(w)) AS DOUBLE)
+                   / CAST(SUM(len(string_split(trim(v.sym), '  ')))
+                       AS DOUBLE) AS chars_per_token
+          FROM tok JOIN v4 v USING (w)
+          GROUP BY lang""",
     "mix_budget" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
           t AS (SELECT SUM(c) AS t FROM c),

@@ -51,6 +51,15 @@ object DedupQueries {
         chunkWords = 10, maxDf = 4L)
     }),
 
+    // CONTENT-DEFINED chunking dedup audit (FastCDC boundary rule on
+    // word hashes): duplicate mass per source under shift-robust chunk
+    // boundaries — the chunking that still aligns after insertions,
+    // where dedup_chunk_fraction's fixed grid de-syncs
+    "dedup_chunk_cdc" -> ((s, dir) => {
+      Dedup.cdcDupStats(docs(s, dir), "doc_id", "text", "source",
+        modulus = 16)
+    }),
+
     // WINNOWED fingerprints (Schleimer et al. 2003 / MOSS): per doc, the
     // distinct window-minima of its sliding 4-gram hash sequence (w=5) —
     // the ~2/(w+1)-density local fingerprint index that still GUARANTEES a
@@ -681,6 +690,39 @@ object DedupQueries {
                      (SELECT chunk_hash FROM dup) THEN 1 ELSE 0 END)
                    AS DOUBLE) / COUNT(*) AS dup_fraction
           FROM chunks GROUP BY 1""",
+    "dedup_chunk_cdc" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS a
+                     FROM documents),
+          tok AS (SELECT doc_id, source, CAST(r.j AS INT) AS pos,
+                         a[CAST(r.j AS INT)] AS w
+                  FROM t, unnest(range(1, len(a) + 1)) AS r(j)),
+          marked AS (SELECT doc_id, source, pos, w,
+                       CASE WHEN ${TextQueries.sqlPolyHash("w")} % 16 = 0
+                            THEN 1 ELSE 0 END AS b
+                     FROM tok),
+          cid AS (SELECT doc_id, source, pos, w,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS chunk_id
+                  FROM marked),
+          chunks AS (SELECT doc_id, source,
+                       CAST(COUNT(*) AS BIGINT) AS n_words,
+                       string_agg(w, ' ' ORDER BY pos) AS chunk
+                     FROM cid GROUP BY doc_id, source, chunk_id),
+          hashed AS (SELECT doc_id, source, n_words,
+                       ${TextQueries.sqlPolyHash("chunk")} AS chash
+                     FROM chunks),
+          occ AS (SELECT *, COUNT(*) OVER (PARTITION BY chash) AS occ
+                  FROM hashed)
+          SELECT source, COUNT(*) AS n_chunks,
+                 CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+                 CAST(SUM(n_words) AS BIGINT) AS total_words,
+                 CAST(SUM(CASE WHEN occ > 1 THEN n_words ELSE 0 END)
+                   AS BIGINT) AS dup_words,
+                 CAST(SUM(CASE WHEN occ > 1 THEN n_words ELSE 0 END)
+                     AS DOUBLE)
+                   / CAST(SUM(n_words) AS DOUBLE) AS dup_fraction
+          FROM occ GROUP BY source""",
     "dedup_chunk_rewrite" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                      FROM documents),

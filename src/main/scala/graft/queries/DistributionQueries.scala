@@ -417,6 +417,57 @@ object DistributionQueries {
         acc + when(col("n_chars") > t, 1L).otherwise(0L)
       }
       psiOverBins(d0.select(col("source"), bin.as("bin")))
+    }),
+
+    // CCNet-style perplexity partition (Wenzek et al. 2020): split each
+    // SOURCE into head/middle/tail terciles of per-document LM score —
+    // the curation primitive behind "keep the head, drop the tail"
+    // corpus filtering. The doc score is `lm_unigram_score`'s integer
+    // NLL normalized per word (micro-nats, floor division — stays
+    // BIGINT so quantile comparisons are exact); tercile edges are the
+    // GROUPED form of nearestRankEdges, trained fully distributed:
+    // the corpus collapses to a per-source |distinct score| histogram,
+    // one window over that bounded grid computes cumulative counts,
+    // edge(q) = min v with cum·3 ≥ q·n — and unlike the global trainer
+    // NOTHING reaches the driver: the |sources|×2 edge table joins back
+    // (AQE broadcasts it) and banding is a when-chain projection. Scale:
+    // one corpus word exchange (shared with lm_unigram_score), one
+    // doc-keyed agg, windows only over the per-source score histogram.
+    "ppl_band_split" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val occ = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(words(col("text"))).as("w"))
+        .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("c_dw"))
+      val cw = occ.groupBy("w").agg(sum("c_dw").as("c_w"))
+      val tot = cw.agg(sum(col("c_w")).as("n_total"))
+      val docNll = occ.join(cw, "w")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("c_dw")).as("n_words"),
+          sum(col("c_dw") * (qln(col("n_total")) - qln(col("c_w"))))
+            .as("nll_qsum"))
+        .withColumn("q_nll", expr("nll_qsum div n_words"))
+      val hist = docNll.groupBy(col("source"), col("q_nll").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ns = hist.groupBy("source").agg(sum("c").as("n"))
+      val edges = cum.join(ns, "source")
+        .select(col("source"), col("v"), col("cum"), col("n"),
+          explode(lit(Array(1, 2))).as("q"))
+        .where(col("cum") * 3 >= col("q") * col("n"))
+        .groupBy("source", "q").agg(min("v").as("thr"))
+        .groupBy("source").agg(
+          min(when(col("q") === 1, col("thr"))).as("thr1"),
+          min(when(col("q") === 2, col("thr"))).as("thr2"))
+      docNll.join(edges, "source")
+        .select(col("source"),
+          when(col("q_nll") > col("thr2"), 2L)
+            .when(col("q_nll") > col("thr1"), 1L)
+            .otherwise(0L).as("band"))
+        .groupBy("source", "band").agg(count(lit(1)).as("n_docs"))
     })
   )
 
@@ -720,6 +771,41 @@ object DistributionQueries {
               CAST(floor(ln(CAST(b AS DOUBLE))*1e6) AS BIGINT)))
              AS DOUBLE)
              / CAST((n1 + n_bins) * (n2 + n_bins) AS DOUBLE) / 1e6 AS psi
-         FROM terms GROUP BY source, n1, n2, n_bins"""
+         FROM terms GROUP BY source, n1, n2, n_bins""",
+    "ppl_band_split" ->
+      """WITH t AS (SELECT doc_id, source,
+                      unnest(string_split(text,' ')) AS w
+                    FROM documents),
+         c AS (SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS c_dw
+               FROM t GROUP BY 1, 2, 3),
+         cw AS (SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c_w
+                FROM c GROUP BY w),
+         tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_total FROM cw),
+         d AS (SELECT doc_id, source,
+                 CAST(SUM(c_dw *
+                   (CAST(floor(ln(CAST(n_total AS DOUBLE))*1e6) AS BIGINT)
+                  - CAST(floor(ln(CAST(c_w AS DOUBLE))*1e6) AS BIGINT)))
+                   AS BIGINT)
+                 // CAST(SUM(c_dw) AS BIGINT) AS q_nll
+               FROM c JOIN cw USING (w) CROSS JOIN tot
+               GROUP BY doc_id, source),
+         h AS (SELECT source, q_nll AS v, COUNT(*) AS cnt
+               FROM d GROUP BY 1, 2),
+         cum AS (SELECT source, v,
+                   SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum
+                 FROM h),
+         ns AS (SELECT source, SUM(cnt) AS n FROM h GROUP BY source),
+         e AS (SELECT cum.source, q, MIN(v) AS thr
+               FROM cum JOIN ns USING (source), unnest(range(1,3)) AS r(q)
+               WHERE cum * 3 >= q * n GROUP BY 1, 2),
+         e2 AS (SELECT source,
+                  MIN(CASE WHEN q = 1 THEN thr END) AS thr1,
+                  MIN(CASE WHEN q = 2 THEN thr END) AS thr2
+                FROM e GROUP BY source)
+         SELECT d.source,
+           CAST(CASE WHEN q_nll > thr2 THEN 2
+                     WHEN q_nll > thr1 THEN 1 ELSE 0 END AS BIGINT) AS band,
+           COUNT(*) AS n_docs
+         FROM d JOIN e2 USING (source) GROUP BY 1, 2"""
   )
 }

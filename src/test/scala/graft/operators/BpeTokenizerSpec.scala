@@ -51,4 +51,26 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(m1 === m7)
     v1.unpersist(blocking = false); v7.unpersist(blocking = false)
   }
+
+  test("bpe_fertility per-lang roll-up is consistent with bpe_encode's " +
+      "per-doc totals and respects fertility bounds") {
+    val sf = "/root/testdata/sf0.001"
+    val enc = graft.SparkEntry.queries("bpe_encode")(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens")))
+      .collect().head
+    val fert = graft.SparkEntry.queries("bpe_fertility")(spark, sf)
+      .collect()
+    assert(fert.nonEmpty)
+    // same word universe, different roll-up key -> totals must agree
+    assert(fert.map(_.getAs[Long]("n_words")).sum === enc.getLong(0))
+    assert(fert.map(_.getAs[Long]("n_bpe_tokens")).sum === enc.getLong(1))
+    fert.foreach { r =>
+      val f = r.getAs[Double]("fertility")
+      val cpt = r.getAs[Double]("chars_per_token")
+      // a word is always >= 1 subword token; a token is >= 1 char
+      assert(f >= 1.0, r.toString)
+      assert(cpt >= 1.0, r.toString)
+      assert(r.getAs[Long]("n_chars") >= r.getAs[Long]("n_bpe_tokens"))
+    }
+  }
 }

@@ -476,4 +476,33 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((1L, 2L))) // genuinely near-dup pair survives
     assert(!capped.contains((3L, 4L))) // boilerplate-only pair is gone
   }
+
+  test("cdc chunking is shift-robust exactly where the fixed grid " +
+      "de-syncs (one prepended word)") {
+    val ws = (0 until 200).map(i => s"tok$i")
+    val base = ws.mkString(" ")
+    val shifted = "zzz " + base
+    val df = Seq((1L, "a", base), (2L, "b", shifted))
+      .toDF("doc_id", "source", "text")
+    // the claim binds only if >= 1 boundary word exists in the shared
+    // run (deterministic for this word list; asserted, not assumed)
+    val nBoundary = ws.toDF("w")
+      .where(TextFunctions.polyHash(col("w")) % 16 === 0).count()
+    assert(nBoundary >= 1, "word list has no CDC boundary; change tokens")
+    // CDC: every chunk after the first shared boundary has identical
+    // content in both docs -> duplicate mass on BOTH sides
+    val cdc = Dedup.cdcDupStats(df, "doc_id", "text", "source")
+      .collect()
+    assert(cdc.length === 2)
+    cdc.foreach { r =>
+      assert(r.getAs[Long]("dup_words") > 0L, r.toString)
+      assert(r.getAs[Long]("total_words") >=
+        r.getAs[Long]("dup_words"), r.toString)
+    }
+    // fixed 10-word grid: the 1-word shift misaligns every chunk, so
+    // cross-doc duplicate chunks = 0 on the same input
+    val fixedDups = Dedup.chunkDupFractions(df, "doc_id", "text", 10)
+      .agg(sum(col("n_dup_chunks"))).collect().head.getLong(0)
+    assert(fixedDups === 0L)
+  }
 }

@@ -152,4 +152,27 @@ class DistributionQueriesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(m.toSeq == Seq(("sA", "sB", 1L)), m.mkString(","))
   }
+
+  test("ppl_band_split partitions each source into nearest-rank " +
+      "terciles of the doc NLL") {
+    val rows = graft.SparkEntry.queries("ppl_band_split")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perSource = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet === perSource.keySet)
+    assert(rows.forall(r => Set(0L, 1L, 2L).contains(r._2)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val n = perSource(src)
+      val byBand = rs.map(r => r._2 -> r._3).toMap.withDefaultValue(0L)
+      // bands partition the source
+      assert(rs.map(_._3).sum === n, src)
+      // nearest-rank edge(q) = min v with cum*3 >= q*n means the head
+      // holds >= ceil(n/3) docs and head+middle >= ceil(2n/3) — ties
+      // can only GROW the lower bands, never shrink them
+      assert(byBand(0L) * 3 >= n, s"$src head=${byBand(0L)} n=$n")
+      assert((byBand(0L) + byBand(1L)) * 3 >= 2 * n,
+        s"$src head+mid=${byBand(0L) + byBand(1L)} n=$n")
+    }
+  }
 }

@@ -333,7 +333,11 @@ class PlanSpec extends SparkSpec {
     val checks = Seq(
       "src_kl" -> Set("w"),
       "lm_unigram_score" -> Set("w"),
-      "lm_bigram_score" -> Set("bg", "a"))
+      "lm_bigram_score" -> Set("bg", "a"),
+      // the trained BPE vocab spans the same open word domain
+      "bpe_encode" -> Set("w"),
+      "bpe_fertility" -> Set("w"),
+      "ppl_band_split" -> Set("w"))
     for ((q, keys) <- checks) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
