@@ -56,9 +56,17 @@ object Bench {
     * leaving regression diffs incomplete): headline order first (diff
     * stability against prior rounds), then any remaining registered
     * queries sorted by name. */
-  def benchList: Seq[String] =
-    headline ++
+  def benchList: Seq[String] = {
+    val all = headline ++
       (SparkEntry.queries.keySet -- headline.toSet).toSeq.sorted
+    // local-iteration filter (comma-separated names); the driver never
+    // sets it, so protocol runs always bench the full list
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(csv) if csv.nonEmpty =>
+        val only = csv.split(",").toSet; all.filter(only)
+      case _ => all
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,10 +172,14 @@ object Bench {
     println(json)
     // durable copy — the driver captures only a tail window of stdout and
     // r4's single JSON line outgrew it, losing ~50 queries' times
-    // (VERDICT r04 #2); the file artifact survives regardless of length
-    val benchDir = java.nio.file.Paths.get("BENCH")
-    java.nio.file.Files.createDirectories(benchDir)
-    java.nio.file.Files.writeString(
-      benchDir.resolve("last_queries.json"), json + "\n")
+    // (VERDICT r04 #2); the file artifact survives regardless of length.
+    // Skipped under the SPARK_GRAFT_BENCH_ONLY iteration filter so a
+    // subset run never clobbers the last full-list artifact.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").forall(_.isEmpty)) {
+      val benchDir = java.nio.file.Paths.get("BENCH")
+      java.nio.file.Files.createDirectories(benchDir)
+      java.nio.file.Files.writeString(
+        benchDir.resolve("last_queries.json"), json + "\n")
+    }
   }
 }

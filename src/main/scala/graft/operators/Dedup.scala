@@ -197,6 +197,53 @@ object Dedup {
         col("dup_words").cast("double") / col("total_words").cast("double"))
   }
 
+  /** CDC-chunk REWRITE — [[chunkRewrite]]'s keep-first/boilerplate-drop
+    * policy applied to [[cdcDupStats]]' content-defined chunks, so the
+    * dedup survives the insert-shift that de-syncs the fixed grid.
+    * Per distinct chunk content with df occurrences corpus-wide:
+    * df <= maxDf keeps the corpus-wide first occurrence (min
+    * (doc_id, chunk_id)); df > maxDf drops every copy (boilerplate).
+    * Docs reassemble from surviving chunks in original order.
+    *
+    * Scale shape = cdcDupStats (word explode, per-doc boundary window,
+    * one chunk-hash exchange for df + winner) + one per-doc roll-up. */
+  def cdcRewrite(
+      df: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 16, maxDf: Long = 4L): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chash"))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("b",
+        when(polyHash(col("w")) % modulus === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("b")).over(byDoc))
+      .groupBy("doc_id", "chunk_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x("w")), " ").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        polyHash(col("chunk")).as("chash"),
+        (col("doc_id") * (1L << 20) + col("chunk_id")).as("okey"))
+      .repartition(col("chash"))
+      .withColumn("df", count(lit(1)).over(byHash))
+      .withColumn("wkey", min(col("okey")).over(byHash))
+      .withColumn("kept", col("df") <= maxDf && col("okey") === col("wkey"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("chunk_id"), col("chunk"))))),
+            x => x("chunk")),
+          " ").as("new_text"))
+  }
+
   /** (id, minhash signature) for every doc. k = signature length.
     *
     * ONE codegen'd projection (native [[graft.functions.MinhashSig]]): the

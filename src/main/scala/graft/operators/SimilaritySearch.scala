@@ -23,8 +23,17 @@ import org.apache.spark.sql.expressions.Window
  */
 object SimilaritySearch {
 
-  /** Ordered-fold dot product over double-promoted elements. */
+  /** Ordered-fold dot product over double-promoted elements — evaluated
+    * by the native codegen'd [[graft.functions.DotProduct]] (tight loop,
+    * identical left-to-right IEEE fold). [[dotHof]] is the executable
+    * expression-only specification, cross-checked in SimilaritySpec. */
   def dot(x: Column, y: Column): Column =
+    graft.functions.DotProduct(x, y)
+
+  /** Specification form via higher-order fold (two interpreted lambdas
+    * per element — 128 closure calls per 64-dim pair; kept as the
+    * reference semantics the native kernel must match bit-for-bit). */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(
       zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
       lit(0.0), (acc, p) => acc + p)
@@ -532,6 +541,26 @@ object SimilaritySearch {
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double, planes: Int = 0, seed: Long = 42L,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    if (planes == 0 && maxBucketSize == Int.MaxValue) {
+      // Exact all-pairs baseline (no blocking). A bucket=constant
+      // equi-join would hash every row to ONE reducer and score the
+      // whole quadratic pair space in a single task; the partitioned
+      // cartesian join keeps the same output but fans the |L_i|x|R_j|
+      // score blocks across the cluster. Inherently quadratic — the
+      // declared small-corpus oracle baseline, not the scale path.
+      val withNorm = corpus.select(col(idCol),
+        col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+      val l = withNorm.select(col(idCol).as("id_a"),
+        col("v").as("va"), col("n").as("na"))
+      val r = withNorm.select(col(idCol).as("id_b"),
+        col("v").as("vb"), col("n").as("nb"))
+      return l.crossJoin(r)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))
+            .as("cos"))
+        .filter(col("cos") >= minCos)
+    }
     val base =
       if (planes > 0) lshBuckets(corpus, vecCol, planes, seed)
       else corpus.withColumn("bucket", lit(0L))

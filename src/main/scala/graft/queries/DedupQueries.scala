@@ -60,6 +60,14 @@ object DedupQueries {
         modulus = 16)
     }),
 
+    // CDC-chunk rewrite: keep-first dedup + boilerplate drop over the
+    // content-defined chunks — the curation transform acting on what
+    // dedup_chunk_cdc measures (the CDC mirror of dedup_chunk_rewrite)
+    "dedup_cdc_rewrite" -> ((s, dir) => {
+      Dedup.cdcRewrite(docs(s, dir), "doc_id", "text",
+        modulus = 16, maxDf = 4L)
+    }),
+
     // WINNOWED fingerprints (Schleimer et al. 2003 / MOSS): per doc, the
     // distinct window-minima of its sliding 4-gram hash sequence (w=5) —
     // the ~2/(w+1)-density local fingerprint index that still GUARANTEES a
@@ -723,6 +731,37 @@ object DedupQueries {
                      AS DOUBLE)
                    / CAST(SUM(n_words) AS DOUBLE) AS dup_fraction
           FROM occ GROUP BY source""",
+    "dedup_cdc_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+          tok AS (SELECT doc_id, CAST(r.j AS INT) AS pos,
+                         a[CAST(r.j AS INT)] AS w
+                  FROM t, unnest(range(1, len(a) + 1)) AS r(j)),
+          marked AS (SELECT doc_id, pos, w,
+                       CASE WHEN ${TextQueries.sqlPolyHash("w")} % 16 = 0
+                            THEN 1 ELSE 0 END AS b
+                     FROM tok),
+          cid AS (SELECT doc_id, pos, w,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS chunk_id
+                  FROM marked),
+          chunks AS (SELECT doc_id, chunk_id,
+                       string_agg(w, ' ' ORDER BY pos) AS chunk
+                     FROM cid GROUP BY doc_id, chunk_id),
+          occ AS (SELECT doc_id, chunk_id, chunk,
+                    ${TextQueries.sqlPolyHash("chunk")} AS h,
+                    doc_id * 1048576 + chunk_id AS okey
+                  FROM chunks),
+          st AS (SELECT h, COUNT(*) AS df, MIN(okey) AS wkey
+                 FROM occ GROUP BY 1),
+          k AS (SELECT o.*, (st.df <= 4 AND o.okey = st.wkey) AS kept
+                FROM occ o JOIN st USING (h))
+          SELECT doc_id, COUNT(*) AS n_chunks,
+                 CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
+                   ORDER BY chunk_id), '') AS new_text
+          FROM k GROUP BY 1""",
     "dedup_chunk_rewrite" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                      FROM documents),

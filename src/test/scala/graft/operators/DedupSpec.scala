@@ -504,5 +504,15 @@ class DedupSpec extends SparkSpec {
     val fixedDups = Dedup.chunkDupFractions(df, "doc_id", "text", 10)
       .agg(sum(col("n_dup_chunks"))).collect().head.getLong(0)
     assert(fixedDups === 0L)
+
+    // CDC rewrite: keep-first means the lower doc_id keeps ALL its
+    // chunks (reassembling to the original text) and the shifted doc
+    // loses exactly the shared chunks
+    val rw = Dedup.cdcRewrite(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rw(1L).getAs[String]("new_text") === base)
+    assert(rw(1L).getAs[Long]("n_kept") === rw(1L).getAs[Long]("n_chunks"))
+    assert(rw(2L).getAs[Long]("n_kept") < rw(2L).getAs[Long]("n_chunks"))
+    assert(rw(2L).getAs[String]("new_text") !== shifted)
   }
 }

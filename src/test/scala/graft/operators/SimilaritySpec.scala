@@ -462,4 +462,43 @@ class SimilaritySpec extends SparkSpec {
       .collect().sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getDouble(2)))
     assert(rep.toSeq === got.toSeq)
   }
+
+  test("native dot kernel equals the zip_with/aggregate specification " +
+      "bit-for-bit on real embeddings, double literals and edge cases") {
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // float x float on every corpus pair vs a fixed probe
+    val probe = e.orderBy("vec_id").limit(1)
+      .select(col("embedding")).collect().head
+      .getSeq[Float](0)
+    val both = e.select(col("vec_id"),
+        SimilaritySearch.dot(col("embedding"),
+          typedLit(probe)).as("native"),
+        SimilaritySearch.dotHof(col("embedding"),
+          typedLit(probe)).as("spec"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      // bit-identical, not approximately equal
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.toString)
+    }
+    // float x double-literal (the trained-centroid shape)
+    val cv = probe.map(_.toDouble * 1.7)
+    val mixed = e.limit(16).select(
+        SimilaritySearch.dot(col("embedding"), typedLit(cv)).as("native"),
+        SimilaritySearch.dotHof(col("embedding"), typedLit(cv)).as("spec"))
+      .collect()
+    mixed.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+    // length mismatch poisons to NULL in both formulations
+    val mm = spark.range(1).select(
+      SimilaritySearch.dot(typedLit(Seq(1.0f, 2.0f)),
+        typedLit(Seq(1.0f))).as("native"),
+      SimilaritySearch.dotHof(typedLit(Seq(1.0f, 2.0f)),
+        typedLit(Seq(1.0f))).as("spec")).collect().head
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
 }
