@@ -512,6 +512,86 @@ object CorpusQueries {
         keys = Seq("user_id"), ts = "ts", tie = "event_id",
         payload = Seq("event_id", "ts"))
         .select("event_id", "user_id", "matched_event_id", "matched_ts")
+    }),
+
+    // Deterministic TRAINING ORDER — the step between sharding and the
+    // loader: a reproducible global shuffle of the corpus. Order key =
+    // content hash salted with a literal epoch tag (epoch 2 salts
+    // differently and gets an equally deterministic but independent
+    // permutation), shard = fingerprint mod |shards| (the same
+    // content-keyed router as shard_assign), position = rank of the
+    // order key within the shard. ONE exchange on the shard key; each
+    // shard ranks only its own slice (corpus/|shards| rows) — never a
+    // global sort, and |shards| scales with the cluster (8 here, ~1e5
+    // at 100 TB so a shard stays executor-sized). Membership AND order
+    // depend only on content + epoch tag, so any two runs (or cluster
+    // sizes) emit the identical curriculum.
+    "train_order" -> ((s, dir) => {
+      import graft.functions.TextFunctions.polyHash
+      val byShard = Window.partitionBy(col("shard"))
+        .orderBy(col("ok").asc, col("doc_id").asc)
+      docs(s, dir)
+        .select(col("doc_id"),
+          pmod(fingerprint(col("text")), lit(8L)).as("shard"),
+          polyHash(concat(lit("epoch1:"), col("text"))).as("ok"))
+        .withColumn("pos", row_number().over(byShard).cast("long"))
+    }),
+
+    // Collocation mining by pointwise mutual information (Church &
+    // Hanks 1990): which adjacent word pairs co-occur far above chance.
+    // qpmi = qln(c_ab) + qln(W) − qln(c_a) − qln(c_b) in micro-nats —
+    // the logs are summed AFTER quantization so no count PRODUCT is
+    // ever formed (c_ab·W wraps int64 past ~3e9 corpus words; four
+    // bounded qln terms never can). The count floor keeps rare-pair
+    // noise out of the ranking. Scale: one bigram exchange + one
+    // unigram exchange, two UNHINTED word-keyed joins (open vocab
+    // domain — the lm_* rule: AQE broadcasts small vocabs on its own,
+    // big ones degrade to shuffled hash joins), bounded top-k via
+    // orderBy+limit (TakeOrderedAndProject).
+    "pmi_collocations" -> ((s, dir) => {
+      val qln = DistributionQueries.qln _
+      val d = docs(s, dir).select(words(col("text")).as("ws"))
+      val uni = d.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val tot = uni.agg(sum(col("c_w")).as("n_w"))
+      val bi = d.select(explode(expr(
+          "zip_with(slice(ws, 1, greatest(size(ws)-1, 0)), " +
+            "slice(ws, 2, greatest(size(ws)-1, 0)), " +
+            "(a, b) -> named_struct('w1', a, 'w2', b))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 5L)
+      bi
+        .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          (qln(col("c_ab")) + qln(col("n_w"))
+            - qln(col("c_a")) - qln(col("c_b"))).as("qpmi"))
+        .orderBy(col("qpmi").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
+    }),
+
+    // Corpus diversity per source: distinct-n over corpus 3-grams (the
+    // diversity statistic Self-BLEU approximates from the generation
+    // side; Zhu et al. 2018 texygen's distinct-n) — a collapsed or
+    // templated source shows a low distinct fraction long before its
+    // entropy moves. Two-level aggregate: (source, gram) partials with
+    // map-side combine absorb within-doc repeats, then a |sources|-row
+    // roll-up; one exchange on the composite key, no pair space, no
+    // sort.
+    "diversity_distinct_n" -> ((s, dir) => {
+      import graft.functions.TextFunctions.shingles
+      docs(s, dir)
+        .select(col("source"),
+          explode(shingles(words(col("text")), 3)).as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_3grams"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("source"), col("n_3grams"), col("n_distinct"),
+          (col("n_distinct").cast("double") /
+            col("n_3grams").cast("double")).as("diversity"))
     })
   )
 
@@ -828,6 +908,46 @@ object CorpusQueries {
                     AS matched_ts
            FROM ev)
          SELECT event_id, user_id, matched_event_id, matched_ts
-         FROM w WHERE event_type='purchase'"""
+         FROM w WHERE event_type='purchase'""",
+    "train_order" ->
+      s"""WITH f AS (SELECT doc_id,
+             ((${TextQueries.sqlPolyHash("text")} % 8) + 8) % 8 AS shard,
+             ${TextQueries.sqlPolyHash("'epoch1:' || text")} AS ok
+           FROM documents)
+         SELECT doc_id, shard, ok,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+             ORDER BY ok ASC, doc_id ASC) AS BIGINT) AS pos
+         FROM f""",
+    "pmi_collocations" ->
+      """WITH d AS (SELECT string_split(text,' ') AS ws FROM documents),
+         uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+                 FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_w FROM uni),
+         bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+                FROM (SELECT ws[i] AS w1, ws[i+1] AS w2
+                      FROM d, unnest(range(1, len(ws))) AS t(i))
+                GROUP BY 1,2 HAVING COUNT(*) >= 5),
+         j AS (SELECT b.w1, b.w2, b.c_ab, a.c_w AS c_a, c.c_w AS c_b,
+                      tot.n_w
+               FROM bi b JOIN uni a ON b.w1 = a.w
+                         JOIN uni c ON b.w2 = c.w, tot)
+         SELECT w1, w2, c_ab, c_a, c_b,
+           CAST(floor(ln(CAST(c_ab AS DOUBLE))*1e6) AS BIGINT)
+             + CAST(floor(ln(CAST(n_w AS DOUBLE))*1e6) AS BIGINT)
+             - CAST(floor(ln(CAST(c_a AS DOUBLE))*1e6) AS BIGINT)
+             - CAST(floor(ln(CAST(c_b AS DOUBLE))*1e6) AS BIGINT) AS qpmi
+         FROM j
+         ORDER BY qpmi DESC, w1 ASC, w2 ASC LIMIT 50""",
+    "diversity_distinct_n" ->
+      """WITH d AS (SELECT source, string_split(text,' ') AS w
+                    FROM documents),
+         g AS (SELECT source, w[i]||' '||w[i+1]||' '||w[i+2] AS g
+               FROM d, unnest(range(1, len(w)-1)) AS t(i)),
+         c AS (SELECT source, g, COUNT(*) AS c FROM g GROUP BY 1,2)
+         SELECT source, CAST(SUM(c) AS BIGINT) AS n_3grams,
+                CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                  AS diversity
+         FROM c GROUP BY 1"""
   )
 }

@@ -337,7 +337,9 @@ class PlanSpec extends SparkSpec {
       // the trained BPE vocab spans the same open word domain
       "bpe_encode" -> Set("w"),
       "bpe_fertility" -> Set("w"),
-      "ppl_band_split" -> Set("w"))
+      "ppl_band_split" -> Set("w"),
+      // PMI joins the open bigram table to the unigram table twice
+      "pmi_collocations" -> Set("w1", "w2"))
     for ((q, keys) <- checks) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
