@@ -84,5 +84,32 @@ class NearDupStreamSpec extends SparkSpec {
       assert(batch(id) === Some(mid),
         s"stream match for $id disagrees with batch rule")
     }
+
+    // ---- index layout is bucketed by band key: batch_id=*/bkt=* dirs,
+    // so the per-batch probe lists only its own buckets
+    val gen0 = new java.io.File(s"$dir/out/neardup_index/batch_id=0")
+    assert(gen0.isDirectory)
+    val bktDirs = gen0.listFiles().filter(_.getName.startsWith("bkt="))
+    assert(bktDirs.nonEmpty, "index generation lacks bkt= partitions")
+
+    // ---- the probe read prunes at the SCAN: both batch_id and bkt
+    // appear as PartitionFilters, and only the requested buckets' files
+    // survive the listing (O(batch) probe, not O(stream age))
+    val someBkts = bktDirs.take(1)
+      .map(_.getName.stripPrefix("bkt=").toLong)
+    val probe = StreamingValidation.prunedIndexRead(
+      spark, s"$dir/out/neardup_index", 1L, someBkts)
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in pruned index read"))
+    val pf = scan.partitionFilters.map(_.sql).mkString(" && ")
+    assert(pf.contains("batch_id"), s"batch_id not a partition filter: $pf")
+    assert(pf.contains("bkt"), s"bkt not a partition filter: $pf")
+    val filesRead = scan.selectedPartitions.totalNumberOfFiles
+    val filesB0SomeBkt = someBkts.map(b =>
+      new java.io.File(s"$dir/out/neardup_index/batch_id=0/bkt=$b")
+        .listFiles().count(_.getName.endsWith(".parquet"))).sum.toLong
+    assert(filesRead === filesB0SomeBkt,
+      s"pruned read touched $filesRead files, expected $filesB0SomeBkt")
   }
 }
