@@ -339,6 +339,68 @@ object Main {
           }
           println(rendered.text)
 
+        case "ingest" :: input :: manifestDir :: outDir :: rest =>
+          // validate-at-the-door streaming landing (AvailableNow): row
+          // rules gate every micro-batch; clean rows commit exactly-once
+          // to outDir/table (manifested), condemned rows land in
+          // outDir/quarantine with the rule ids that rejected them.
+          // Re-running with no new files admits no batch (checkpoint).
+          import org.apache.spark.sql.Encoders
+          import spark.implicits._
+          val rulesFile = rest.collectFirst {
+            case a if a.startsWith("--rules=") =>
+              graft.rules.RuleConfig.fromJsonFile(a.stripPrefix("--rules="))
+          }
+          graft.operators.SchemaCheck.requireCompatible(
+            graft.operators.SchemaCheck.parquetSchema(spark, manifestDir),
+            Encoders.product[graft.model.ManifestEntry].schema,
+            s"manifest table $manifestDir")
+          val manifest = spark.read
+            .schema(Encoders.product[graft.model.ManifestEntry].schema)
+            .parquet(manifestDir).as[graft.model.ManifestEntry]
+          val q = graft.streaming.StreamingValidation.startSplitIngest(
+            spark, input, manifest, s"$outDir/table",
+            s"$outDir/quarantine", s"$outDir/checkpoint",
+            rules = rulesFile.getOrElse(graft.rules.Rules.standard))
+          q.awaitTermination()
+          def rowsAt(p: String): Long = {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(hp)) spark.read.parquet(p).count() else 0L
+          }
+          println(s"""{"table_rows":${rowsAt(s"$outDir/table")},""" +
+            s""""quarantined_rows":${rowsAt(s"$outDir/quarantine")}}""")
+
+        case "neardup" :: input :: outDir :: rest =>
+          // at-ingest near-duplicate flagging (AvailableNow) over a
+          // landing dir of (doc_id, text, source) parquet: persisted
+          // MinHash-LSH band-bucket index, bucket-pruned probes,
+          // periodic index compaction. Flags land under
+          // outDir/neardup_flags keyed by arriving batch.
+          def num(p: String, d: Int) = rest.collectFirst {
+            case a if a.startsWith(p) => a.stripPrefix(p).toInt
+          }.getOrElse(d)
+          val minSim = rest.collectFirst {
+            case a if a.startsWith("--min-sim=") =>
+              a.stripPrefix("--min-sim=").toDouble
+          }.getOrElse(0.5)
+          val q = graft.streaming.StreamingValidation.startNearDupIngest(
+            spark, input, outDir,
+            k = num("--k=", 16), bands = num("--bands=", 4),
+            minEstSim = minSim, shingleN = num("--shingle-n=", 3),
+            indexBuckets = num("--buckets=", 64),
+            compactEvery = num("--compact-every=", 64))
+          q.awaitTermination()
+          val fp = new org.apache.hadoop.fs.Path(s"$outDir/neardup_flags")
+          val ffs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val nFlags =
+            if (ffs.exists(fp)) spark.read.parquet(fp.toString).count()
+            else 0L
+          val nGens = graft.sources.TableIO
+            .partitionValues(spark, s"$outDir/neardup_index", "batch_id")
+            .map(_.size).getOrElse(0)
+          println(s"""{"flags":$nFlags,"index_generations":$nGens}""")
+
         case "rules" :: rest =>
           // export the compiled-in rule set as editable config JSON —
           // the starting point for a --rules= file. Variants mirror the
@@ -369,7 +431,12 @@ object Main {
               "<quarantineDir> [--dry-run] | " +
               "diff <validationOutDir> [beforeRunId afterRunId] [--all] | " +
               "trend <validationOutDir> [--runs=k] | " +
-              "report <validationOutDir> [--run=id] [--top=k] [--out=path]")
+              "report <validationOutDir> [--run=id] [--top=k] [--out=path] | " +
+              "ingest <landingDir> <manifestDir> <outDir> " +
+              "[--rules=config.json] | " +
+              "neardup <landingDir> <outDir> [--k=16] [--bands=4] " +
+              "[--min-sim=0.5] [--shingle-n=3] [--buckets=64] " +
+              "[--compact-every=64]")
           sys.exit(2)
       }
     } finally spark.stop()

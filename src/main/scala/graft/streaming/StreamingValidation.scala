@@ -1002,19 +1002,110 @@ object StreamingValidation {
       .parquet(inputDir)
       .select("doc_id", "text", "source")
 
-  /** Index probe read for [[startNearDupIngest]]: generations STRICTLY
-    * below `batchId` (replay contract) and ONLY the band-key buckets this
-    * batch hashes into. Both predicates land on partition columns, so the
-    * scan's PartitionFilters keep the listing + I/O proportional to the
-    * batch's bucket set, not the accumulated index (pinned in
-    * NearDupStreamSpec). */
+  private def nearDupIndexPath(outDir: String) = s"$outDir/neardup_index"
+  private def nearDupBasePath(outDir: String) = s"$outDir/neardup_base"
+
+  /** Highest compacted-base generation under `basePath`, or -1 when no
+    * base exists. Readers take the MAX hw dir and ignore everything a
+    * compaction superseded — older base dirs and index generations
+    * ≤ hw — which is what makes [[compactNearDupIndex]] crash-safe
+    * without atomic multi-file commits. */
+  private def nearDupBaseHw(spark: SparkSession, basePath: String): Long =
+    graft.sources.TableIO.partitionValues(spark, basePath, "hw")
+      .map(_.map(_.toLong).max).getOrElse(-1L)
+
+  /** Index probe read for [[startNearDupIngest]]: the compacted base (if
+    * one exists) plus the generations STRICTLY between the base and
+    * `batchId` (replay contract), and within both ONLY the band-key
+    * buckets this batch hashes into. Every predicate lands on a partition
+    * column, so the scan's PartitionFilters keep the listing + I/O
+    * proportional to the batch's bucket set, not the accumulated index
+    * (pinned in NearDupStreamSpec). Ordering comes back as
+    * `src_batch_id` — the ORIGINAL generation a row was indexed in,
+    * preserved across compaction so first-match-wins tie-breaks are
+    * bit-identical whether or not a compaction ran. None when neither
+    * base nor index exists yet (first batch). */
   private[streaming] def prunedIndexRead(
-      spark: SparkSession, indexPath: String, batchId: Long,
-      bkts: Array[Long]): DataFrame =
-    spark.read.parquet(indexPath)
-      .filter(col("batch_id") < batchId &&
-        col("bkt").isin(bkts.map(Long.box).toSeq: _*))
-      .drop("bkt")
+      spark: SparkSession, outDir: String, batchId: Long,
+      bkts: Array[Long]): Option[DataFrame] = {
+    val indexPath = nearDupIndexPath(outDir)
+    val basePath = nearDupBasePath(outDir)
+    val sel = Seq("src_batch_id", "band_idx", "band_key", "doc_id", "sig")
+      .map(col)
+    val inBkts = col("bkt").isin(bkts.map(Long.box).toSeq: _*)
+    val baseHw = nearDupBaseHw(spark, basePath)
+    val base =
+      if (baseHw >= 0)
+        Some(spark.read.parquet(basePath)
+          .filter(col("hw") === baseHw && inBkts).select(sel: _*))
+      else None
+    val gens =
+      if (pathExists(spark, indexPath))
+        Some(spark.read.parquet(indexPath)
+          .filter(col("batch_id") > baseHw &&
+            col("batch_id") < batchId && inBkts)
+          .select(sel: _*))
+      else None
+    (base, gens) match {
+      case (Some(b), Some(g)) => Some(b.union(g))
+      case (b, g) => b.orElse(g)
+    }
+  }
+
+  /** Fold every final index generation (strictly below `belowBatchId`)
+    * together with the previous base into ONE new base generation, then
+    * drop the superseded directories — the space/file-count valve for
+    * [[startNearDupIngest]]: without it a long-lived stream accumulates
+    * O(batches × buckets) directories; with it the layout is bounded by
+    * compactEvery generations + 1 base regardless of lifetime. The fold
+    * is fully DISTRIBUTED (the index is per-doc-band rows, never driver
+    * material): one pruned scan, one clustering exchange on bkt, one
+    * write. Rows keep their original `src_batch_id`, so match ordering
+    * and tie-breaks are unchanged. Crash-safe by the same discipline as
+    * the drift base: readers take only the MAX hw base and generations
+    * above it, so a crash between the base write and the deletes leaves
+    * duplicates no reader counts twice (the probe's candidate set is
+    * distinct()-ed besides). Safe to call from inside
+    * foreachBatch(belowBatchId): micro-batches commit serially, so every
+    * generation below the running batch is final. Returns true if
+    * anything was compacted. */
+  def compactNearDupIndex(
+      spark: SparkSession, outDir: String, belowBatchId: Long,
+      minGenerations: Int = 2): Boolean = {
+    import graft.sources.TableIO
+    val indexPath = nearDupIndexPath(outDir)
+    val basePath = nearDupBasePath(outDir)
+    val baseHw = nearDupBaseHw(spark, basePath)
+    val live = TableIO.partitionValues(spark, indexPath, "batch_id")
+      .getOrElse(Nil).map(_.toLong)
+      .filter(g => g > baseHw && g < belowBatchId)
+    if (live.size < minGenerations) return false
+    val newHw = live.max
+    val sel = Seq("src_batch_id", "band_idx", "band_key", "doc_id",
+      "sig", "bkt").map(col)
+    val genRows = spark.read.parquet(indexPath)
+      .filter(col("batch_id") > baseHw && col("batch_id") <= newHw)
+      .select(sel: _*)
+    val all =
+      if (baseHw >= 0)
+        spark.read.parquet(basePath)
+          .filter(col("hw") === baseHw).select(sel: _*)
+          .union(genRows)
+      else genRows
+    all.withColumn("hw", lit(newHw))
+      .repartition(col("bkt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("hw", "bkt")
+      .parquet(basePath)
+    // superseded dirs are invisible to readers from here on; dropping
+    // them is pure space reclamation, crash-tolerant in any order
+    TableIO.deletePartitions(
+      spark, indexPath, "batch_id", live.map(_.toString))
+    if (baseHw >= 0)
+      TableIO.deletePartitions(spark, basePath, "hw", Seq(baseHw.toString))
+    true
+  }
 
   /** Streaming NEAR-duplicate dedup at ingest — persisted MinHash-LSH
     * band-bucket state (VERDICT r04 #4): the streaming form of the batch
@@ -1055,7 +1146,12 @@ object StreamingValidation {
     * instead of the whole accumulated index, which is what keeps the
     * ingest O(batch) instead of O(stream age) as the stream grows. The
     * pruning is real partition pruning (PartitionFilters at the scan,
-    * pinned in NearDupStreamSpec), not a post-scan row filter. */
+    * pinned in NearDupStreamSpec), not a post-scan row filter. Every
+    * `compactEvery` batches [[compactNearDupIndex]] folds the final
+    * generations into one bucketed base so the directory/file count is
+    * bounded by compactEvery generations + 1 base regardless of stream
+    * lifetime; rows keep their original generation as `src_batch_id`, so
+    * flags and tie-breaks are identical with or without compaction. */
   def startNearDupIngest(
       spark: SparkSession,
       inputDir: String,
@@ -1065,10 +1161,10 @@ object StreamingValidation {
       minEstSim: Double = 0.5,
       shingleN: Int = 3,
       maxFilesPerTrigger: Int = 16,
-      indexBuckets: Int = 64): StreamingQuery = {
+      indexBuckets: Int = 64,
+      compactEvery: Int = 64): StreamingQuery = {
     import graft.operators.Dedup
     import graft.sources.TableIO
-    val indexPath = s"$outDir/neardup_index"
     readDocumentStream(spark, inputDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1083,17 +1179,17 @@ object StreamingValidation {
           val intra = banded.select(lit(batchId).as("bid_a"),
             col("band_idx"), col("band_key"),
             col("doc_id").as("id_a"), col("sig").as("sig_a"))
-          val earlier =
-            if (pathExists(s, indexPath)) {
-              // bucket set of THIS batch — bounded by indexBuckets
-              val bkts = banded.select("bkt").distinct()
-                .collect().map(_.getLong(0))
-              prunedIndexRead(s, indexPath, batchId, bkts)
-                .select(col("batch_id").as("bid_a"),
-                  col("band_idx"), col("band_key"),
-                  col("doc_id").as("id_a"), col("sig").as("sig_a"))
+          // bucket set of THIS batch — bounded by indexBuckets
+          val bkts = banded.select("bkt").distinct()
+            .collect().map(_.getLong(0))
+          val earlier = prunedIndexRead(s, outDir, batchId, bkts) match {
+            case Some(idx) =>
+              idx.select(col("src_batch_id").as("bid_a"),
+                col("band_idx"), col("band_key"),
+                col("doc_id").as("id_a"), col("sig").as("sig_a"))
                 .union(intra)
-            } else intra
+            case None => intra
+          }
           val probe = banded.select(col("band_idx"), col("band_key"),
             col("doc_id").as("id_b"), col("sig").as("sig_b"))
           val flags = earlier.join(probe, Seq("band_idx", "band_key"))
@@ -1123,13 +1219,19 @@ object StreamingValidation {
           // whole buckets (bounds files at max(buckets, partitions) per
           // generation); dynamic overwrite keeps replays exact — a
           // replayed batch rewrites precisely its own (batch_id, bkt)
-          // directories, deterministic from the same input rows
-          banded.withColumn("batch_id", lit(batchId))
+          // directories, deterministic from the same input rows.
+          // src_batch_id duplicates the generation as a DATA column so
+          // compaction can re-home rows without losing match ordering.
+          banded.withColumn("src_batch_id", lit(batchId))
+            .withColumn("batch_id", lit(batchId))
             .repartition(col("bkt"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "bkt")
-            .parquet(indexPath)
+            .parquet(nearDupIndexPath(outDir))
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            compactNearDupIndex(s, outDir, batchId)
+          ()
         } finally { banded.unpersist(); () }
       }
       .option("checkpointLocation", s"$outDir/neardup_checkpoint")

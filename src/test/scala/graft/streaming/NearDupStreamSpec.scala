@@ -98,7 +98,8 @@ class NearDupStreamSpec extends SparkSpec {
     val someBkts = bktDirs.take(1)
       .map(_.getName.stripPrefix("bkt=").toLong)
     val probe = StreamingValidation.prunedIndexRead(
-      spark, s"$dir/out/neardup_index", 1L, someBkts)
+      spark, s"$dir/out", 1L, someBkts)
+      .getOrElse(fail("pruned index read found no index"))
     val scan = probe.queryExecution.executedPlan.collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.getOrElse(fail("no file scan in pruned index read"))
@@ -111,5 +112,57 @@ class NearDupStreamSpec extends SparkSpec {
         .listFiles().count(_.getName.endsWith(".parquet"))).sum.toLong
     assert(filesRead === filesB0SomeBkt,
       s"pruned read touched $filesRead files, expected $filesB0SomeBkt")
+  }
+
+  test("index compaction folds generations into a bucketed base without " +
+      "changing flags, match ordering, or original match_batch_id") {
+    val dir = tmpDir("neardup-compact")
+
+    def run(): Unit = {
+      val q = StreamingValidation.startNearDupIngest(
+        spark, s"$dir/in", s"$dir/out", compactEvery = 2)
+      assert(q.awaitTermination(300000), "near-dup ingest did not finish")
+    }
+    def land(rows: Seq[(Long, String, String)]): Unit = {
+      rows.toDF("doc_id", "text", "source")
+        .write.mode("append").parquet(s"$dir/in")
+      run()
+    }
+    def flags() = spark.read.parquet(s"$dir/out/neardup_flags")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Number]("batch_id").longValue,
+          r.getAs[Long]("match_batch_id"),
+          r.getAs[Long]("match_doc_id"))))
+      .toMap
+
+    land(Seq((1L, textA, "s"), (2L, textB, "s")))      // batch 0
+    land(Seq((10L, textNear, "s")))                    // batch 1
+    // batch 2 triggers compaction (2 % compactEvery == 0): generations
+    // 0 and 1 fold into base hw=1; batch 2's own generation stays live
+    land(Seq((20L, textA, "s")))
+    val base = new java.io.File(s"$dir/out/neardup_base")
+    assert(base.isDirectory &&
+      base.listFiles().exists(_.getName == "hw=1"),
+      "compaction did not write base hw=1")
+    val idx = new java.io.File(s"$dir/out/neardup_index")
+    val liveGens = idx.listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(liveGens.toSeq === Seq("batch_id=2"),
+      s"superseded generations not dropped: ${liveGens.mkString(",")}")
+
+    // batch 3 probes base + live generation: the near-dup still matches
+    // doc 1 with its ORIGINAL generation id 0 (src_batch_id survived the
+    // fold), not the base's hw
+    land(Seq((30L, textNear, "s")))
+    val f = flags()
+    assert(f.keySet === Set(10L, 20L, 30L), s"unexpected flags ${f.keySet}")
+    assert(f(10L) === ((1L, 0L, 1L)))
+    assert(f(20L) === ((2L, 0L, 1L)))
+    assert(f(30L) === ((3L, 0L, 1L)))
+
+    // restart with nothing new: no batch admitted, state untouched
+    run()
+    assert(flags() === f)
   }
 }
