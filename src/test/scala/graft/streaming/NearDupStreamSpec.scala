@@ -164,5 +164,29 @@ class NearDupStreamSpec extends SparkSpec {
     // restart with nothing new: no batch admitted, state untouched
     run()
     assert(flags() === f)
+
+    // ---- crash-window debris: a crash BETWEEN the base write and the
+    // superseded-generation deletes leaves the folded generations on
+    // disk NEXT TO the base that already contains their rows. Simulate
+    // it by resurrecting generation 1 (re-banding doc 10 exactly as
+    // batch 1 did) alongside base hw=1, then landing a new near-dup:
+    // readers take only the base and generations ABOVE its hw, so the
+    // debris is invisible — no double-flag, matches unchanged.
+    import graft.operators.Dedup
+    Dedup.bandedSignatures(
+        Seq((10L, textNear)).toDF("doc_id", "text"),
+        "doc_id", "text", 16, 4, 3)
+      .withColumn("bkt", pmod(xxhash64(col("band_idx"), col("band_key")),
+        lit(64L)))
+      .withColumn("src_batch_id", lit(1L))
+      .withColumn("batch_id", lit(1L))
+      .write.mode("append").partitionBy("batch_id", "bkt")
+      .parquet(s"$dir/out/neardup_index")
+    land(Seq((40L, textNear, "s")))                    // batch 4
+    val f2 = flags()
+    assert(f2.keySet === Set(10L, 20L, 30L, 40L))
+    assert(f2(40L) === ((4L, 0L, 1L)),
+      "crash-window debris changed the match")
+    assert((f2 - 40L) === f)
   }
 }
