@@ -301,6 +301,45 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / k
 
+  /** SOURCE-level MinHash similarity matrix: one k-slot MinHash
+    * signature per SOURCE (slot i = min over every shingle hash of every
+    * doc in the source of the a_i·h + b_i rehash — the same
+    * (2i+1, 1000003·i+12345) family as the per-doc signatures), then the
+    * estimated shingle-set Jaccard for every source pair. The
+    * corpus-overlap audit run before paying for doc-level dedup:
+    * `dedup_source_matrix` counts confirmed near-dup PAIRS between
+    * sources; this estimates whole-corpus set overlap directly from
+    * sketches, catching feed-level redundancy even when no single doc
+    * pair clears the pair threshold (generalizes the reference's
+    * cross-bucket duplicate scan, find_and_delete_duplicates.py:76-124,
+    * from per-file ETags to source-level content sketches).
+    *
+    * Scale shape: min is associative/commutative, so the k mins
+    * partial-aggregate map-side — ONE exchange of |sources|×k partials
+    * (never corpus shingles); the pair matrix is a self-join of the
+    * |sources|-row signature table (broadcast, dimension-sized). */
+  def sourceMinhashSim(
+      df: DataFrame, srcCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val hashes = df.select(
+      col(srcCol).as("source"),
+      explode(shingleHashes(col(textCol), shingleN)).as("h"))
+    val minCols = (0 until k).map { i =>
+      min(pmod(col("h") * (i * 2 + 1) + (i * 1000003L + 12345L),
+        lit(HashMod))).as(s"m$i")
+    }
+    val sigs = hashes.groupBy("source")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("source"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    sigs.select(col("source").as("src_a"), col("sig").as("sig_a"))
+      .join(broadcast(
+        sigs.select(col("source").as("src_b"), col("sig").as("sig_b"))),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        estSim(col("sig_a"), col("sig_b"), k).as("est_sim"))
+  }
+
   /** MinHash-LSH candidate pairs with estimated Jaccard >= minEstSim.
     * Signature split into `bands` bands of k/bands rows; docs sharing any
     * band bucket become candidates; est sim = matching minhash fraction. */
@@ -753,6 +792,41 @@ object Dedup {
         (max("pos") + lit(windowWords.toLong - 1L)).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
+  /** Per-document NOVELTY audit (the memorization / recycled-content
+    * screen, the corpus-order companion of [[repeatedSpans]]): for every
+    * sliding `windowWords`-word window of every doc, the window is
+    * RECYCLED iff its (h1, h2) key already occurs in a strictly EARLIER
+    * document (min doc_id over the key < this doc_id — within-doc repeats
+    * and the first corpus occurrence stay novel). Emits per doc (with
+    * >= 1 window): window count, recycled count, recycled fraction —
+    * the "how much of this doc is old material" score that decides
+    * whether a new feed adds information or re-crawls the archive, and
+    * the doc-granular form of what `dedup_span_stats` reports per source.
+    *
+    * Scale shape: the same codegen'd (h1, h2) window-key projection as
+    * repeatedSpans (no window strings materialized), then ONE key
+    * exchange — first_doc = MIN(doc_id) rides an unbounded window over
+    * the key partitioning itself, so the corpus is decoded ONCE and no
+    * key-side self-join recomputes the projection — and one per-doc
+    * roll-up. Narrow 40-byte rows; pair space never materializes. */
+  def noveltyScores(
+      df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("h1", "h2")
+    windowKeys(df, idCol, textCol, windowWords)
+      .repartition(col("h1"), col("h2"))
+      .withColumn("first_doc", min(col(idCol)).over(byKey))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc") < col(idCol), 1L).otherwise(0L))
+          .as("n_recycled"))
+      .select(col(idCol), col("n_windows"), col("n_recycled"),
+        (col("n_recycled").cast("double") /
+          col("n_windows").cast("double")).as("recycled_frac"))
   }
 
   /** Span REWRITE: each document with its [[repeatedSpans]] regions

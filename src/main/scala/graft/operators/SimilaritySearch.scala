@@ -88,6 +88,32 @@ object SimilaritySearch {
     topKPerProbe(scored, k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training (the in-batch-negatives
+    * upgrade every retrieval/embedding trainer runs — DPR, Karpukhin et
+    * al. 2020 §3.2): for each probe, the k most cosine-similar corpus
+    * items whose LABEL differs from the probe's — the near-miss negatives
+    * that teach the margin, where random negatives are trivially far.
+    * Same declared brute-force semantics as [[bruteForceTopK]] with the
+    * cross-label predicate pushed into the join, so the per-probe
+    * candidate stream shrinks before scoring; an ANN candidate list (IVF
+    * or LSH-restricted) slots in unchanged at scale, exactly as for the
+    * positive top-k. Probe side broadcasts; per-probe top-k rides the
+    * bounded [[graft.functions.TopKByScoreAggregate]] (≤ k map-side state,
+    * no window). */
+  def hardNegatives(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      norm(col(vecCol)).as("pn"), col(labelCol).as("p_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), col(labelCol).as("n_label"))
+    val scored = c.join(broadcast(p), col("p_label") =!= col("n_label"))
+      .select(
+        col("probe_id"), col("neighbor_id"),
+        cosineWithNorms(col("pv"), col("cv"), col("pn"), col("cn")).as("cos"))
+    topKPerProbe(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (seed, plane j,
     * dim i): in {-1, +1} — a sign-random projection (Charikar-style
     * SRP-LSH) with no stored model. Knuth multiplicative hash on plain

@@ -34,6 +34,22 @@ object DedupQueries {
         .select("doc_id", "content_md5", "n_dups")
     }),
 
+    // SOURCE-level MinHash similarity matrix: one 16-slot signature per
+    // source (min over every shingle hash the source emits), pairwise
+    // estimated shingle-set Jaccard — the feed-redundancy audit that
+    // catches corpus-level overlap before any doc-level dedup is paid for
+    "src_minhash_sim" -> ((s, dir) => {
+      Dedup.sourceMinhashSim(docs(s, dir), "source", "text", k = 16)
+    }),
+
+    // Per-document NOVELTY: fraction of a doc's sliding 8-word windows
+    // whose key already occurs in a strictly earlier doc — the
+    // recycled-content / memorization audit (doc-granular companion of
+    // dedup_span_stats; within-doc repeats stay novel)
+    "dedup_novelty" -> ((s, dir) => {
+      Dedup.noveltyScores(docs(s, dir), "doc_id", "text", windowWords = 8)
+    }),
+
     // Chunk-level duplicated-passage fractions: per doc, how many of its
     // 10-word chunks also occur in another doc (substring-dedup
     // approximation — catches shared passages whole-doc hashing misses)
@@ -585,7 +601,7 @@ object DedupQueries {
     * candidate positions, and gaps-and-islands merged maximal spans.
     * One definition feeds all three oracles so the Spark operator and
     * every oracle share a single keying spec. */
-  private def spanCte(w: Int, maxOcc: Long = Long.MaxValue): String =
+  private def swhCte(w: Int): String =
     s"""w0 AS (SELECT doc_id, source, string_split(text, ' ') AS toks
               FROM documents),
        swh AS (SELECT doc_id, i AS pos,
@@ -595,7 +611,10 @@ object DedupQueries {
                   list_transform(toks[i:i+${w - 1}],
                     w -> ${TextQueries.sqlPolyHash("w")})),
                   (a,b)->(a*37+b)%1000000009) AS h2
-              FROM w0, unnest(range(1, greatest(len(toks)-$w+2, 1))) r(i)),
+              FROM w0, unnest(range(1, greatest(len(toks)-$w+2, 1))) r(i))"""
+
+  private def spanCte(w: Int, maxOcc: Long = Long.MaxValue): String =
+    s"""${swhCte(w)},
        sdup AS (SELECT h1, h2 FROM swh GROUP BY h1, h2
                 HAVING COUNT(*) >= 2${
                   if (maxOcc == Long.MaxValue) ""
@@ -624,6 +643,33 @@ object DedupQueries {
          JOIN documents a ON p.id_a = a.doc_id
          JOIN documents b ON p.id_b = b.doc_id
          GROUP BY 1, 2""",
+    "src_minhash_sim" ->
+      s"""WITH $shingleHashCte,
+         sd AS (SELECT d.source, unnest(sh.hs) AS h
+                FROM sh JOIN documents d USING (doc_id)),
+         slot AS (SELECT source, i,
+                    MIN((h*(2*i+1)+(1000003*i+12345))%1000000007) AS m
+                  FROM sd, (SELECT unnest(range(16)) AS i)
+                  GROUP BY source, i),
+         sig AS (SELECT source, list(m ORDER BY i) AS sig
+                 FROM slot GROUP BY source)
+         SELECT l.source AS src_a, r.source AS src_b,
+                CAST(len(list_filter(range(16),
+                  i -> list_extract(l.sig, i+1) = list_extract(r.sig, i+1)))
+                  AS DOUBLE)/16 AS est_sim
+         FROM sig l JOIN sig r ON l.source < r.source""",
+    "dedup_novelty" ->
+      s"""WITH ${swhCte(8)},
+         firsts AS (SELECT h1, h2, MIN(doc_id) AS first_doc
+                    FROM swh GROUP BY h1, h2)
+         SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_recycled,
+           CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) AS recycled_frac
+         FROM swh s JOIN firsts f USING (h1, h2)
+         GROUP BY s.doc_id""",
     "dedup_span_exact" ->
       s"""WITH ${spanCte(8)}
          SELECT doc_id, span_start, span_end,

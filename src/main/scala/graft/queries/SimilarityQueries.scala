@@ -22,6 +22,17 @@ object SimilarityQueries {
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
 
+    // HARD-NEGATIVE mining (contrastive training): per probe, the top-3
+    // most-similar corpus vectors with a DIFFERENT label — the near-miss
+    // negatives that teach the margin (DPR-style); brute-force declared
+    // semantics, ANN candidate list slots in at scale
+    "emb_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.hardNegatives(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+        k = 3)
+    }),
+
     // SRP-LSH bucket assignment (4 hyperplanes -> 16 buckets)
     "ann_lsh_buckets" -> ((s, dir) => {
       SimilaritySearch.lshBuckets(emb(s, dir), "embedding", planes = 4)
@@ -780,6 +791,23 @@ object SimilarityQueries {
           SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
           FROM ranked WHERE rank <= 3""",
     "ann_topk_cosine" -> bruteTopkSql(5),
+    "emb_hard_negatives" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv,
+                        label AS p_label
+               FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                       label AS n_label
+               FROM embeddings),
+          scored AS (
+            SELECT probe_id, neighbor_id, ${cosSql("pv", "cv")} AS cos
+            FROM p, c WHERE p_label <> n_label),
+          ranked AS (
+            SELECT probe_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+          FROM ranked WHERE rank <= 3""",
     "ann_lsh_buckets" ->
       s"""SELECT vec_id, $bucketSql AS bucket FROM embeddings""",
     "ann_lsh_topk" ->

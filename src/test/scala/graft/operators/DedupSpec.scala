@@ -515,4 +515,40 @@ class DedupSpec extends SparkSpec {
     assert(rw(2L).getAs[Long]("n_kept") < rw(2L).getAs[Long]("n_chunks"))
     assert(rw(2L).getAs[String]("new_text") !== shifted)
   }
+
+  test("sourceMinhashSim: identical-content sources read 1.0, disjoint " +
+    "vocab reads low, and the matrix is canonical (src_a < src_b)") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog", "b"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "c"),
+      (4L, "iota kappa lambda mu nu xi omicron pi rho", "c")
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.sourceMinhashSim(d, "source", "text", k = 16).collect()
+    assert(rows.length === 3) // C(3,2) canonical pairs
+    rows.foreach(r => assert(r.getString(0) < r.getString(1)))
+    val m = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("a", "b")) === 1.0) // identical shingle sets
+    assert(m(("a", "c")) < 0.5)   // disjoint vocabularies
+    assert(m(("a", "c")) === m(("b", "c"))) // same content, same estimate
+  }
+
+  test("noveltyScores: windows first seen in an EARLIER doc are recycled; " +
+    "first occurrences and within-doc repeats stay novel; sub-window " +
+    "docs are absent") {
+    val d = Seq(
+      (1L, "a b c d e f g h i"),       // 2 windows, both first occurrences
+      (2L, "a b c d e f g h x"),       // window 1 recycled from doc 1
+      (3L, "z z z z z z z z z z"),     // 3 within-doc repeat windows
+      (4L, "short words only")         // < 8 words: no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(d, "doc_id", "text", windowWords = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 0L, 0.0)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((3L, 0L, 0.0)))
+    assert(!out.contains(4L))
+  }
 }

@@ -36,6 +36,24 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_.getLong(2)).toSeq === Seq(1L, 3L))
   }
 
+  test("hardNegatives skips same-label neighbors and ranks the " +
+    "cross-label rest by cosine") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.9f, 0.1f), 7),  // overall-nearest to 0 but SAME label
+      (2L, Array(0.8f, 0.2f), 8),  // best cross-label
+      (3L, Array(0.1f, 0.9f), 8),
+      (4L, Array(-1.0f, 0.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.hardNegatives(
+      labeled, labeled.filter(col("vec_id") === 0),
+      "vec_id", "embedding", "label", k = 3)
+      .collect().sortBy(_.getInt(1))
+    // same-label vec 1 never appears even though it is the global nearest
+    assert(!out.map(_.getLong(2)).contains(1L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 3L, 4L))
+  }
+
   test("LSH buckets are deterministic and similar vectors co-bucket") {
     val b1 = SimilaritySearch.lshBuckets(vecs, "embedding", 4)
       .select("vec_id", "bucket").collect()

@@ -95,6 +95,34 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("novelty audit decodes text ONCE: one window-key exchange serves " +
+      "first-doc, no join, one per-doc roll-up") {
+    val df = graft.SparkEntry.queries("dedup_novelty")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    // exactly two exchanges: the (h1, h2) key clustering + the final
+    // per-doc aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      plan.take(3000))
+  }
+
+  test("source minhash matrix: per-source mins partial-aggregate " +
+      "map-side; the pair matrix is a broadcast self-join of the " +
+      "|sources|-row signature table") {
+    val df = graft.SparkEntry.queries("src_minhash_sim")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      plan.take(3000)) // map-side combine before the one source exchange
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("IVF centroid assignment is a pure projection: no exchange, no " +
       "window, no cross join before the probe join") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
