@@ -253,6 +253,72 @@ object CorpusQueries {
           (col("wanted") - col("realized")).as("deficit"))
     }),
 
+    // DoReMi-style domain reweighting STEP (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    // up-weight the domains the current model finds HARDEST. Per source,
+    // excess loss = avg corpus-MLE unigram NLL of the source minus the
+    // corpus average (clipped at 0 — only harder-than-average domains
+    // gain), and the updated weight is the LINEARIZED multiplicative
+    // update w'_s ∝ n_s·(1 + η·excess_s) at η = 1/nat — the first-order
+    // form of DoReMi's exp(η·excess) exponentiated-gradient step, chosen
+    // because exp() is not exactly-rounded IEEE and would break the
+    // bit-exact oracle contract (sqrt/div are; exp is libm-dependent).
+    // The per-source unigram NLL is the engine's own lm_unigram_score
+    // aggregated by source — real deployments feed per-domain PROXY-MODEL
+    // losses into the same step; the update arithmetic is what is being
+    // pinned here. Integer-exact end to end on the shared quantized log:
+    //   qnll_s   = n_s·qln(N) − Σ_w c_sw·qln(c_w)        (int64)
+    //   qexc_s   = max(0, qnll_s·N − qnll_tot·n_s)       (decimal 38,0 —
+    //              ≈ n_s·3e7·N wraps int64 beyond ~1e9 corpus words)
+    //   qw_s     = n_s·1e6 + qexc_s DIV N   (≡ n_s·(1+excess)·1e6, the
+    //              n_s·n_tot·1e6 denominator folded by exact division)
+    // then the SAME largest-remainder allocation as mix_budget /
+    // mix_temperature over qw. Scale shape: ONE word exchange
+    // (source-word counts with map-side combine); the vocab join is
+    // w-keyed and UNHINTED (open domain — src_kl's discipline); the
+    // update + allocation run on a |sources|-row grid.
+    "mix_doremi_step" -> ((s, dir) => {
+      val budget = 100
+      val wAll = Window.partitionBy(lit(1))
+      val sw = docs(s, dir)
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+      val per = sw.join(cw, "w")
+        .groupBy("source")
+        .agg(sum("c_sw").as("n_s"),
+          sum(col("c_sw") * DistributionQueries.qln(col("c_w"))).as("qcw"))
+      val tot = per.agg(sum("n_s").as("n_tot"), sum("qcw").as("qcw_tot"))
+      val weights = per.crossJoin(broadcast(tot))
+        .withColumn("qnll_s",
+          col("n_s") * DistributionQueries.qln(col("n_tot")) - col("qcw"))
+        .withColumn("qnll_tot",
+          col("n_tot") * DistributionQueries.qln(col("n_tot"))
+            - col("qcw_tot"))
+        .withColumn("qexc", expr(
+          """greatest(CAST(0 AS DECIMAL(38,0)),
+             CAST(qnll_s AS DECIMAL(38,0)) * n_tot -
+             CAST(qnll_tot AS DECIMAL(38,0)) * n_s)"""))
+        .withColumn("qw", expr(
+          "CAST(n_s AS DECIMAL(38,0)) * 1000000 + qexc DIV n_tot"))
+      weights
+        .crossJoin(broadcast(weights.agg(sum(col("qw")).as("tq"))))
+        .withColumn("base", expr(s"($budget * qw) DIV tq"))
+        .withColumn("rem", expr(s"($budget * qw) % tq"))
+        .withColumn("sumbase", sum(col("base")).over(wAll))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)))
+        .select(col("source"), col("n_s").as("n_words"),
+          (col("qnll_s").cast("double")
+            / (col("n_s").cast("double") * lit(1e6))).as("avg_nll"),
+          (col("qexc").cast("double")
+            / (col("n_s").cast("double") * col("n_tot").cast("double")
+              * lit(1e6))).as("excess_nats"),
+          (col("base") + when(
+            col("rnk") <= lit(budget.toLong) - col("sumbase"), 1L)
+            .otherwise(0L)).as("quota"))
+    }),
+
     // TF-IDF source characterization: per source, the top-5 most
     // DISTINCTIVE terms by tf(source, term) * (qln(N) − qln(df(term)))
     // — integer-exact via the shared quantized log (DistributionQueries
@@ -748,6 +814,48 @@ object CorpusQueries {
                  CAST(least(wanted, epochs*m) AS BIGINT) AS realized_tokens,
                  CAST(wanted - least(wanted, epochs*m) AS BIGINT) AS deficit
           FROM e""",
+    "mix_doremi_step" ->
+      """WITH sw AS (SELECT source, unnest(string_split(text,' ')) AS w
+                FROM documents),
+          swc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+                  FROM sw GROUP BY 1, 2),
+          cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w
+                 FROM swc GROUP BY 1),
+          per AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+                    CAST(SUM(c_sw *
+                      CAST(floor(ln(CAST(c_w AS DOUBLE))*1e6) AS BIGINT))
+                      AS BIGINT) AS qcw
+                  FROM swc JOIN cw USING (w) GROUP BY source),
+          t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot,
+                       CAST(SUM(qcw) AS BIGINT) AS qcw_tot FROM per),
+          x AS (SELECT source, n_s, n_tot,
+                  n_s * CAST(floor(ln(CAST(n_tot AS DOUBLE))*1e6)
+                    AS BIGINT) - qcw AS qnll_s,
+                  n_tot * CAST(floor(ln(CAST(n_tot AS DOUBLE))*1e6)
+                    AS BIGINT) - qcw_tot AS qnll_tot
+                FROM per CROSS JOIN t),
+          y AS (SELECT source, n_s, n_tot, qnll_s,
+                  greatest(CAST(0 AS HUGEINT),
+                    CAST(qnll_s AS HUGEINT)*n_tot -
+                    CAST(qnll_tot AS HUGEINT)*n_s) AS qexc
+                FROM x),
+          z AS (SELECT source, n_s, n_tot, qnll_s, qexc,
+                  CAST(n_s AS HUGEINT)*1000000 + qexc//n_tot AS qw
+                FROM y),
+          tt AS (SELECT SUM(qw) AS tq FROM z),
+          q AS (SELECT z.*, (100*qw)//tq AS base, (100*qw) % tq AS rem
+                FROM z CROSS JOIN tt),
+          r AS (SELECT *, SUM(base) OVER () AS sumbase,
+                  ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk
+                FROM q)
+          SELECT source, n_s AS n_words,
+            CAST(qnll_s AS DOUBLE)/(CAST(n_s AS DOUBLE)*1000000.0)
+              AS avg_nll,
+            CAST(qexc AS DOUBLE)/(CAST(n_s AS DOUBLE)
+              *CAST(n_tot AS DOUBLE)*1000000.0) AS excess_nats,
+            CAST(base + CASE WHEN rnk <= 100 - sumbase THEN 1 ELSE 0 END
+              AS BIGINT) AS quota
+          FROM r""",
     "tfidf_terms" ->
       """WITH occ AS (SELECT source, doc_id,
                              UNNEST(string_split(text, ' ')) AS word

@@ -41,6 +41,28 @@ class AuditQueriesSpec extends SparkSpec {
     assert(rows.map(_._2).sum === nDocs)
   }
 
+  test("mix_doremi_step: quotas sum to the budget, excess clips at zero, " +
+      "and only harder-than-average sources gain over their token share") {
+    val rows = CorpusQueries.queries("mix_doremi_step")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._5).sum === 100L) // largest-remainder exactness
+    rows.foreach { case (_, n, nll, exc, q) =>
+      assert(n > 0 && nll > 0.0 && exc >= 0.0 && q >= 0L)
+    }
+    // the corpus-average NLL separates gainers from the rest: every
+    // source with positive excess scores above the token-weighted mean
+    val nTot = rows.map(_._2).sum
+    val meanNll = rows.map(r => r._3 * r._2).sum / nTot
+    rows.filter(_._4 > 0.0).foreach { case (s, _, nll, _, _) =>
+      assert(nll > meanNll - 1e-6, s"source $s gained without excess loss")
+    }
+    // at least one source sits above and one below the mean on real data
+    assert(rows.exists(_._4 > 0.0) && rows.exists(_._4 == 0.0))
+  }
+
   test("skew_audit equals a driver-computed heavy-hitter reference " +
       "(counts, shares, salt factors, tie-breaks)") {
     val got = RelationalQueries.queries("skew_audit")(spark, dir)
