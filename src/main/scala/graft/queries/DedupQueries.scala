@@ -286,6 +286,27 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // DIRECTED source-flow matrix: the same confirmed near-dup pair list
+    // as dedup_source_matrix, but keeping the pair's id ORDER (lower
+    // doc_id = earlier ingest — the proxy real pipelines use when no
+    // crawl timestamp survives): (source_of_earlier, source_of_later,
+    // n_pairs). The canonical matrix says WHICH feeds overlap; this one
+    // says which feed had the content FIRST — the provenance direction
+    // that decides which of two redundant feeds to cancel
+    "dedup_source_flow" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20)
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("source_from")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("source_to")), "id_b")
+        .groupBy("source_from", "source_to")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // The full curation PIPELINE as one query — what a user of this
     // library actually runs over a crawl, all four stages (VERDICT r03
     // #6): near-dup clusters on the training corpus (capped MinHash-LSH
@@ -638,6 +659,14 @@ object DedupQueries {
       s"""WITH pairs AS ($minhashPairsCappedSql)
          SELECT least(a.source, b.source) AS source_a,
                 greatest(a.source, b.source) AS source_b,
+                COUNT(*) AS n_pairs
+         FROM pairs p
+         JOIN documents a ON p.id_a = a.doc_id
+         JOIN documents b ON p.id_b = b.doc_id
+         GROUP BY 1, 2""",
+    "dedup_source_flow" ->
+      s"""WITH pairs AS ($minhashPairsCappedSql)
+         SELECT a.source AS source_from, b.source AS source_to,
                 COUNT(*) AS n_pairs
          FROM pairs p
          JOIN documents a ON p.id_a = a.doc_id
