@@ -339,6 +339,25 @@ object Main {
           }
           println(rendered.text)
 
+        case "datacard" :: docsDir :: rest =>
+          // corpus data card (HF/Dolma-style data sheet): per-source and
+          // per-lang composition, exact-dup mass, quality-gate flag rate,
+          // top terms — the corpus-side sibling of `report`
+          val topK = rest.collectFirst {
+            case a if a.startsWith("--top=") =>
+              a.stripPrefix("--top=").toInt
+          }.getOrElse(10)
+          val text = graft.jobs.DataCardJob.render(spark, docsDir, topK)
+          rest.collectFirst {
+            case a if a.startsWith("--out=") => a.stripPrefix("--out=")
+          }.foreach { out =>
+            val p = new org.apache.hadoop.fs.Path(out)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val os = fs.create(p, true)
+            try os.write(text.getBytes("UTF-8")) finally os.close()
+          }
+          println(text)
+
         case "ingest" :: input :: manifestDir :: outDir :: rest =>
           // validate-at-the-door streaming landing (AvailableNow): row
           // rules gate every micro-batch; clean rows commit exactly-once
@@ -432,6 +451,7 @@ object Main {
               "diff <validationOutDir> [beforeRunId afterRunId] [--all] | " +
               "trend <validationOutDir> [--runs=k] | " +
               "report <validationOutDir> [--run=id] [--top=k] [--out=path] | " +
+              "datacard <documentsParquetDir> [--top=k] [--out=path] | " +
               "ingest <landingDir> <manifestDir> <outDir> " +
               "[--rules=config.json] | " +
               "neardup <landingDir> <outDir> [--k=16] [--bands=4] " +
