@@ -551,4 +551,20 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((3L, 0L, 0.0)))
     assert(!out.contains(4L))
   }
+
+  test("noveltyScores and sourceMinhashSim are partitioning-invariant") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120)
+    def nov(df: org.apache.spark.sql.DataFrame) =
+      Dedup.noveltyScores(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    def sim(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sourceMinhashSim(df, "source", "text")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .toSet
+    assert(nov(d.repartition(1)) === nov(d.repartition(13)))
+    assert(sim(d.repartition(1)) === sim(d.repartition(13)))
+  }
 }
