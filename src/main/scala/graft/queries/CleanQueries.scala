@@ -21,8 +21,10 @@ object CleanQueries {
     s.read.parquet(s"$dir/documents.parquet")
 
   /** Oracle fragment mirroring [[normalizeText]] (DuckDB regexp_replace
-    * needs the explicit 'g' flag; Spark's replaces globally by default). */
-  private def sqlNormalize(expr: String): String =
+    * needs the explicit 'g' flag; Spark's replaces globally by default).
+    * Shared with [[DedupQueries]]' sorted-neighborhood oracle, whose sort
+    * key is the same normal form. */
+  private[queries] def sqlNormalize(expr: String): String =
     s"trim(regexp_replace(regexp_replace(lower($expr), " +
       s"'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 

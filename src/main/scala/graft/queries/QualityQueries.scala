@@ -169,6 +169,40 @@ object QualityQueries {
           (col("tp") + col("tn")).cast("double") / col("n").cast("double"))
     }),
 
+    // RELIABILITY / CALIBRATION curve of the trained classifier — the
+    // third standard model audit next to quality_confusion and
+    // quality_ablation (is the SCORE trustworthy as a probability, not
+    // just the thresholded verdict?): predicted score binned into ten
+    // equal-width bins (clamped — LMS output is linear, so out-of-range
+    // predictions land in the edge bins), per bin the doc count, the
+    // observed positive rate, and the exact quantized mean predicted
+    // score. A calibrated gate has mean_pred ≈ obs_rate per bin; a
+    // divergence localizes where thresholding on the score misleads.
+    // Training is the verified bit-portable loop; the curve is one
+    // projection + one ≤10-row aggregate (per-row floor(score·2^20)
+    // int64 quantization makes the bin means integer-exact).
+    "quality_calibration" -> ((s, dir) => {
+      val f = features(docs(s, dir)).persist()
+      val zf = zFeatures(f)
+      val w = trainedWeights(zf)
+      f.unpersist(blocking = false)
+      val score = LinearModel.predict(w, XCols)
+      zf.select(
+          greatest(least(floor(score * 10).cast("int"), lit(9)), lit(0))
+            .as("bin"),
+          floor(score * 1048576.0).cast("long").as("qs"),
+          col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast("long")).as("n_pos"),
+          sum(col("qs")).as("q_pred_sum"))
+        .select(col("bin"), col("n"), col("n_pos"), col("q_pred_sum"),
+          (col("q_pred_sum").cast("double") /
+            (col("n").cast("double") * 1048576.0)).as("mean_pred"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("obs_rate"))
+    }),
+
     // DSIR-style importance weights (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling" — public
     // algorithm): hashed unigram features (polyHash(word) mod 64
@@ -404,6 +438,22 @@ object QualityQueries {
           SELECT source, n, tp, fp, fn, tn,
                  CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
           FROM cf""",
+    "quality_calibration" ->
+      s"""WITH $trainSql,
+          sc AS (
+            SELECT GREATEST(LEAST(CAST(floor($predSql * 10) AS INT), 9), 0)
+                     AS bin,
+                   CAST(floor($predSql * 1048576.0) AS BIGINT) AS qs,
+                   f.y
+            FROM zf f, w4c w)
+          SELECT bin, COUNT(*) AS n,
+                 CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+                 CAST(SUM(qs) AS BIGINT) AS q_pred_sum,
+                 CAST(SUM(qs) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE)
+                   * 1048576.0) AS mean_pred,
+                 CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS obs_rate
+          FROM sc GROUP BY bin""",
     "dsir_weight" ->
       s"""WITH wh AS (SELECT doc_id, ${TextQueries.sqlPolyHash("w")} % 64
                         AS b

@@ -567,4 +567,48 @@ class DedupSpec extends SparkSpec {
     assert(nov(d.repartition(1)) === nov(d.repartition(13)))
     assert(sim(d.repartition(1)) === sim(d.repartition(13)))
   }
+
+  test("sortedNeighborPairs pairs prefix-sharing near-dups, misses " +
+      "prefix-divergent ones by documented contract, drops big blocks") {
+    // 1/2 exact dups and 3 a near-dup — all share the 12-char normalized
+    // prefix "the quick br", so the sliding window pairs them. 6 is a
+    // near-dup of 1 whose FIRST word differs: same shingle Jaccard
+    // ballpark, different block — by the sorted-neighborhood contract it
+    // is NOT a candidate (the multi-pass answer is a second key).
+    val d = (docs.collect().map(r => (r.getLong(0), r.getString(1))) :+
+      (6L, "one quick brown fox jumps over the lazy dog")).toSeq
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborPairs(d, "doc_id", "text",
+      blockChars = 12, windowSize = 2, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 === 6L || p._2 === 6L))
+
+    // boilerplate valve: 70 docs with an identical templated opening
+    // (block size > maxBlock=64) are dropped whole — zero pairs — while
+    // an in-cap near-dup pair elsewhere still surfaces
+    val big = (1 to 70).map(i =>
+        (100L + i, s"terms of service apply to item number $i only")) ++
+      Seq((201L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (202L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val capped = Dedup.sortedNeighborPairs(big.toDF("doc_id", "text"),
+      "doc_id", "text", blockChars = 12, windowSize = 2,
+      minJaccard = 0.3, maxBlock = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((201L, 202L)))
+  }
+
+  test("sortedNeighborPairs is partitioning-invariant and non-trivial " +
+      "on real data") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sortedNeighborPairs(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = run(d.repartition(1))
+    assert(one === run(d.repartition(13)))
+    assert(one.nonEmpty) // sf0.001 carries planted near-dups
+  }
 }

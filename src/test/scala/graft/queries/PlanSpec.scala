@@ -391,4 +391,17 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Window ["), s"$q\n" + plan.take(3000))
     }
   }
+
+  test("sorted-neighborhood dedup: ONE scan, ONE block exchange shared " +
+      "by the size-cap window and the neighbor leads, zero joins — the " +
+      "index-free candidate plan") {
+    val df = graft.SparkEntry.queries("dedup_sorted_neighbors")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert("Exchange hashpartitioning\\(blk".r.findAllIn(plan).size <= 1,
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
 }

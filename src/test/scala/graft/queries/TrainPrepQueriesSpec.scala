@@ -76,4 +76,45 @@ class TrainPrepQueriesSpec extends SparkSpec {
     assert(d("varied") > 0.9, s"varied=${d("varied")}")
     assert(d("boiler") < 0.02, s"boiler=${d("boiler")}")
   }
+
+  test("mix_anneal: phase budgets are conserved exactly (sum main = " +
+      "90% of one epoch by integer division, sum anneal = remainder) " +
+      "and the anneal phase boosts high-quality-heavy sources") {
+    val rows = graft.SparkEntry.queries("mix_anneal")(spark, sf).collect()
+    val tm = spark.read.parquet(s"$sf/documents.parquet")
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    val mainB = tm * 9 / 10
+    assert(rows.map(_.getAs[Long]("main_tokens")).sum === mainB)
+    assert(rows.map(_.getAs[Long]("anneal_tokens")).sum === tm - mainB)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("phase_total") ===
+        r.getAs[Long]("main_tokens") + r.getAs[Long]("anneal_tokens"))
+      assert(r.getAs[Long]("hq_tokens") <= r.getAs[Long]("avail_tokens"))
+    }
+    // boost ranking follows hq share: the source with the highest
+    // hq/avail ratio must not be boosted below one with the lowest
+    val byRatio = rows.sortBy(r =>
+      r.getAs[Long]("hq_tokens").toDouble / r.getAs[Long]("avail_tokens"))
+    assert(byRatio.last.getAs[Double]("anneal_boost") >=
+      byRatio.head.getAs[Double]("anneal_boost"))
+  }
+
+  test("quality_calibration: bins partition the corpus (counts sum to " +
+      "doc count), bins stay in [0,9], and per-bin stats are consistent") {
+    val rows = graft.SparkEntry.queries("quality_calibration")(spark, sf)
+      .collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nDocs)
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      assert(bin >= 0 && bin <= 9)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+      val mp = r.getAs[Double]("mean_pred")
+      assert(mp === r.getAs[Long]("q_pred_sum").toDouble /
+        (r.getAs[Long]("n").toDouble * 1048576.0))
+      val or = r.getAs[Double]("obs_rate")
+      assert(or >= 0.0 && or <= 1.0)
+    }
+  }
 }
