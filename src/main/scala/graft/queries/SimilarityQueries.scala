@@ -264,6 +264,45 @@ object SimilarityQueries {
           fold(col("ds"), x => x.getField("var_d")).as("var_trace"))
     }),
 
+    // GROUP-DIVERSITY audit: average pairwise cosine within each label
+    // group WITHOUT materializing pairs — the mode-collapse / redundancy
+    // probe for an embedding corpus (near-identical groups read ~1,
+    // spread-out groups read ~0). The O(n²) pair sum collapses to the
+    // sum-vector identity Σ_{i≠j} u_i·u_j = ‖Σu‖² − Σ‖u‖² over
+    // unit-normalized vectors, so the whole statistic is ONE posexplode
+    // exchange of |labels×dims| quantized partials — emb_drift_centroid's
+    // cost model, with zero pair space at any group size. Integer-exact:
+    // q_d = floor((x_d/‖v‖)·2^20) per row (ordered-fold norm + IEEE
+    // sqrt); per-dim sums ride int64, their squares DECIMAL(38,0)
+    // (S_d ≈ n·2^20 wraps an int64 square at ~2^12 rows per group);
+    // ONE float division at the end. Zero-norm vectors are excluded
+    // (no direction, no cosine); single-vector groups have no pairs
+    // and are dropped.
+    "emb_diversity" -> ((s, dir) => {
+      val q = floor((col("x").cast("double") / col("nrm"))
+        * lit(1048576.0)).cast("long")
+      val sums = emb(s, dir)
+        .select(col("label"), col("embedding").as("v"),
+          SimilaritySearch.norm(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0.0)
+        .select(col("label"), col("nrm"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"), q.as("q"))
+        .groupBy("label", "dim")
+        .agg(sum(col("q")).as("sd"),
+          expr("sum(CAST(q AS DECIMAL(38,0)) * q)").as("ssd"),
+          count(lit(1)).as("nd"))
+      sums.groupBy("label")
+        .agg(expr("sum(CAST(sd AS DECIMAL(38,0)) * sd)").as("qq"),
+          sum(col("ssd")).as("sq"),
+          max(col("nd")).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("label"), col("n").as("n_vecs"),
+          ((col("qq") - col("sq")).cast("double")
+            / (lit(1099511627776.0) * col("n").cast("double")
+              * (col("n") - 1L).cast("double"))).as("avg_pair_cos"))
+    }),
+
     // multimodal feature extraction through the batched codec stage
     // (FakeCodec emits integer-valued floats, so even the mapPartitions
     // stage has a full DuckDB oracle; payloads are the utf-8 bytes of
@@ -530,6 +569,31 @@ object SimilarityQueries {
          SELECT label, n AS n_vecs, dp/(sqrt(na)*sqrt(nb)) AS cos_to_corpus,
                 var_trace
          FROM f""",
+    "emb_diversity" ->
+      s"""WITH u AS (
+            SELECT label, embedding AS v,
+                   sqrt(${dotSql("embedding", "embedding")}) AS nrm
+            FROM embeddings),
+          q AS (
+            SELECT label, dim,
+                   CAST(floor((CAST(v[dim+1] AS DOUBLE) / nrm)
+                     * 1048576.0) AS BIGINT) AS q
+            FROM u, (SELECT unnest(range(64)) AS dim)
+            WHERE nrm > 0),
+          sums AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sd,
+                     SUM(CAST(q AS HUGEINT) * q) AS ssd,
+                     CAST(COUNT(*) AS BIGINT) AS nd
+                   FROM q GROUP BY 1, 2),
+          g AS (SELECT label,
+                  SUM(CAST(sd AS HUGEINT) * sd) AS qq,
+                  SUM(ssd) AS sq,
+                  MAX(nd) AS n
+                FROM sums GROUP BY 1)
+          SELECT label, n AS n_vecs,
+                 CAST(qq - sq AS DOUBLE)
+                   / (1099511627776.0 * CAST(n AS DOUBLE)
+                     * CAST(n - 1 AS DOUBLE)) AS avg_pair_cos
+          FROM g WHERE n >= 2""",
     "emb_outlier" ->
       s"""WITH q AS (
             SELECT label, vec_id, dim,

@@ -519,4 +519,38 @@ class SimilaritySpec extends SparkSpec {
         typedLit(Seq(1.0f))).as("spec")).collect().head
     assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
+
+  test("emb_diversity: identical group reads ~1, orthogonal group ~0, " +
+      "a mixed group matches the brute-force pairwise mean, singleton " +
+      "groups drop and zero-norm vectors are excluded") {
+    val dims = 64
+    def unit(i: Int): Seq[Float] =
+      (0 until dims).map(d => if (d == i) 1.0f else 0.0f)
+    val mixed = Seq(
+      (0 until dims).map(d => ((d % 5) - 2).toFloat / 3f),
+      (0 until dims).map(d => ((d % 7) - 3).toFloat / 4f),
+      (0 until dims).map(d => (if (d < 32) 1f else -1f) / 2f))
+    val rows = Seq(
+      (1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(0), 0),
+      (4L, unit(0), 1), (5L, unit(1), 1), (6L, unit(2), 1),
+      (7L, mixed(0), 2), (8L, mixed(1), 2), (9L, mixed(2), 2),
+      (10L, unit(3), 3), // singleton: no pairs, dropped
+      (11L, (0 until dims).map(_ => 0.0f), 4), // zero norm: excluded
+      (12L, unit(4), 4), (13L, unit(4), 4))
+    val out = tmpDir("embdiv")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val got = graft.SparkEntry.queries("emb_diversity")(spark, out)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(3)) // singleton group has no pairs
+    assert(got(0)._1 === 3L && math.abs(got(0)._2 - 1.0) < 1e-4)
+    assert(got(1)._1 === 3L && math.abs(got(1)._2) < 1e-4)
+    // zero-norm excluded: the surviving pair of identical vectors
+    assert(got(4)._1 === 2L && math.abs(got(4)._2 - 1.0) < 1e-4)
+    val brute = Seq((0, 1), (0, 2), (1, 2))
+      .map { case (a, b) => refCos(mixed(a), mixed(b)) }.sum / 3.0
+    assert(got(2)._1 === 3L && math.abs(got(2)._2 - brute) < 1e-4,
+      s"got=${got(2)._2} brute=$brute")
+  }
 }
