@@ -240,6 +240,16 @@ object SimilaritySearch {
       }: _*),
       asc = false)
 
+  /** Cluster id of the max-cosine centroid (ties to the LOWEST cid) —
+    * the assignment projection ivfTopK / kmeansCodebook / dedupSemantic
+    * already share, exposed for composition audits (e.g. cluster × label
+    * roll-ups). Pure projection against a driver-literal codebook: zero
+    * exchanges, and the tie order matches the oracle's
+    * `ORDER BY cos DESC, cid ASC` exactly. */
+  def assignCid(codebook: Seq[(Long, Seq[Double])])(vec: Column): Column =
+    element_at(coarseScores(codebook)(vec, norm(vec)), 1)
+      .getField("negcid") * lit(-1L)
+
   /** Input quantization scale for k-means mean accumulation: a power of
     * TWO, so `x * Quant` is exact for every float input (scaling by 2^20
     * only shifts the exponent) and `floor` of it is engine-independent —

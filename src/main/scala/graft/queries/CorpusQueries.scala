@@ -407,6 +407,38 @@ object CorpusQueries {
         .select("source", "rank", "word", "tf", "df", "score_q")
     }),
 
+    // CONTEXT-LENGTH truncation sweep — the "what max_seq_len do we
+    // train at" sizing table: for each candidate context length L, how
+    // many docs overflow L and what fraction of the corpus' word mass a
+    // truncate-at-L loader would drop. The complement of seq_pack's
+    // concat-and-chunk, for pipelines that truncate instead of pack; the
+    // knee of trunc_waste(L) is where the context budget goes. ONE
+    // corpus scan to eight running sums + a 4-row stack (the
+    // quality_ablation shape) — no explode-per-L row blowup, no joins,
+    // nothing wider than the agg partials.
+    "ctx_truncation_sweep" -> ((s, dir) => {
+      def t(l: Int) = sum(when(col("nw") > l, 1L).otherwise(0L))
+      def kept(l: Int) = sum(least(col("nw"), lit(l.toLong)))
+      docs(s, dir)
+        .select(size(words(col("text"))).cast("long").as("nw"))
+        .agg(
+          count(lit(1)).as("n_docs"), sum(col("nw")).as("tw"),
+          t(64).as("t64"), kept(64).as("k64"),
+          t(128).as("t128"), kept(128).as("k128"),
+          t(256).as("t256"), kept(256).as("k256"),
+          t(512).as("t512"), kept(512).as("k512"))
+        .selectExpr(
+          """stack(4,
+               64L,  n_docs, t64,  tw, k64,
+               128L, n_docs, t128, tw, k128,
+               256L, n_docs, t256, tw, k256,
+               512L, n_docs, t512, tw, k512)
+             AS (ctx, n_docs, n_truncated, total_words, kept_words)""")
+        .withColumn("trunc_waste",
+          lit(1.0) - col("kept_words").cast("double")
+            / col("total_words").cast("double"))
+    }),
+
     // GPT-style sequence packing (concat-and-chunk): within each source,
     // documents are concatenated in doc_id order and cut into fixed
     // 64-word training sequences; the output is the doc -> chunk-span
@@ -971,6 +1003,38 @@ object CorpusQueries {
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
                   ORDER BY score_q DESC, word) AS rank FROM sc)
           WHERE rank <= 5""",
+    "ctx_truncation_sweep" ->
+      """WITH d AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT)
+               AS nw
+             FROM documents),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(nw) AS BIGINT) AS tw,
+                 CAST(SUM(CASE WHEN nw > 64 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS t64,
+                 CAST(SUM(LEAST(nw, 64)) AS BIGINT) AS k64,
+                 CAST(SUM(CASE WHEN nw > 128 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS t128,
+                 CAST(SUM(LEAST(nw, 128)) AS BIGINT) AS k128,
+                 CAST(SUM(CASE WHEN nw > 256 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS t256,
+                 CAST(SUM(LEAST(nw, 256)) AS BIGINT) AS k256,
+                 CAST(SUM(CASE WHEN nw > 512 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS t512,
+                 CAST(SUM(LEAST(nw, 512)) AS BIGINT) AS k512
+               FROM d),
+         s AS (
+           SELECT CAST(64 AS BIGINT) AS ctx, n_docs, t64 AS n_truncated,
+                  tw AS total_words, k64 AS kept_words FROM a
+           UNION ALL
+           SELECT CAST(128 AS BIGINT), n_docs, t128, tw, k128 FROM a
+           UNION ALL
+           SELECT CAST(256 AS BIGINT), n_docs, t256, tw, k256 FROM a
+           UNION ALL
+           SELECT CAST(512 AS BIGINT), n_docs, t512, tw, k512 FROM a)
+         SELECT ctx, n_docs, n_truncated, total_words, kept_words,
+                1.0 - CAST(kept_words AS DOUBLE)
+                  / CAST(total_words AS DOUBLE) AS trunc_waste
+         FROM s""",
     "seq_pack" ->
       """WITH d AS (SELECT source, doc_id,
              CAST(len(string_split(text,' ')) AS BIGINT) AS n_words

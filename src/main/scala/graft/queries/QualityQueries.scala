@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.TopKByScoreAggregate
@@ -201,6 +202,47 @@ object QualityQueries {
             (col("n").cast("double") * 1048576.0)).as("mean_pred"),
           (col("n_pos").cast("double") / col("n").cast("double"))
             .as("obs_rate"))
+    }),
+
+    // Threshold-free RANKING audit of the trained classifier: ROC AUC by
+    // the Mann-Whitney rank identity over a BOUNDED score histogram —
+    // scores quantized into 4096 bins (edge-clamped like the calibration
+    // curve), AUC = Σ_bins (neg_below + neg_b/2)·pos_b / (n_pos·n_neg),
+    // exact integer arithmetic via the ×2 trick (no half-counts). Per
+    // source, so a gate that ranks well globally but INVERTS inside one
+    // feed is visible. The corpus never sorts: scoring is a
+    // literal-weights projection, the histogram is one agg to a
+    // |sources|×≤4096 grid, the cumulative is a grid-sized window, and
+    // the rank products ride decimal(38,0) (pos·neg wraps int64 past
+    // ~3e9 rows per source).
+    "quality_auc" -> ((s, dir) => {
+      val f = features(docs(s, dir)).persist()
+      val zf = zFeatures(f)
+      val w = trainedWeights(zf)
+      f.unpersist(blocking = false)
+      val score = LinearModel.predict(w, XCols)
+      val cells = zf.select(
+          col("source"),
+          greatest(least(floor(score * 4096).cast("long"), lit(4095L)),
+            lit(0L)).as("bin"),
+          col("y"))
+        .groupBy("source", "bin")
+        .agg(sum(col("y").cast("long")).as("pos"),
+          sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("neg"))
+      val wlo = Window.partitionBy(col("source")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells
+        .withColumn("neg_below",
+          coalesce(sum(col("neg")).over(wlo), lit(0L)))
+        .groupBy("source")
+        .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+          sum(expr("CAST(2*neg_below + neg AS DECIMAL(38,0)) * pos"))
+            .as("num2"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          (col("num2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double"))).as("auc"))
     }),
 
     // DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -454,6 +496,32 @@ object QualityQueries {
                  CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS obs_rate
           FROM sc GROUP BY bin""",
+    "quality_auc" ->
+      s"""WITH $trainSql,
+          sc AS (
+            SELECT f.source,
+                   GREATEST(LEAST(CAST(floor($predSql * 4096) AS BIGINT),
+                     4095), 0) AS bin,
+                   f.y
+            FROM zf f, w4c w),
+          b AS (SELECT source, bin,
+                  CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos,
+                  CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS neg
+                FROM sc GROUP BY 1, 2),
+          c AS (SELECT *, CAST(COALESCE(SUM(neg) OVER (
+                  PARTITION BY source ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS neg_below
+                FROM b),
+          g AS (SELECT source, CAST(SUM(pos) AS BIGINT) AS n_pos,
+                  CAST(SUM(neg) AS BIGINT) AS n_neg,
+                  SUM(CAST(2*neg_below + neg AS HUGEINT) * pos) AS num2
+                FROM c GROUP BY 1)
+          SELECT source, n_pos, n_neg,
+                 CAST(num2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
+                   * CAST(n_neg AS DOUBLE)) AS auc
+          FROM g WHERE n_pos > 0 AND n_neg > 0""",
     "dsir_weight" ->
       s"""WITH wh AS (SELECT doc_id, ${TextQueries.sqlPolyHash("w")} % 64
                         AS b

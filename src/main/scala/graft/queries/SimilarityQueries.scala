@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, SimilaritySearch}
 
@@ -303,6 +304,36 @@ object SimilarityQueries {
               * (col("n") - 1L).cast("double"))).as("avg_pair_cos"))
     }),
 
+    // TOPIC-BALANCE audit: the trained k-means codebook's cluster × label
+    // composition table — the "is any topic cluster dominated by one
+    // feed, and is any feed missing from a topic" check curation reports
+    // publish next to the source mix (cluster-and-count over the
+    // embedding space; DataComp/Dolma-style composition audit). Training
+    // is the verified bit-exact Lloyd loop (ann_kmeans_codebook);
+    // assignment is a pure projection against the k driver-literal
+    // centroids (zero exchanges); the roll-up is ONE agg to a
+    // k×|labels| grid, the shares are a grid-sized window + a 1-row
+    // broadcast. Never touches pair space, never sorts the corpus.
+    "topic_balance" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = SimilaritySearch.kmeansCodebookSeq(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      val cells = e.select(
+          SimilaritySearch.assignCid(cb)(col("embedding")).as("cid"),
+          col("label"))
+        .groupBy("cid", "label")
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("cluster_n",
+          sum(col("n")).over(Window.partitionBy(col("cid"))))
+        .crossJoin(broadcast(cells.agg(sum(col("n")).as("total_n"))))
+        .select(col("cid"), col("label"), col("n"), col("cluster_n"),
+          (col("n").cast("double") / col("cluster_n").cast("double"))
+            .as("label_share"),
+          (col("cluster_n").cast("double") / col("total_n").cast("double"))
+            .as("cluster_share"))
+    }),
+
     // multimodal feature extraction through the batched codec stage
     // (FakeCodec emits integer-valued floats, so even the mapPartitions
     // stage has a full DuckDB oracle; payloads are the utf-8 bytes of
@@ -594,6 +625,38 @@ object SimilarityQueries {
                    / (1099511627776.0 * CAST(n AS DOUBLE)
                      * CAST(n - 1 AS DOUBLE)) AS avg_pair_cos
           FROM g WHERE n >= 2""",
+    "topic_balance" ->
+      s"""WITH c0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS cid,
+                   [CAST(x AS DOUBLE) for x in embedding] AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 4)),
+          ${kmeansStepSql("c0", "a1", "s1", "c1")},
+          c1l AS (SELECT cid, list(val ORDER BY dim) AS cvec
+                  FROM c1 GROUP BY cid),
+          ${kmeansStepSql("c1l", "a2", "s2", "c2")},
+          cents AS (SELECT cid, list(val ORDER BY dim) AS cvec
+                    FROM c2 GROUP BY cid),
+          asg AS (
+            SELECT vec_id, label, cid FROM (
+              SELECT e.vec_id, e.label, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+                                c.cid ASC) AS crank
+              FROM embeddings e, cents c) WHERE crank = 1),
+          cells AS (SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM asg GROUP BY 1, 2),
+          cl AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY cid) AS BIGINT)
+                   AS cluster_n
+                 FROM cells),
+          t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM cells)
+          SELECT cid, label, n, cluster_n,
+                 CAST(n AS DOUBLE) / CAST(cluster_n AS DOUBLE)
+                   AS label_share,
+                 CAST(cluster_n AS DOUBLE) / CAST(total_n AS DOUBLE)
+                   AS cluster_share
+          FROM cl, t""",
     "emb_outlier" ->
       s"""WITH q AS (
             SELECT label, vec_id, dim,

@@ -553,4 +553,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2)._1 === 3L && math.abs(got(2)._2 - brute) < 1e-4,
       s"got=${got(2)._2} brute=$brute")
   }
+
+  test("topic_balance: four planted orthogonal direction groups land in " +
+      "their own clusters with the exact label mix, shares are " +
+      "consistent, and counts conserve") {
+    val dims = 64
+    def unit(i: Int): Seq[Float] =
+      (0 until dims).map(d => if (d == i) 1.0f else 0.0f)
+    // vec_ids 1..4 seed the four centroids (c0 takes the first 4 by id);
+    // each later vector is exactly one of the four directions, so the
+    // trained centroids stay put and assignment is unambiguous.
+    val rows = Seq(
+      (1L, unit(0), 0), (2L, unit(1), 1), (3L, unit(2), 2),
+      (4L, unit(3), 3),
+      (5L, unit(0), 1), (6L, unit(0), 1),
+      (7L, unit(1), 1),
+      (8L, unit(3), 0))
+    val out = tmpDir("topicbal")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val got = graft.SparkEntry.queries("topic_balance")(spark, out)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val expected = Map(
+      (0L, 0) -> (1L, 3L), (0L, 1) -> (2L, 3L),
+      (1L, 1) -> (2L, 2L),
+      (2L, 2) -> (1L, 1L),
+      (3L, 3) -> (1L, 2L), (3L, 0) -> (1L, 2L))
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (n, cn)) =>
+      val (gn, gcn, lshare, cshare) = got(k)
+      assert(gn == n && gcn == cn, s"cell $k: got ($gn,$gcn)")
+      assert(math.abs(lshare - n.toDouble / cn) < 1e-12)
+      assert(math.abs(cshare - cn.toDouble / 8.0) < 1e-12)
+    }
+    assert(got.values.map(_._1).sum == rows.length.toLong)
+  }
 }

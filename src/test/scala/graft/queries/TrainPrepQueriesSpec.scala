@@ -117,4 +117,65 @@ class TrainPrepQueriesSpec extends SparkSpec {
       assert(or >= 0.0 && or <= 1.0)
     }
   }
+
+  test("quality_auc matches a brute-force pairwise Mann-Whitney over the " +
+      "same binned scores, per source, and every AUC is in [0,1]") {
+    val scores = graft.SparkEntry.queries("quality_lr_score")(spark, sf)
+      .select("doc_id", "score", "label_good").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bin(s: Double): Long =
+      math.max(0L, math.min(4095L, math.floor(s * 4096).toLong))
+    val brute = scores.groupBy { case (id, _, _) => srcOf(id) }
+      .flatMap { case (src, rs) =>
+        val pos = rs.filter(_._3 == 1).map(r => bin(r._2)).toSeq
+        val neg = rs.filter(_._3 == 0).map(r => bin(r._2)).toSeq
+        if (pos.isEmpty || neg.isEmpty) None
+        else {
+          val num2 = (for (p <- pos; n <- neg)
+            yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+          Some(src -> (pos.length.toLong, neg.length.toLong,
+            num2.toDouble / (2.0 * pos.length * neg.length)))
+        }
+      }
+    val got = graft.SparkEntry.queries("quality_auc")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (src, (np, nn, auc)) =>
+      val (gp, gn, ga) = got(src)
+      assert(gp == np && gn == nn, s"$src: pos/neg counts differ")
+      assert(math.abs(ga - auc) < 1e-9, s"$src: got $ga brute $auc")
+      assert(ga >= 0.0 && ga <= 1.0)
+    }
+  }
+
+  test("ctx_truncation_sweep: exact truncation counts and kept mass on " +
+      "planted word counts; waste is monotone nonincreasing in ctx") {
+    val counts = Seq(10, 64, 65, 300, 600)
+    val out = tmpDir("ctxsweep")
+    counts.zipWithIndex.map { case (k, i) =>
+      (i.toLong, Seq.fill(k)("w").mkString(" "), "s0", k.toLong)
+    }.toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val rows = graft.SparkEntry.queries("ctx_truncation_sweep")(spark, out)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val total = counts.map(_.toLong).sum
+    Seq(64L, 128L, 256L, 512L).foreach { l =>
+      val r = rows(l)
+      assert(r.getAs[Long]("n_docs") == counts.length.toLong)
+      assert(r.getAs[Long]("n_truncated") == counts.count(_ > l).toLong)
+      assert(r.getAs[Long]("total_words") == total)
+      val kept = counts.map(c => math.min(c.toLong, l)).sum
+      assert(r.getAs[Long]("kept_words") == kept)
+      assert(math.abs(r.getAs[Double]("trunc_waste")
+        - (1.0 - kept.toDouble / total)) < 1e-12)
+    }
+    val wastes = Seq(64L, 128L, 256L, 512L)
+      .map(l => rows(l).getAs[Double]("trunc_waste"))
+    assert(wastes == wastes.sorted.reverse,
+      "waste must not increase with a longer context")
+  }
 }
