@@ -384,6 +384,48 @@ object DistributionQueries {
           col("qnum").cast("double") / col("qden").cast("double"))
     }),
 
+    // VOCABULARY coverage curve — "how many distinct words cover X% of
+    // the token mass" for X ∈ {50,90,95,99}: the vocab-size sizing table
+    // a tokenizer budget decision reads (and the head-heaviness summary
+    // next to zipf_slope's fitted exponent). The scale trick: the curve
+    // is computed from the FREQUENCY-OF-FREQUENCIES table, not the
+    // ranked vocabulary — if k distinct count values exist then
+    // 1+2+…+k ≤ N, so k ≤ √(2N) PROVABLY (≤ ~1.4e7 rows at 1e14
+    // tokens, vs an unbounded |vocab| sort); Zipf makes it far smaller.
+    // Within a count class words are interchangeable, so the exact
+    // vocab_needed is words_before + ceil(residual/c) — pure integer
+    // arithmetic, no ranking of words ever happens. Plan: ONE open-vocab
+    // word exchange (unhinted, map-side combine), one √N-bounded
+    // aggregation, a bounded cumulative window, a 1-row broadcast.
+    "vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fof = docs(s, dir)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("nw"))
+      val win = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      fof
+        .withColumn("mass_before",
+          coalesce(sum(col("c") * col("nw")).over(win), lit(0L)))
+        .withColumn("words_before",
+          coalesce(sum(col("nw")).over(win), lit(0L)))
+        .crossJoin(broadcast(fof.agg(
+          sum(col("c") * col("nw")).as("n_tokens"),
+          sum(col("nw")).as("n_vocab"))))
+        .select(col("c"), col("nw"), col("mass_before"),
+          col("words_before"), col("n_tokens"), col("n_vocab"),
+          explode(typedLit(Seq(50, 90, 95, 99))).as("pct"))
+        .withColumn("need",
+          expr("(CAST(pct AS BIGINT) * n_tokens + 99) DIV 100"))
+        .filter(col("mass_before") < col("need") &&
+          col("need") <= col("mass_before") + col("c") * col("nw"))
+        .select(col("pct"), col("n_tokens"), col("n_vocab"),
+          (col("words_before") +
+            expr("(need - mass_before + c - 1) DIV c")).as("vocab_needed"),
+          col("c").as("boundary_count"))
+    }),
+
     // Population stability index (PSI) per source vs rest-of-corpus —
     // the industry drift gate alongside KS/chi2/KL. Laplace-smoothed
     // (+1 per bin on BOTH sides, so empty bins never hit ln(0) and the
@@ -686,6 +728,34 @@ object DistributionQueries {
          FROM c JOIN c2 USING (bg)
          JOIN c1 ON split_part(c.bg, ' ', 1) = c1.a
          GROUP BY doc_id""",
+    "vocab_coverage" ->
+      """WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+             FROM (SELECT unnest(string_split(text,' ')) AS w
+                   FROM documents)
+             GROUP BY w),
+         fof AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nw
+                 FROM wc GROUP BY c),
+         cum AS (SELECT *,
+             CAST(COALESCE(SUM(c*nw) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS mass_before,
+             CAST(COALESCE(SUM(nw) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS words_before
+           FROM fof),
+         tot AS (SELECT CAST(SUM(c*nw) AS BIGINT) AS n_tokens,
+                        CAST(SUM(nw) AS BIGINT) AS n_vocab
+                 FROM fof),
+         x AS (SELECT cum.*, t.n_tokens, t.n_vocab, p.pct,
+                 (CAST(p.pct AS BIGINT) * t.n_tokens + 99) // 100 AS need
+               FROM cum, tot t,
+                 (SELECT unnest([50, 90, 95, 99]) AS pct) p)
+         SELECT CAST(pct AS INT) AS pct, n_tokens, n_vocab,
+                CAST(words_before + (need - mass_before + c - 1) // c
+                  AS BIGINT) AS vocab_needed,
+                c AS boundary_count
+         FROM x
+         WHERE mass_before < need AND need <= mass_before + c*nw""",
     "zipf_slope" ->
       """WITH top AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
                       FROM (SELECT unnest(string_split(text,' ')) AS w

@@ -37,6 +37,7 @@ object QualityQueries {
     d.select(
       col("doc_id"),
       col("source"),
+      size(w).cast("long").as("nw"),
       (least(size(w), lit(400)).cast("double") / lit(400.0)).as("x1"),
       (size(array_distinct(w)).cast("double") / size(w)).as("x2"),
       stopwordRatio(col("text")).as("x3"),
@@ -204,6 +205,46 @@ object QualityQueries {
             .as("obs_rate"))
     }),
 
+    // OPERATING-POINT sweep of the trained gate — the precision/recall/
+    // retention table that picks the production threshold (AUC says the
+    // gate ranks; this says what each cut actually costs): per candidate
+    // threshold t, docs retained, word mass retained, precision and
+    // recall vs the rule-based label. Five thresholds fold into 15 agg
+    // columns over ONE scan of the persisted feature table + a 5-row
+    // stack (the ctx_truncation_sweep shape) — scoring is a
+    // literal-weights projection, nothing sorts, nothing joins.
+    // Zero-retention cuts emit NULL precision (no 0/0).
+    "quality_pr_sweep" -> ((s, dir) => {
+      val f = features(docs(s, dir)).persist()
+      val zf = zFeatures(f)
+      val w = trainedWeights(zf)
+      f.unpersist(blocking = false)
+      val sc = zf.select(
+        LinearModel.predict(w, XCols).as("sc"), col("y"), col("nw"))
+      val ts = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      val aggs = ts.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("sc") >= t, 1L).otherwise(0L)).as(s"r$i"),
+        sum(when(col("sc") >= t, col("nw")).otherwise(0L)).as(s"m$i"),
+        sum(when(col("sc") >= t && col("y") === 1.0, 1L).otherwise(0L))
+          .as(s"t$i")) }
+      val base = Seq(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_words"),
+        sum(col("y").cast("long")).as("n_pos")) ++ aggs
+      sc.agg(base.head, base.tail: _*)
+        .selectExpr(
+          s"""stack(${ts.length}, ${ts.zipWithIndex.map { case (t, i) =>
+               s"CAST($t AS DOUBLE), n_docs, total_words, n_pos, " +
+                 s"r$i, m$i, t$i" }.mkString(", ")})
+             AS (threshold, n_docs, total_words, n_pos, n_retained,
+                 words_retained, tp)""")
+        .select(col("threshold"), col("n_docs"), col("total_words"),
+          col("n_pos"), col("n_retained"), col("words_retained"),
+          when(col("n_retained") > 0L, col("tp").cast("double")
+            / col("n_retained").cast("double")).as("precision"),
+          (col("tp").cast("double") / col("n_pos").cast("double"))
+            .as("recall"))
+    }),
+
     // Threshold-free RANKING audit of the trained classifier: ROC AUC by
     // the Mann-Whitney rank identity over a BOUNDED score histogram —
     // scores quantized into 4096 bins (edge-clamped like the calibration
@@ -319,6 +360,7 @@ object QualityQueries {
   private val featsSql: String =
     s"""feats AS (
           SELECT doc_id, source,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS nw,
                  CAST(LEAST(len(string_split(text,' ')), 400) AS DOUBLE)
                    / 400.0 AS x1,
                  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
@@ -365,7 +407,8 @@ object QualityQueries {
         sds AS (SELECT mu1, mu2, mu3, $sdSel
                 FROM (SELECT m.mu1, m.mu2, m.mu3, $vars
                       FROM mus m, mom o)),
-        zf AS (SELECT f.doc_id, f.source, $zSel, f.y FROM feats f, sds s)"""
+        zf AS (SELECT f.doc_id, f.source, f.nw, $zSel, f.y
+               FROM feats f, sds s)"""
   }
 
   // w·z with the exact fold order LinearModel.predict emits
@@ -496,6 +539,34 @@ object QualityQueries {
                  CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS obs_rate
           FROM sc GROUP BY bin""",
+    "quality_pr_sweep" -> {
+      val ts = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      val cols = ts.zipWithIndex.map { case (t, i) =>
+        s"""CAST(SUM(CASE WHEN $predSql >= $t THEN 1 ELSE 0 END)
+              AS BIGINT) AS r$i,
+            CAST(SUM(CASE WHEN $predSql >= $t THEN f.nw ELSE 0 END)
+              AS BIGINT) AS m$i,
+            CAST(SUM(CASE WHEN $predSql >= $t AND f.y = 1.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS t$i""" }.mkString(",\n")
+      val rows = ts.zipWithIndex.map { case (t, i) =>
+        s"""SELECT CAST($t AS DOUBLE) AS threshold, n_docs, total_words,
+              n_pos, r$i AS n_retained, m$i AS words_retained, t$i AS tp
+            FROM a""" }.mkString("\nUNION ALL\n")
+      s"""WITH $trainSql,
+          a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(f.nw) AS BIGINT) AS total_words,
+                  CAST(SUM(CAST(f.y AS BIGINT)) AS BIGINT) AS n_pos,
+                  $cols
+                FROM zf f, w4c w),
+          s AS ($rows)
+          SELECT threshold, n_docs, total_words, n_pos, n_retained,
+                 words_retained,
+                 CASE WHEN n_retained > 0
+                      THEN CAST(tp AS DOUBLE) / CAST(n_retained AS DOUBLE)
+                      END AS "precision",
+                 CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall
+          FROM s"""
+    },
     "quality_auc" ->
       s"""WITH $trainSql,
           sc AS (

@@ -175,4 +175,69 @@ class DistributionQueriesSpec extends SparkSpec {
         s"$src head+mid=${byBand(0L) + byBand(1L)} n=$n")
     }
   }
+
+  test("vocab_coverage: exact hand-computed crossing points on a planted " +
+      "frequency distribution, including a shared count class and a " +
+      "partial-class ceil") {
+    // word counts: a=60 b=25 c=10 d=3 e=1 f=1 -> N=100, vocab=6;
+    // fof = {60:1, 25:1, 10:1, 3:1, 1:2}
+    val doc1 = (Seq.fill(60)("a") ++ Seq.fill(25)("b")).mkString(" ")
+    val doc2 = (Seq.fill(10)("c") ++ Seq.fill(3)("d") ++
+      Seq("e", "f")).mkString(" ")
+    val out = tmpDir("voccov")
+    Seq((1L, doc1, "s0", doc1.length.toLong),
+        (2L, doc2, "s0", doc2.length.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = graft.SparkEntry.queries("vocab_coverage")(spark, out)
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // need(50)=50: covered inside the c=60 class -> ceil(50/60)=1 word
+    // need(90)=90: 85 words of mass before the c=10 class -> 2+ceil(5/10)
+    // need(95)=95: same class, exactly exhausts it -> 3
+    // need(99)=99: crosses into the shared c=1 class (nw=2) -> 4+1
+    val expected = Map(
+      50 -> (100L, 6L, 1L, 60L),
+      90 -> (100L, 6L, 3L, 10L),
+      95 -> (100L, 6L, 3L, 10L),
+      99 -> (100L, 6L, 5L, 1L))
+    assert(got == expected, s"got $got")
+  }
+
+  test("quality_pr_sweep matches a brute-force threshold sweep over the " +
+      "scored corpus; recall is monotone nonincreasing in the threshold") {
+    val sc = graft.SparkEntry.queries("quality_lr_score")(spark, sf)
+      .select("doc_id", "score", "label_good").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val nwOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .toMap
+    val totalW = nwOf.values.sum
+    val nPos = sc.count(_._3 == 1).toLong
+    val got = graft.SparkEntry.queries("quality_pr_sweep")(spark, sf)
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    assert(got.keySet == Set(0.1, 0.3, 0.5, 0.7, 0.9))
+    Seq(0.1, 0.3, 0.5, 0.7, 0.9).foreach { t =>
+      val kept = sc.filter(_._2 >= t)
+      val tp = kept.count(_._3 == 1).toLong
+      val r = got(t)
+      assert(r.getAs[Long]("n_docs") == sc.length.toLong)
+      assert(r.getAs[Long]("total_words") == totalW)
+      assert(r.getAs[Long]("n_pos") == nPos)
+      assert(r.getAs[Long]("n_retained") == kept.length.toLong)
+      assert(r.getAs[Long]("words_retained") ==
+        kept.map(k => nwOf(k._1)).sum)
+      if (kept.nonEmpty)
+        assert(math.abs(r.getAs[Double]("precision")
+          - tp.toDouble / kept.length) < 1e-12)
+      else assert(r.isNullAt(r.fieldIndex("precision")))
+      assert(math.abs(r.getAs[Double]("recall")
+        - tp.toDouble / nPos) < 1e-12)
+    }
+    val recalls = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      .map(t => got(t).getAs[Double]("recall"))
+    assert(recalls == recalls.sorted.reverse)
+  }
 }
