@@ -404,4 +404,60 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
     assert(!plan.contains("Join"), plan.take(3000))
   }
+
+  private def finalPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("emb_diversity never builds pair space: ONE scan, zero joins, " +
+      "only the |labels×dims| partial exchanges") {
+    val plan = finalPlan("emb_diversity")
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      plan.take(3000))
+  }
+
+  test("topic_balance: centroid assignment is a projection (no keyed " +
+      "join anywhere); the only join is the 1-row total broadcast") {
+    val plan = finalPlan("topic_balance")
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("quality_auc and quality_pr_sweep never sort the corpus: no " +
+      "range-partitioned exchange, no joins; the AUC window runs on the " +
+      "bounded histogram grid only") {
+    val auc = finalPlan("quality_auc")
+    assert(!auc.contains("Join"), auc.take(3000))
+    assert(!auc.contains("Exchange rangepartitioning"), auc.take(3000))
+    assert(auc.contains("Window"), auc.take(3000))
+    val sweep = finalPlan("quality_pr_sweep")
+    assert(!sweep.contains("Join"), sweep.take(3000))
+    assert(!sweep.contains("Window"), sweep.take(3000))
+    assert(!sweep.contains("Exchange rangepartitioning"), sweep.take(3000))
+    assert(!sweep.contains("Exchange hashpartitioning"), sweep.take(3000))
+  }
+
+  test("ctx_truncation_sweep: one scan, one global aggregate — no " +
+      "per-length explode, no joins, no keyed exchange") {
+    val plan = finalPlan("ctx_truncation_sweep")
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
+  test("vocab_coverage: the coverage window runs on the freq-of-freq " +
+      "grid, never a ranked-vocab range sort; no keyed joins") {
+    val plan = finalPlan("vocab_coverage")
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, plan.take(3000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
