@@ -58,6 +58,15 @@ object DataCardJob {
       .agg(count(lit(1)).as("docs"), sum("nw").as("ws"))
       .orderBy("lang")
       .collect()
+
+    // context-length sizing off the persisted flat projection — the
+    // ctx_truncation_sweep arithmetic (docs overflowing L, word mass a
+    // truncate-at-L loader keeps), one extra 1-row aggregate
+    val ctxLens = Seq(64L, 128L, 256L, 512L)
+    val ctxAggs = ctxLens.flatMap(l => Seq(
+      sum(when(col("nw") > l, 1L).otherwise(0L)).as(s"t$l"),
+      sum(least(col("nw"), lit(l))).as(s"k$l")))
+    val ctxRow = flat.agg(ctxAggs.head, ctxAggs.tail: _*).collect().head
     flat.unpersist()
 
     val nDocs = perSource.map(_.getAs[Long]("docs")).sum
@@ -78,6 +87,34 @@ object DataCardJob {
       .orderBy(col("c").desc, col("term").asc)
       .limit(topK)
       .collect()
+
+    // vocabulary coverage crossings — the vocab_coverage discipline: the
+    // curve comes from the FREQUENCY-OF-FREQUENCIES table (provably
+    // ≤ √(2N) rows), never a ranked-vocab sort, and only the 4 crossing
+    // rows reach the driver
+    val vocabCov: Map[Int, Long] = {
+      import org.apache.spark.sql.expressions.Window
+      val fof = docs.select(explode(words(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("nwr"))
+      val win = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      fof
+        .withColumn("mb",
+          coalesce(sum(col("c") * col("nwr")).over(win), lit(0L)))
+        .withColumn("wb", coalesce(sum(col("nwr")).over(win), lit(0L)))
+        .crossJoin(broadcast(fof.agg(
+          sum(col("c") * col("nwr")).as("nt"))))
+        .select(col("c"), col("nwr"), col("mb"), col("wb"), col("nt"),
+          explode(typedLit(Seq(50, 90, 95, 99))).as("pct"))
+        .withColumn("need",
+          expr("(CAST(pct AS BIGINT) * nt + 99) DIV 100"))
+        .filter(col("mb") < col("need") &&
+          col("need") <= col("mb") + col("c") * col("nwr"))
+        .select(col("pct"),
+          (col("wb") + expr("(need - mb + c - 1) DIV c")).as("vneed"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
 
     val sb = new StringBuilder
     def header(title: String): String =
@@ -103,6 +140,19 @@ object DataCardJob {
     perLang.foreach { r =>
       sb ++= f"${r.getAs[String]("lang")}%-10s " +
         f"${r.getAs[Long]("docs")}%10d ${r.getAs[Long]("ws")}%12d%n"
+    }
+    sb ++= "\n" + header("context-length sizing")
+    sb ++= f"${"max_seq_len"}%-12s ${"truncated"}%10s ${"kept words"}%12s " +
+      f"${"waste"}%8s%n"
+    ctxLens.foreach { l =>
+      val t = ctxRow.getAs[Long](s"t$l")
+      val k = ctxRow.getAs[Long](s"k$l")
+      sb ++= f"$l%-12d $t%10d $k%12d ${fmtPct(nWords - k, nWords)}%8s%n"
+    }
+    sb ++= "\n" + header("vocabulary coverage")
+    Seq(50, 90, 95, 99).foreach { p =>
+      sb ++= f"$p%2d%% of token mass: ${vocabCov.getOrElse(p, 0L)}%d " +
+        "distinct words\n"
     }
     sb ++= "\n" + header(s"top $topK terms")
     topTerms.foreach { r =>

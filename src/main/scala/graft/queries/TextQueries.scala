@@ -77,6 +77,28 @@ object TextQueries {
           .otherwise(lit("other")).as("pred"))
     }),
 
+    // LANGUAGE-GATE agreement matrix: the heuristic language ID rolled
+    // up against the DECLARED lang metadata, per source — the audit a
+    // language filter ships before anyone trusts it to route docs (a
+    // feed whose declared-en docs read 'other' has either mislabeled
+    // metadata or a gate blind spot; CCNet-style metadata-vs-classifier
+    // cross-check). share = n / declared-lang total within the source.
+    // ONE corpus scan to a |sources×langs×2| grid + a grid-sized window.
+    "langid_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pred = when(stopwordRatio(col("text")) > 0.03, lit("en_like"))
+        .otherwise(lit("other"))
+      docs(s, dir)
+        .select(col("source"), col("lang"), pred.as("pred"))
+        .groupBy("source", "lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lang_n",
+          sum(col("n")).over(Window.partitionBy(col("source"), col("lang"))))
+        .select(col("source"), col("lang"), col("pred"), col("n"),
+          (col("n").cast("double") / col("lang_n").cast("double"))
+            .as("share"))
+    }),
+
     // document fingerprint: rolling polynomial hash of the full text
     "text_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(
@@ -218,6 +240,17 @@ object TextQueries {
           CASE WHEN $sqlStopRatio > 0.03
             THEN 'en_like' ELSE 'other' END AS pred
           FROM documents""",
+    "langid_confusion" ->
+      s"""WITH cells AS (
+            SELECT source, lang,
+                   CASE WHEN $sqlStopRatio > 0.03
+                     THEN 'en_like' ELSE 'other' END AS pred,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2, 3)
+          SELECT source, lang, pred, n,
+                 CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
+                   PARTITION BY source, lang) AS DOUBLE) AS share
+          FROM cells""",
     "text_fingerprint" ->
       s"""SELECT doc_id, ${sqlPolyHash("text")} AS fp FROM documents""",
     "text_blocklist" ->

@@ -43,6 +43,26 @@ class DataCardJobSpec extends SparkSpec {
     assert(termSection.head.trim.endsWith(top.getLong(1).toString))
   }
 
+  test("context-length sizing and vocabulary coverage sections agree " +
+      "with directly computed aggregates and the oracled query") {
+    val text = DataCardJob.render(spark, docsPath, topK = 5)
+    val docs = spark.read.parquet(docsPath)
+    val nw = docs.select(size(split(col("text"), " ")).cast("long").as("nw"))
+    val r64 = nw.agg(
+      sum(when(col("nw") > 64L, 1L).otherwise(0L)).as("t"),
+      sum(least(col("nw"), lit(64L))).as("k")).collect().head
+    val ctxLine = text.linesIterator
+      .find(_.trim.startsWith("64 ")).getOrElse(sys.error("no 64 row"))
+    val cols = ctxLine.trim.split("\\s+")
+    assert(cols(1).toLong == r64.getLong(0), s"truncated: $ctxLine")
+    assert(cols(2).toLong == r64.getLong(1), s"kept: $ctxLine")
+    val vneed99 = graft.SparkEntry.queries("vocab_coverage")(
+      spark, "/root/testdata/sf0.001")
+      .filter(col("pct") === 99).collect().head.getAs[Long]("vocab_needed")
+    assert(text.contains(s"99% of token mass: $vneed99 distinct words"),
+      text.split("vocabulary coverage").last.take(300))
+  }
+
   test("datacard is deterministic across renders") {
     val a = DataCardJob.render(spark, docsPath, topK = 3)
     val b = DataCardJob.render(spark, docsPath, topK = 3)

@@ -124,4 +124,28 @@ class AuditQueriesSpec extends SparkSpec {
     // every cluster is a genuine duplicate group
     assert(got.values.forall(_._2 >= 2L))
   }
+
+  test("langid_confusion: planted stopword-laden vs gibberish docs land " +
+      "in the exact declared-vs-predicted cells with correct shares") {
+    import spark.implicits._
+    val out = tmpDir("langconf")
+    val rows = Seq(
+      (1L, "the a of zz", "en", "s0"), // ratio .75 -> en_like
+      (2L, "the the it qq", "en", "s0"),
+      (3L, "a of in yy", "en", "s0"),
+      (4L, "zz yy xx ww", "en", "s0"), // ratio 0 -> other
+      (5L, "qq rr ss", "xx", "s0"),
+      (6L, "tt uu vv", "xx", "s0"))
+    rows.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = graft.SparkEntry.queries("langid_confusion")(spark, out)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      ("s0", "en", "en_like") -> (3L, 0.75),
+      ("s0", "en", "other") -> (1L, 0.25),
+      ("s0", "xx", "other") -> (2L, 1.0)), s"got $got")
+  }
 }
