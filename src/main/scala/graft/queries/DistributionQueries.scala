@@ -124,6 +124,77 @@ object DistributionQueries {
             / lit(0.6931471805599453)).as("entropy_bits"))
     }),
 
+    // Per-source CONDITIONAL bigram entropy H(w2|w1) — the template/loop
+    // detector unigram entropy is blind to: a source cycling a fixed
+    // phrase bank keeps a healthy unigram spread while its next-word
+    // entropy collapses toward 0 (each word nearly determines its
+    // successor). H(w2|w1) = H(bigram) − H(context) =
+    // (Σ_a c_a·qln(c_a) − Σ_bg c_bg·qln(c_bg)) / N — pure integer qsums
+    // in DECIMAL(38,0) (c·qln(c) wraps int64 past ~2.8e11 words per
+    // source; src_entropy's sums predate that discipline at bounded sf),
+    // ONE float division chain at the end. Plan: one (source, bigram)
+    // exchange with map-side combine; the context table RE-AGGREGATES
+    // the bigram counts (never re-touches text); the final join is
+    // |sources|-row vs |sources|-row.
+    "src_bigram_entropy" -> ((s, dir) => {
+      val ws = words(col("text"))
+      val bigrams = when(size(ws) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i + 1, lit(2)))))
+      val cbg = docs(s, dir)
+        .select(col("source"), explode(bigrams).as("bg"))
+        .groupBy("source", "bg").agg(count(lit(1)).as("c_bg"))
+      val bStats = cbg
+        .withColumn("q", qln(col("c_bg")))
+        .groupBy("source")
+        .agg(sum(col("c_bg")).as("n_bigrams"),
+          count(lit(1)).as("n_bigram_types"),
+          expr("sum(CAST(c_bg AS DECIMAL(38,0)) * q)").as("qsum_bg"))
+      val cStats = cbg
+        .select(col("source"),
+          substring_index(col("bg"), " ", 1).as("a"), col("c_bg"))
+        .groupBy("source", "a").agg(sum("c_bg").as("c_a"))
+        .withColumn("q", qln(col("c_a")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_contexts"),
+          expr("sum(CAST(c_a AS DECIMAL(38,0)) * q)").as("qsum_ctx"))
+      bStats.join(cStats, Seq("source"))
+        .select(col("source"), col("n_bigrams"), col("n_bigram_types"),
+          col("n_contexts"),
+          (((col("qsum_ctx") - col("qsum_bg")).cast("double")
+            / (col("n_bigrams").cast("double") * lit(1e6)))
+            / lit(0.6931471805599453)).as("h_cond_bits"))
+    }),
+
+    // Per-source exact nearest-rank length percentiles (p50/p90/p95/p99
+    // of n_chars) — the long-tail summary a curation report prints next
+    // to drift gates (how long is this feed's tail, exactly, per feed).
+    // The corpus collapses to a (source, value) count grid with map-side
+    // combine; the cumulative window and the crossing filter run on the
+    // grid (vocab_coverage's machinery, partitioned per source), so no
+    // corpus row is ever sorted and the only driver data is the output.
+    "src_len_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid = docs(s, dir)
+        .groupBy(col("source"), col("n_chars").cast("long").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid
+        .withColumn("cum_before",
+          coalesce(sum(col("cnt")).over(win), lit(0L)))
+        .withColumn("n_rows",
+          sum(col("cnt")).over(Window.partitionBy(col("source"))))
+        .select(col("source"), col("v"), col("cnt"), col("cum_before"),
+          col("n_rows"), explode(typedLit(Seq(50, 90, 95, 99))).as("pct"))
+        .withColumn("rank",
+          expr("(CAST(pct AS BIGINT) * n_rows + 99) DIV 100"))
+        .filter(col("cum_before") < col("rank") &&
+          col("rank") <= col("cum_before") + col("cnt"))
+        .select(col("source"), col("pct"), col("n_rows"),
+          col("v").as("value"))
+    }),
+
     // Per-source unigram KL divergence against the whole-corpus
     // distribution — the vocabulary-drift check (a shifted source scores
     // high). KL_s = Σ_w (c_sw/n_s)·ln(c_sw·N / (n_s·c_w)), aggregated as
@@ -728,6 +799,50 @@ object DistributionQueries {
          FROM c JOIN c2 USING (bg)
          JOIN c1 ON split_part(c.bg, ' ', 1) = c1.a
          GROUP BY doc_id""",
+    "src_bigram_entropy" ->
+      """WITH w AS (SELECT source, string_split(text,' ') AS ws
+                    FROM documents),
+         t AS (SELECT source,
+                 unnest(CASE WHEN len(ws) < 2 THEN []
+                        ELSE [ws[i]||' '||ws[i+1]
+                              for i in range(1, len(ws))] END) AS bg
+               FROM w),
+         c AS (SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c_bg
+               FROM t GROUP BY source, bg),
+         b AS (SELECT source, CAST(SUM(c_bg) AS BIGINT) AS n_bigrams,
+                 CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+                 SUM(CAST(c_bg AS HUGEINT) *
+                   CAST(floor(ln(CAST(c_bg AS DOUBLE))*1e6) AS BIGINT))
+                   AS qsum_bg
+               FROM c GROUP BY source),
+         ca AS (SELECT source, split_part(bg, ' ', 1) AS a,
+                  CAST(SUM(c_bg) AS BIGINT) AS c_a
+                FROM c GROUP BY source, a),
+         x AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contexts,
+                 SUM(CAST(c_a AS HUGEINT) *
+                   CAST(floor(ln(CAST(c_a AS DOUBLE))*1e6) AS BIGINT))
+                   AS qsum_ctx
+               FROM ca GROUP BY source)
+         SELECT b.source, b.n_bigrams, b.n_bigram_types, x.n_contexts,
+                (CAST(x.qsum_ctx - b.qsum_bg AS DOUBLE)
+                  / (CAST(b.n_bigrams AS DOUBLE) * 1e6))
+                  / 0.6931471805599453 AS h_cond_bits
+         FROM b JOIN x USING (source)""",
+    "src_len_percentiles" ->
+      """WITH g AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM documents GROUP BY 1, 2),
+         c AS (SELECT *,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before,
+             CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_rows
+           FROM g),
+         x AS (SELECT c.*, p.pct,
+                 (CAST(p.pct AS BIGINT) * c.n_rows + 99) // 100 AS rnk
+               FROM c, (SELECT unnest([50, 90, 95, 99]) AS pct) p)
+         SELECT source, CAST(pct AS INT) AS pct, n_rows, v AS value
+         FROM x WHERE cum_before < rnk AND rnk <= cum_before + cnt""",
     "vocab_coverage" ->
       """WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
              FROM (SELECT unnest(string_split(text,' ')) AS w

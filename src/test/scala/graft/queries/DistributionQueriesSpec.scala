@@ -205,6 +205,60 @@ class DistributionQueriesSpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
+  test("src_bigram_entropy: a templated cycle reads exactly 0 bits of " +
+      "next-word entropy while varied text reads well above; counts and " +
+      "the quantized formula replay driver-side") {
+    val cyc = Seq.fill(30)(Seq("x", "y")).flatten.mkString(" ")
+    val rnd = new scala.util.Random(42)
+    val varied = (0 until 60).map(_ => s"w${rnd.nextInt(7)}").mkString(" ")
+    val out = tmpDir("bigent")
+    Seq((1L, cyc, "en", "tmpl", cyc.length.toLong),
+        (2L, varied, "en", "nat", varied.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = graft.SparkEntry.queries("src_bigram_entropy")(spark, out)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // the cycle: 59 bigrams, 2 types ("x y" ×30, "y x" ×29), 2 contexts,
+    // each context fully determines its successor -> H = 0 exactly
+    assert(got("tmpl")._1 == 59L && got("tmpl")._2 == 2L &&
+      got("tmpl")._3 == 2L)
+    assert(got("tmpl")._4 === 0.0, s"templated source must read 0 bits")
+    // varied text: strictly positive conditional entropy, and the value
+    // replays from driver-side counts with the same quantized arithmetic
+    val ws = varied.split(" ")
+    val bgs = ws.sliding(2).map(_.mkString(" ")).toSeq
+    def qln(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val cbg = bgs.groupBy(identity).map(_._2.length.toLong)
+    val ca = bgs.map(_.split(" ").head).groupBy(identity)
+      .map(_._2.length.toLong)
+    val n = bgs.length.toLong
+    val ref = ((ca.map(c => BigInt(c) * qln(c)).sum -
+      cbg.map(c => BigInt(c) * qln(c)).sum).toDouble
+      / (n.toDouble * 1e6)) / 0.6931471805599453
+    assert(math.abs(got("nat")._4 - ref) < 1e-9, s"got ${got("nat")._4}")
+    assert(got("nat")._4 > 0.5)
+  }
+
+  test("src_len_percentiles: exact nearest-rank values on planted " +
+      "lengths, including duplicate-heavy and uniform sources") {
+    val out = tmpDir("lenpct")
+    val rows =
+      (1 to 10).map(i => (i.toLong, "t", "en", "uni", i.toLong)) ++
+      Seq((11L, "t", "en", "dup", 1L), (12L, "t", "en", "dup", 1L),
+        (13L, "t", "en", "dup", 1L), (14L, "t", "en", "dup", 7L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = graft.SparkEntry.queries("src_len_percentiles")(spark, out)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("uni", 50) -> (10L, 5L), ("uni", 90) -> (10L, 9L),
+      ("uni", 95) -> (10L, 10L), ("uni", 99) -> (10L, 10L),
+      ("dup", 50) -> (4L, 1L), ("dup", 90) -> (4L, 7L),
+      ("dup", 95) -> (4L, 7L), ("dup", 99) -> (4L, 7L)), s"got $got")
+  }
+
   test("quality_pr_sweep matches a brute-force threshold sweep over the " +
       "scored corpus; recall is monotone nonincreasing in the threshold") {
     val sc = graft.SparkEntry.queries("quality_lr_score")(spark, sf)
