@@ -510,6 +510,26 @@ object DistributionQueries {
       psiOverBins(docs(s, dir).select(col("source"),
         (col("n_chars") / lit(100)).cast("long").as("bin")))),
 
+    // Jensen–Shannon divergence per source vs rest-of-corpus over the
+    // SAME Laplace-smoothed bin grid as drift_psi_twosample — the
+    // symmetric, bounded ([0, ln 2]) companion to PSI/KL that drift
+    // dashboards prefer when sources of very different sizes are
+    // compared (PSI is unbounded and blows up on rare bins; JS is not).
+    // With smoothed counts a = o1+1, b = (ob−o1)+1 and masses A = n1+K,
+    // B = n2+K (K = n_bins): p = a/A, q = b/B, m = (p+q)/2, and
+    //   ln(p/m) = ln(2aB) − ln(aB + bA),  ln(q/m) = ln(2bA) − ln(aB+bA)
+    // so 2·A·B·JS·1e6 ≈ Σ aB·(qln(2aB) − qln(aB+bA))
+    //                  + Σ bA·(qln(2bA) − qln(aB+bA))  =: js_qsum,
+    // an order-free int64 (each log factor is a RATIO log bounded by
+    // ±ln2·1e6, so terms stay ≤ N²·7e5 — no overflow at test SFs; the
+    // header's 10^12-scale requantization caveat applies as for PSI).
+    // One float division at the end. Plan shape: identical to PSI —
+    // per-(source,bin) counts with map-side combine, |sources|- and
+    // |bins|-bounded grids broadcast, never a corpus-sized join.
+    "drift_js_twosample" -> ((s, dir) =>
+      jsOverBins(docs(s, dir).select(col("source"),
+        (col("n_chars") / lit(100)).cast("long").as("bin")))),
+
     // Equi-depth PSI drift: the same PSI gate over corpus-TRAINED
     // quantile bins (K=8 nearest-rank edges on n_chars) instead of
     // fixed width — the binning production drift monitors actually use:
@@ -609,6 +629,40 @@ object DistributionQueries {
         / ((col("n1") + col("n_bins")) * (col("n2") + col("n_bins")))
           .cast("double") / lit(1e6))
       .select("source", "n1", "n2", "n_bins", "psi_qsum", "psi")
+  }
+
+  /** Laplace-smoothed integer-exact Jensen–Shannon divergence per source
+    * vs rest over (source, bin) rows — same grid discipline as
+    * [[psiOverBins]]: per-(source,bin) counts with map-side combine,
+    * then |sources|×|bins| bounded term grids; never a corpus-sized
+    * join. With a = o1+1, b = (ob−o1)+1, A = n1+K, B = n2+K (K = bins):
+    * 2·A·B·JS·1e6 ≈ Σ aB·(qln(2aB) − qln(aB+bA))
+    *              + Σ bA·(qln(2bA) − qln(aB+bA)) =: js_qsum,
+    * order-free int64 partials; one float division at the end. */
+  private def jsOverBins(d: DataFrame): DataFrame = {
+    val sb = d.groupBy("source", "bin").agg(count(lit(1)).as("o1"))
+    val pb = sb.groupBy("bin").agg(sum("o1").as("ob"))
+    val ns = sb.groupBy("source").agg(sum("o1").as("n1"))
+    val tot = pb.agg(sum(col("ob")).as("n_total"),
+      count(lit(1)).as("n_bins"))
+    val terms = ns.crossJoin(broadcast(pb))
+      .join(sb, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("o1"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n2", col("n_total") - col("n1"))
+      .withColumn("ab",
+        (col("o1") + 1L) * (col("n2") + col("n_bins")))
+      .withColumn("ba",
+        (col("ob") - col("o1") + 1L) * (col("n1") + col("n_bins")))
+      .withColumn("qterm",
+        col("ab") * (qln(col("ab") * 2L) - qln(col("ab") + col("ba"))) +
+          col("ba") * (qln(col("ba") * 2L) - qln(col("ab") + col("ba"))))
+    terms.groupBy(col("source"), col("n1"), col("n2"), col("n_bins"))
+      .agg(sum(col("qterm")).as("js_qsum"))
+      .withColumn("js", col("js_qsum").cast("double")
+        / ((col("n1") + col("n_bins")) * (col("n2") + col("n_bins")))
+          .cast("double") / lit(2e6))
+      .select("source", "n1", "n2", "n_bins", "js_qsum", "js")
   }
 
   val oracles: Map[String, String] = Map(
@@ -918,6 +972,41 @@ object DistributionQueries {
               CAST(floor(ln(CAST(b AS DOUBLE))*1e6) AS BIGINT)))
              AS DOUBLE)
              / CAST((n1 + n_bins) * (n2 + n_bins) AS DOUBLE) / 1e6 AS psi
+         FROM terms GROUP BY source, n1, n2, n_bins""",
+    "drift_js_twosample" ->
+      """WITH sb AS (SELECT source, n_chars // 100 AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS o1
+                     FROM documents GROUP BY source, bin),
+         pb AS (SELECT bin, CAST(SUM(o1) AS BIGINT) AS ob
+                FROM sb GROUP BY bin),
+         ns AS (SELECT source, CAST(SUM(o1) AS BIGINT) AS n1
+                FROM sb GROUP BY source),
+         tot AS (SELECT CAST(SUM(ob) AS BIGINT) AS n_total,
+                        CAST(COUNT(*) AS BIGINT) AS n_bins FROM pb),
+         terms AS (SELECT ns.source, ns.n1, (n_total - ns.n1) AS n2, n_bins,
+                     (COALESCE(sb.o1,0) + 1)
+                       * ((n_total - ns.n1) + n_bins) AS ab,
+                     (pb.ob - COALESCE(sb.o1,0) + 1)
+                       * (ns.n1 + n_bins) AS ba
+                   FROM ns CROSS JOIN pb
+                   LEFT JOIN sb ON sb.source = ns.source AND sb.bin = pb.bin,
+                   tot)
+         SELECT source, n1, n2, n_bins,
+           CAST(SUM(ab *
+             (CAST(floor(ln(CAST(ab * 2 AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(ab + ba AS DOUBLE))*1e6) AS BIGINT)) +
+             ba *
+             (CAST(floor(ln(CAST(ba * 2 AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(ab + ba AS DOUBLE))*1e6) AS BIGINT)))
+             AS BIGINT) AS js_qsum,
+           CAST(SUM(ab *
+             (CAST(floor(ln(CAST(ab * 2 AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(ab + ba AS DOUBLE))*1e6) AS BIGINT)) +
+             ba *
+             (CAST(floor(ln(CAST(ba * 2 AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(ab + ba AS DOUBLE))*1e6) AS BIGINT)))
+             AS DOUBLE)
+             / CAST((n1 + n_bins) * (n2 + n_bins) AS DOUBLE) / 2e6 AS js
          FROM terms GROUP BY source, n1, n2, n_bins""",
     "drift_psi_equidepth" ->
       """WITH h AS (SELECT n_chars AS v, COUNT(*) AS c

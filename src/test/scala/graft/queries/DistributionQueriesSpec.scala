@@ -294,4 +294,34 @@ class DistributionQueriesSpec extends SparkSpec {
       .map(t => got(t).getAs[Double]("recall"))
     assert(recalls == recalls.sorted.reverse)
   }
+
+  test("drift_js_twosample is bounded by ln 2 and ranks the shifted source highest") {
+    // Each source is compared against the REST of the corpus. Dataset 1:
+    // two sources with identical length distributions → JS ≈ 0 for both
+    // (smoothing residual only). Dataset 2: add a third source shifted
+    // entirely into disjoint bins → its JS vs rest approaches the ln 2
+    // ceiling and dominates the matched pair (whose own JS rises, since
+    // their rest now contains the disjoint mass) — and no score ever
+    // exceeds ln 2, the JS upper bound that PSI/KL lack.
+    val ln2 = math.log(2.0)
+    val same = (1 to 300).flatMap(i =>
+      Seq(("a", 50L + (i % 5) * 100L), ("b", 50L + (i % 5) * 100L)))
+    val out1 = tmpDir("jsq1")
+    same.toDF("source", "n_chars").write.mode("overwrite")
+      .parquet(s"$out1/documents.parquet")
+    val matched = graft.SparkEntry.queries("drift_js_twosample")(spark, out1)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("js"))
+      .toMap
+    matched.values.foreach(v => assert(v >= -1e-6 && v < 0.01, matched))
+
+    val shifted = (1 to 600).map(i => ("c", 1050L + (i % 5) * 100L))
+    val out2 = tmpDir("jsq2")
+    (same ++ shifted).toDF("source", "n_chars").write.mode("overwrite")
+      .parquet(s"$out2/documents.parquet")
+    val got = graft.SparkEntry.queries("drift_js_twosample")(spark, out2)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("js"))
+      .toMap
+    got.values.foreach(v => assert(v >= -1e-6 && v <= ln2 + 1e-6, got))
+    assert(got("c") > 0.5 && got("c") > got("a") + 0.3, got)
+  }
 }
