@@ -304,6 +304,59 @@ object SimilarityQueries {
               * (col("n") - 1L).cast("double"))).as("avg_pair_cos"))
     }),
 
+    // QUADRATIC-KERNEL MMD two-sample drift: per label group vs the rest
+    // of the corpus, MMD² under k(x,y) = (x·y)² — which reduces exactly
+    // to the Frobenius distance of the two SECOND-MOMENT matrices,
+    // ‖E[xxᵀ]_g − E[xxᵀ]_rest‖²_F (Gretton et al., JMLR 2012, eq. 3 with
+    // the polynomial feature map φ(x) = vec(xxᵀ)). This is the
+    // covariance-sensitive companion to emb_drift_centroid: a source
+    // whose MEAN matches the corpus but whose correlation structure
+    // collapsed (e.g. duplicated/templated embeddings) moves this
+    // statistic and not that one. Integer-exact: q_i = floor(x_i·2^20),
+    // per-row upper-triangle products q_i·q_j (int64, ≤2^40) accumulate
+    // per (label, cell=i·65+jj) as DECIMAL(38,0) order-free sums; corpus
+    // moments RE-AGGREGATE the label partials (one corpus pass total);
+    // the per-cell delta takes ONE exact integer cross-difference
+    // s·n₂ − (sc−s)·n₁ before a pinned float divide, and the Frobenius
+    // fold runs in cell order (off-diagonal cells weighted ×2 for the
+    // skipped lower triangle). Scale shape: the explode is rows×2080
+    // structs but hash-aggregates WITH map-side combine, so the one
+    // exchange carries only |labels|×2080 partials per map partition;
+    // everything downstream is grid volume. O(rows·d²) compute is
+    // inherent to second moments; pair space never appears.
+    "emb_mmd_twosample" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+          .as("q"))
+      val cells = e.select(col("label"), explode(flatten(
+          transform(col("q"), (xi, i) =>
+            transform(slice(col("q"), i + 1, lit(64) - i), (xj, jj) =>
+              struct((i * 65 + jj).cast("long").as("cell"),
+                (xi * xj).as("p")))))).as("cp"))
+        .select(col("label"), col("cp.cell").as("cell"), col("cp.p").as("p"))
+      val sums = cells.groupBy("label", "cell")
+        .agg(expr("sum(CAST(p AS DECIMAL(38,0)))").as("s"),
+          count(lit(1)).as("n"))
+      val corpus = sums.groupBy("cell")
+        .agg(sum(col("s")).as("sc"), sum(col("n")).as("nt"))
+      val d = sums.join(broadcast(corpus), "cell")
+        .withColumn("n2", col("nt") - col("n"))
+        .filter(col("n2") > 0L)
+        .withColumn("delta",
+          expr("CAST(s * n2 - (sc - s) * n AS DOUBLE)")
+            / col("n").cast("double") / col("n2").cast("double")
+            / lit(1099511627776.0))
+        .withColumn("t", col("delta") * col("delta")
+          * when(col("cell") % 65L === 0L, lit(1.0)).otherwise(lit(2.0)))
+      d.groupBy(col("label"), col("n"))
+        .agg(sort_array(collect_list(struct(col("cell"), col("t"))))
+          .as("ds"))
+        .select(col("label"), col("n").as("n_vecs"),
+          aggregate(col("ds"), lit(0.0),
+            (a, x) => a + x.getField("t")).as("mmd2"))
+    }),
+
     // TOPIC-BALANCE audit: the trained k-means codebook's cluster × label
     // composition table — the "is any topic cluster dominated by one
     // feed, and is any feed missing from a topic" check curation reports
@@ -625,6 +678,35 @@ object SimilarityQueries {
                    / (1099511627776.0 * CAST(n AS DOUBLE)
                      * CAST(n - 1 AS DOUBLE)) AS avg_pair_cos
           FROM g WHERE n >= 2""",
+    "emb_mmd_twosample" ->
+      """WITH q AS (
+           SELECT label, i*64 + j AS cell,
+                  CAST(floor(CAST(embedding[i+1] AS DOUBLE)*1048576.0)
+                    AS BIGINT)
+                    * CAST(floor(CAST(embedding[j+1] AS DOUBLE)*1048576.0)
+                        AS BIGINT) AS p
+           FROM embeddings,
+                (SELECT unnest(range(64)) AS i),
+                (SELECT unnest(range(64)) AS j)
+           WHERE j >= i),
+         sums AS (SELECT label, cell, SUM(CAST(p AS HUGEINT)) AS s,
+                    CAST(COUNT(*) AS BIGINT) AS n
+                  FROM q GROUP BY 1, 2),
+         corpus AS (SELECT cell, SUM(s) AS sc, CAST(SUM(n) AS BIGINT) AS nt
+                    FROM sums GROUP BY 1),
+         d AS (SELECT label, su.cell AS cell, n,
+                 CAST(s * (nt - n) - (sc - s) * n AS DOUBLE)
+                   / CAST(n AS DOUBLE) / CAST(nt - n AS DOUBLE)
+                   / 1099511627776.0 AS delta,
+                 CASE WHEN su.cell % 65 = 0 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(2.0 AS DOUBLE) END AS w
+               FROM sums su JOIN corpus c ON su.cell = c.cell
+               WHERE (nt - n) > 0),
+         f AS (SELECT label, n,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(delta*delta*w ORDER BY cell)), (x,y)->x+y) AS mmd2
+               FROM d GROUP BY label, n)
+         SELECT label, n AS n_vecs, mmd2 FROM f""",
     "topic_balance" ->
       s"""WITH c0 AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
