@@ -662,12 +662,45 @@ object Dedup {
     * (r01 recomputed the explode three times). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
-      maxDf: Int = Int.MaxValue): DataFrame = {
-    // HASHED shingles as the index key (the fused native expression): the
-    // inverted-index shuffle carries 8-byte longs instead of shingle
-    // strings, and no shingle string is ever materialized. Jaccard over
-    // hashed shingles equals string Jaccard up to hash collisions, which
-    // the oracle reproduces identically.
+      maxDf: Int = Int.MaxValue): DataFrame =
+    shinglePairCounts(df, idCol, textCol, shingleN, maxDf)
+      .select(
+        col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+
+  /** n-gram CONTAINMENT pairs (Broder 1997, "containment of A in B"):
+    * C(a,b) = |Sa ∩ Sb| / min(|Sa|, |Sb|) >= minContainment. The
+    * asymmetric companion to [[jaccardPairs]]: a short document fully
+    * quoted inside a long one has containment 1.0 but Jaccard
+    * |a|/|b| ≈ 0 — the union denominator hides exactly the
+    * quote-inclusion / excerpt-republication duplication this catches
+    * (the intra-corpus form of the decontamination overlap rule, which
+    * normalizes by the BENCHMARK side for the same reason). Same
+    * inverted-index discipline and `maxDf` scale contract; min() keeps
+    * the score in [0,1] and symmetric under (a,b) ordering. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minContainment: Double = 0.8,
+      maxDf: Int = Int.MaxValue): DataFrame =
+    shinglePairCounts(df, idCol, textCol, shingleN, maxDf)
+      .select(
+        col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= minContainment)
+
+  /** Shared inverted-index core of [[jaccardPairs]] / [[containmentPairs]]:
+    * (id_a, id_b, n_inter, n_a, n_b) for every unordered doc pair sharing
+    * at least one (df-capped) shingle.
+    *
+    * HASHED shingles as the index key (the fused native expression): the
+    * inverted-index shuffle carries 8-byte longs instead of shingle
+    * strings, and no shingle string is ever materialized. Set overlap over
+    * hashed shingles equals string overlap up to hash collisions, which
+    * the oracle reproduces identically. */
+  private def shinglePairCounts(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, maxDf: Int): DataFrame = {
     val shingleSet = shingleHashes(col(textCol), shingleN)
     val sizes = df.select(col(idCol), size(shingleSet).as("n_shingles"))
 
@@ -696,11 +729,6 @@ object Dedup {
         Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("n_shingles").as("n_b")),
         Seq("id_b"))
-      .select(
-        col("id_a"), col("id_b"),
-        (col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Per-window keys for exact-substring span dedup: every SLIDING

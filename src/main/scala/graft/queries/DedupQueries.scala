@@ -429,6 +429,17 @@ object DedupQueries {
         shingleN = 3, minJaccard = 0.3, maxDf = 20)
     }),
 
+    // Asymmetric n-gram CONTAINMENT pairs (Broder 1997): score =
+    // |Sa∩Sb| / min(|Sa|,|Sb|) — flags a short doc quoted inside a long
+    // one (containment ~1) that Jaccard's union denominator buries at
+    // |a|/|b|. Run at the SCALE config (df cap 20, like
+    // dedup_jaccard_pairs_capped — same Σdf² bound, same exact-denominator
+    // semantics: a dropped ultra-common shingle can only lower the score).
+    "dedup_containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, minContainment = 0.5, maxDf = 20)
+    }),
+
     // Estimator-calibration audit of the verified scale config: every
     // capped-LSH candidate pair with estimated vs EXACT Jaccard and the
     // signed error — measures what "est >= 0.5" means on this corpus at
@@ -1180,6 +1191,27 @@ object DedupQueries {
          JOIN sizes a ON a.doc_id = id_a
          JOIN sizes b ON b.doc_id = id_b
          WHERE CAST(n_inter AS DOUBLE)/(a.n_shingles + b.n_shingles - n_inter)
-               >= 0.3"""
+               >= 0.3""",
+    "dedup_containment_pairs" ->
+      s"""WITH $shingleHashCte,
+         ds AS (SELECT doc_id, unnest(hs) AS shingle FROM sh),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ds GROUP BY 1),
+         kept AS (
+           SELECT d.* FROM ds d
+           JOIN (SELECT shingle FROM ds
+                 GROUP BY 1 HAVING COUNT(*) <= 20) z USING (shingle)),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
+           FROM kept l JOIN kept r ON l.shingle = r.shingle
+            AND l.doc_id < r.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                CAST(n_inter AS DOUBLE)/least(a.n_shingles, b.n_shingles)
+                  AS containment
+         FROM inter
+         JOIN sizes a ON a.doc_id = id_a
+         JOIN sizes b ON b.doc_id = id_b
+         WHERE CAST(n_inter AS DOUBLE)/least(a.n_shingles, b.n_shingles)
+               >= 0.5"""
   )
 }

@@ -425,6 +425,65 @@ object DistributionQueries {
             / (col("n_bigrams").cast("double") * lit(1e6))).as("avg_nll"))
     }),
 
+    // Per-document average NLL under an INTERPOLATED KNESER–NEY bigram
+    // LM (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.24) — the
+    // smoothing family the CCNet/KenLM quality-scoring stage actually
+    // uses, where `lm_bigram_score` is raw MLE. With absolute discount
+    // D = 3/4 held EXACT as a rational:
+    //   P(w|a) = (c(aw) − D)/c(a) + D·N1+(a·)/c(a) · N1+(·w)/T
+    //          = [(4·c(aw) − 3)·T + 3·N1+(a·)·N1+(·w)] / (4·c(a)·T)
+    // with N1+(a·) = distinct continuations of context a, N1+(·w) =
+    // distinct contexts preceding w (the "novel-continuation" count that
+    // makes KN rank "Francisco" below "glasses" despite higher raw
+    // frequency), T = total bigram types. Only OBSERVED bigrams are
+    // scored (each doc's bigrams are in the corpus table by
+    // construction), so 4·c(aw) − 3 ≥ 1 and the numerator is always
+    // positive. Both numerator and denominator are exact int64 products
+    // quantized ONCE through the shared qln — the oracle replays
+    // bit-for-bit; at 10^12 tokens the products exceed int64 and the
+    // same query quantizes per factor instead (the header's documented
+    // convention). Plan: ONE corpus bigram exchange; the context table
+    // (c_a + N1+(a·)) and continuation table (N1+(·w)) both
+    // re-aggregate c2's partials and join back UNHINTED — open bigram
+    // domain, so the shuffled hash join is the scale-safe plan (same
+    // discipline as lm_bigram_score); only the 1-row type total
+    // broadcasts.
+    "lm_kn_score" -> ((s, dir) => {
+      val ws = words(col("text"))
+      val bigrams = when(size(ws) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i + 1, lit(2)))))
+      val occ = docs(s, dir)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c_db"))
+      val c2 = occ.groupBy("bg").agg(sum("c_db").as("c_bg"))
+      val ctx = c2
+        .select(substring_index(col("bg"), " ", 1).as("a"), col("c_bg"))
+        .groupBy("a")
+        .agg(sum("c_bg").as("c_a"), count(lit(1)).as("n_follow"))
+      val cont = c2
+        .select(substring_index(col("bg"), " ", -1).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_precede"))
+      val tot = c2.agg(count(lit(1)).as("t_types"))
+      occ.join(c2, "bg")
+        .withColumn("a", substring_index(col("bg"), " ", 1))
+        .withColumn("w", substring_index(col("bg"), " ", -1))
+        .join(ctx, "a")
+        .join(cont, "w")
+        .crossJoin(broadcast(tot))
+        .withColumn("num",
+          (lit(4L) * col("c_bg") - lit(3L)) * col("t_types")
+            + lit(3L) * col("n_follow") * col("n_precede"))
+        .withColumn("den", lit(4L) * col("c_a") * col("t_types"))
+        .groupBy("doc_id")
+        .agg(sum(col("c_db")).as("n_bigrams"),
+          sum(col("c_db") * (qln(col("den")) - qln(col("num"))))
+            .as("nll_qsum"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll_qsum"),
+          (col("nll_qsum").cast("double")
+            / (col("n_bigrams").cast("double") * lit(1e6))).as("avg_nll"))
+    }),
+
     // Zipf-slope vocabulary health check: OLS slope of qln(count) on
     // qln(rank) over the top-64 vocabulary (natural text sits near −1;
     // template/boilerplate corpora flatten, spam steepens). Fully
@@ -453,6 +512,40 @@ object DistributionQueries {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("qden"))
         .withColumn("slope",
           col("qnum").cast("double") / col("qden").cast("double"))
+    }),
+
+    // TERM BURSTINESS over the top-64 vocabulary (Church & Gale 1995,
+    // "Poisson mixtures"): the variance-to-mean ratio of per-document
+    // term counts, with zero-count documents in the denominator. A term
+    // drawn independently per token is Poisson across docs (VMR ≈ 1 —
+    // function words); content words are bursty (VMR >> 1, they recur
+    // within the docs that mention them at all). As a corpus-health
+    // gate it reads both ways: boilerplate/templated corpora push even
+    // FUNCTION words' VMR up (the template repeats them in lockstep),
+    // and shuffled/synthetic text flattens content words toward 1.
+    // Exact integer core: with N docs, c_w = Σ_d c_dw, s2 = Σ_d c_dw²,
+    //   VMR = (N·s2 − c_w²) / (N·c_w)
+    // — both sides int64 at test SFs (decimal(38,0) at 10^12 rows, per
+    // the header convention), ONE exactly-rounded float divide at the
+    // end. Plan: one open-vocab (doc,w) exchange with map-side combine,
+    // a w-keyed roll-up, a 64-row TakeOrdered (never a full vocab sort),
+    // one 1-row broadcast — the zipf_slope shape plus a sum-of-squares.
+    "token_burstiness" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ndocs = d.agg(count(lit(1)).as("n_docs"))
+      val perDoc = d
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
+      val perW = perDoc.groupBy("w").agg(
+        sum("c_dw").as("c_w"),
+        sum(col("c_dw") * col("c_dw")).as("s2"),
+        count(lit(1)).as("df"))
+      perW.orderBy(col("c_w").desc, col("w").asc).limit(64)
+        .crossJoin(broadcast(ndocs))
+        .select(col("w"), col("c_w"), col("df"), col("n_docs"),
+          ((col("n_docs") * col("s2") - col("c_w") * col("c_w"))
+            .cast("double")
+            / (col("n_docs") * col("c_w")).cast("double")).as("vmr"))
     }),
 
     // VOCABULARY coverage curve — "how many distinct words cover X% of
@@ -853,6 +946,43 @@ object DistributionQueries {
          FROM c JOIN c2 USING (bg)
          JOIN c1 ON split_part(c.bg, ' ', 1) = c1.a
          GROUP BY doc_id""",
+    "lm_kn_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+         t AS (SELECT doc_id,
+                 unnest(CASE WHEN len(ws) < 2 THEN []
+                        ELSE [ws[i]||' '||ws[i+1]
+                              for i in range(1, len(ws))] END) AS bg
+               FROM w),
+         c AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c_db
+               FROM t GROUP BY doc_id, bg),
+         c2 AS (SELECT bg, CAST(SUM(c_db) AS BIGINT) AS c_bg
+                FROM c GROUP BY bg),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS a,
+                   CAST(SUM(c_bg) AS BIGINT) AS c_a,
+                   CAST(COUNT(*) AS BIGINT) AS n_follow
+                 FROM c2 GROUP BY 1),
+         cont AS (SELECT split_part(bg, ' ', 2) AS w,
+                    CAST(COUNT(*) AS BIGINT) AS n_precede
+                  FROM c2 GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM c2),
+         sc AS (SELECT doc_id, c_db,
+                  (4*c_bg - 3)*t_types + 3*n_follow*n_precede AS num,
+                  4*c_a*t_types AS den
+                FROM c JOIN c2 USING (bg)
+                JOIN ctx ON split_part(c.bg, ' ', 1) = ctx.a
+                JOIN cont ON split_part(c.bg, ' ', 2) = cont.w, tot)
+         SELECT doc_id, CAST(SUM(c_db) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c_db *
+             (CAST(floor(ln(CAST(den AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(num AS DOUBLE))*1e6) AS BIGINT)))
+             AS BIGINT) AS nll_qsum,
+           CAST(SUM(c_db *
+             (CAST(floor(ln(CAST(den AS DOUBLE))*1e6) AS BIGINT) -
+              CAST(floor(ln(CAST(num AS DOUBLE))*1e6) AS BIGINT)))
+             AS DOUBLE)
+             / (CAST(SUM(c_db) AS DOUBLE) * 1e6) AS avg_nll
+         FROM sc GROUP BY doc_id""",
     "src_bigram_entropy" ->
       """WITH w AS (SELECT source, string_split(text,' ') AS ws
                     FROM documents),
@@ -944,6 +1074,21 @@ object DistributionQueries {
            CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
              AS slope
          FROM s""",
+    "token_burstiness" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                    FROM documents),
+         c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c_dw
+               FROM t GROUP BY doc_id, w),
+         pw AS (SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c_w,
+                  CAST(SUM(c_dw*c_dw) AS BIGINT) AS s2,
+                  CAST(COUNT(*) AS BIGINT) AS df
+                FROM c GROUP BY w),
+         top AS (SELECT * FROM pw ORDER BY c_w DESC, w ASC LIMIT 64),
+         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT w, c_w, df, n_docs,
+           CAST(n_docs*s2 - c_w*c_w AS DOUBLE)
+             / CAST(n_docs*c_w AS DOUBLE) AS vmr
+         FROM top, nd""",
     "drift_psi_twosample" ->
       """WITH sb AS (SELECT source, n_chars // 100 AS bin,
                        CAST(COUNT(*) AS BIGINT) AS o1

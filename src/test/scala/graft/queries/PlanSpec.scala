@@ -80,6 +80,23 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("containment pairs ride the SAME single-exchange inverted-index " +
+      "core as jaccard (shared shinglePairCounts)") {
+    val df = graft.SparkEntry.queries("dedup_containment_pairs")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange") ||
+      "Exchange hashpartitioning\\(shingle".r.findAllIn(plan).size <= 1,
+      plan.take(3000))
+  }
+
+  test("token burstiness: top-64 is a bounded TakeOrdered over the " +
+      "rolled-up vocab — never a full vocabulary sort") {
+    val plan = executedPlan("token_burstiness")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("chunk passage dedup decodes text ONCE: one chunk-hash exchange " +
       "serves the multiplicity agg and the docs-per-chunk window, no " +
       "join, no second scan") {
@@ -362,6 +379,8 @@ class PlanSpec extends SparkSpec {
       "src_kl" -> Set("w"),
       "lm_unigram_score" -> Set("w"),
       "lm_bigram_score" -> Set("bg", "a"),
+      // Kneser–Ney joins the open bigram/context/continuation tables
+      "lm_kn_score" -> Set("bg", "a", "w"),
       // the trained BPE vocab spans the same open word domain
       "bpe_encode" -> Set("w"),
       "bpe_fertility" -> Set("w"),
