@@ -590,6 +590,69 @@ object DistributionQueries {
           col("c").as("boundary_count"))
     }),
 
+    // HEAPS' LAW fit — the vocabulary-GROWTH exponent β in
+    // V(n) ≈ K·n^β (Heaps 1978), the sizing companion to zipf_slope
+    // (static rank-frequency) and vocab_coverage (static mass): it
+    // answers "how fast does the vocabulary keep growing as the corpus
+    // doubles" — the number a tokenizer/vocab budget extrapolates.
+    // Natural text sits at β ≈ 0.4–0.6; β → 0 means a closed/templated
+    // vocabulary, β → 1 means id-like/no-reuse text (a tokenizer
+    // red flag either way. The scale trick: a Heaps curve needs a
+    // document ORDER and cumulative-distinct counts along it — a global
+    // sort plus a sequential scan, both non-starters at 10^12 rows.
+    // Instead the order is the HASH permutation h = polyHash(doc_id)
+    // (deterministic, ~uniform — a valid "random order" Heaps curve by
+    // exchangeability), and the curve is sampled at the ≤30 hash-prefix
+    // points h < 2^j, where BOTH coordinates are exact one-pass
+    // aggregates: docs(j) counts h by BIT LENGTH (length(bin(h)) —
+    // verified identical in Spark and DuckDB, no float log at bin
+    // edges), and vocab(j) counts words by bit length of min_doc h —
+    // a word is "new at prefix j" iff the FIRST doc (in hash order)
+    // containing it lands there. Plan: ONE open-vocab (w → min h)
+    // exchange with map-side combine, two ≤30-row histograms +
+    // bounded cumulative windows, and the zipf_slope integer-OLS fit
+    // of qln(vocab_cum) on qln(docs_cum); cumulative counts stay ≥ 1
+    // on every grid row (the lowest-h doc's words seed the curve), so
+    // qln is total. β is the one float division at the end.
+    "heaps_law" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.polyHash
+      // polyHash alone leaves short same-prefix ids clustered in h's
+      // high-order bits (the shared prefix dominates; only the last
+      // characters vary) — the affine scramble h·1103515245 + 12345
+      // mod the same prime is a BIJECTION (gcd(mult, p) = 1) that
+      // destroys the interval structure, spreading the permutation
+      // across all bit-length bins; the product stays < 1.2e18 (int64).
+      val d = docs(s, dir)
+        .select(pmod(polyHash(concat(lit("heaps:"),
+            col("doc_id").cast("string"))) * lit(1103515245L)
+            + lit(12345L), lit(1000000007L)).as("h"),
+          col("text"))
+      val dh = d.groupBy(length(bin(col("h"))).cast("long").as("b"))
+        .agg(count(lit(1)).as("nd"))
+      val wh = d.select(col("h"), explode(words(col("text"))).as("w"))
+        .groupBy("w").agg(min(col("h")).as("mh"))
+        .groupBy(length(bin(col("mh"))).cast("long").as("b"))
+        .agg(count(lit(1)).as("nv"))
+      val cumWin = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = dh.join(wh, Seq("b"), "left")
+        .withColumn("n_docs_cum", sum(col("nd")).over(cumWin))
+        .withColumn("vocab_cum",
+          sum(coalesce(col("nv"), lit(0L))).over(cumWin))
+        .select(col("b"), col("n_docs_cum"), col("vocab_cum"))
+      val fit = grid
+        .select(qln(col("n_docs_cum")).as("x"), qln(col("vocab_cum")).as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("beta"))
+      grid.crossJoin(broadcast(fit))
+    }),
+
     // Population stability index (PSI) per source vs rest-of-corpus —
     // the industry drift gate alongside KS/chi2/KL. Laplace-smoothed
     // (+1 per bin on BOTH sides, so empty bins never hit ln(0) and the
@@ -1055,6 +1118,42 @@ object DistributionQueries {
                 c AS boundary_count
          FROM x
          WHERE mass_before < need AND need <= mass_before + c*nw""",
+    "heaps_law" ->
+      s"""WITH d AS (SELECT
+             ((${TextQueries.sqlPolyHash(
+                 "'heaps:' || CAST(doc_id AS VARCHAR)")})
+              * 1103515245 + 12345) % 1000000007 AS h, text
+           FROM documents),
+         dh AS (SELECT CAST(length(bin(h)) AS BIGINT) AS b,
+                  CAST(COUNT(*) AS BIGINT) AS nd
+                FROM d GROUP BY 1),
+         wm AS (SELECT w, MIN(h) AS mh
+                FROM (SELECT h, unnest(string_split(text,' ')) AS w FROM d)
+                GROUP BY w),
+         wh AS (SELECT CAST(length(bin(mh)) AS BIGINT) AS b,
+                  CAST(COUNT(*) AS BIGINT) AS nv
+                FROM wm GROUP BY 1),
+         grid AS (SELECT dh.b,
+             CAST(SUM(nd) OVER (ORDER BY dh.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_docs_cum,
+             CAST(SUM(COALESCE(nv, 0)) OVER (ORDER BY dh.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS vocab_cum
+           FROM dh LEFT JOIN wh ON dh.b = wh.b),
+         pts AS (SELECT
+             CAST(floor(ln(CAST(n_docs_cum AS DOUBLE))*1e6) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(vocab_cum AS DOUBLE))*1e6) AS BIGINT) AS y
+           FROM grid),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx
+               FROM pts),
+         fit AS (SELECT CAST(n*sxy - sx*sy AS DOUBLE)
+                   / CAST(n*sxx - sx*sx AS DOUBLE) AS beta
+                 FROM s)
+         SELECT b, n_docs_cum, vocab_cum, beta FROM grid, fit""",
     "zipf_slope" ->
       """WITH top AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
                       FROM (SELECT unnest(string_split(text,' ')) AS w

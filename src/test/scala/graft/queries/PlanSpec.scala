@@ -97,6 +97,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("heaps_law: the doc-count branch prunes to doc_id only, and no " +
+      "sort-merge join appears (grid joins are broadcast-sized)") {
+    val plan = executedPlan("heaps_law")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
+
   test("chunk passage dedup decodes text ONCE: one chunk-hash exchange " +
       "serves the multiplicity agg and the docs-per-chunk window, no " +
       "join, no second scan") {
