@@ -81,6 +81,45 @@ object CorpusQueries {
           countDistinct("source").as("n_sources"))
     }),
 
+    // SHARD-MIX audit: per shard, the Shannon entropy of its SOURCE
+    // composition and its KL divergence from the corpus source mix —
+    // the "is the router actually shuffling" gate for the training
+    // loader (shard_assign reports sizes and distinct-source counts;
+    // this measures the mix: a shard can touch all sources yet be 95%
+    // one of them, which correlates consecutive gradients exactly the
+    // way curriculum literature warns). Integer-exact on the shared
+    // quantized log: entropy qh = n_s·qln(n_s) − Σ c·qln(c); KL term
+    // c·(qln(c·N) − qln(n_s·n_src)) — products ≤ N² stay int64 at test
+    // SFs (the header's 10^12 requantization caveat applies). Plan: ONE
+    // (shard, source) grid aggregation with map-side combine; the
+    // corpus source totals RE-AGGREGATE the grid (no second scan); grid
+    // volume is |shards|×|sources| everywhere downstream.
+    "shard_mix_entropy" -> ((s, dir) => {
+      import graft.queries.DistributionQueries.{qln => q}
+      val grid = docs(s, dir)
+        .select(pmod(fingerprint(col("text")), lit(8L)).as("shard"),
+          col("source"))
+        .groupBy("shard", "source").agg(count(lit(1)).as("c"))
+      val bySrc = grid.groupBy("source").agg(sum("c").as("n_src"))
+      val byShard = grid.groupBy("shard").agg(sum("c").as("n_s"))
+      val tot = bySrc.agg(sum("n_src").as("n_total"))
+      grid
+        .join(broadcast(bySrc), "source")
+        .join(broadcast(byShard), "shard")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("shard"), col("n_s"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("c") * q(col("c"))).as("qsum"),
+          sum(col("c") * (q(col("c") * col("n_total"))
+            - q(col("n_s") * col("n_src")))).as("kl_qsum"))
+        .select(col("shard"), col("n_s").as("n_docs"), col("n_sources"),
+          (((col("n_s") * q(col("n_s")) - col("qsum")).cast("double")
+            / (col("n_s").cast("double") * lit(1e6)))
+            / lit(0.6931471805599453)).as("entropy_bits"),
+          (col("kl_qsum").cast("double")
+            / (col("n_s").cast("double") * lit(1e6))).as("kl_to_corpus"))
+    }),
+
     // BPE tokenizer TRAINING (Sennrich et al. 2016): the first 4 merges
     // learned from the corpus word vocabulary, with bit-exact replay in
     // the oracle (pair counts are integer word-frequency sums; argmax
@@ -801,6 +840,35 @@ object CorpusQueries {
                  CAST(bucket*COUNT(*) - SUM(n) AS DOUBLE)
                    / CAST(bucket*COUNT(*) AS DOUBLE) AS waste_frac
           FROM b GROUP BY bucket""",
+    "shard_mix_entropy" ->
+      s"""WITH grid AS (
+           SELECT ((${TextQueries.sqlPolyHash("text")} % 8) + 8) % 8 AS shard,
+                  source, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         by_src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src
+                    FROM grid GROUP BY 1),
+         by_shard AS (SELECT shard, CAST(SUM(c) AS BIGINT) AS n_s
+                      FROM grid GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_total FROM by_src),
+         agg AS (SELECT g.shard, n_s,
+             CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE))*1e6) AS BIGINT))
+               AS BIGINT) AS qsum,
+             CAST(SUM(c *
+               (CAST(floor(ln(CAST(c*n_total AS DOUBLE))*1e6) AS BIGINT) -
+                CAST(floor(ln(CAST(n_s*n_src AS DOUBLE))*1e6) AS BIGINT)))
+               AS BIGINT) AS kl_qsum
+           FROM grid g JOIN by_src USING (source)
+           JOIN by_shard ON g.shard = by_shard.shard, tot
+           GROUP BY g.shard, n_s)
+         SELECT shard, n_s AS n_docs, n_sources,
+           (CAST(n_s * CAST(floor(ln(CAST(n_s AS DOUBLE))*1e6) AS BIGINT)
+              - qsum AS DOUBLE)
+             / (CAST(n_s AS DOUBLE) * 1e6)) / 0.6931471805599453
+             AS entropy_bits,
+           CAST(kl_qsum AS DOUBLE) / (CAST(n_s AS DOUBLE) * 1e6)
+             AS kl_to_corpus
+         FROM agg""",
     "shard_assign" ->
       s"""SELECT ((${TextQueries.sqlPolyHash("text")} % 8) + 8) % 8 AS shard,
             COUNT(*) AS n_docs,

@@ -653,6 +653,53 @@ object DistributionQueries {
       grid.crossJoin(broadcast(fit))
     }),
 
+    // TIME-axis drift — the ingestion-drift gate the source-axis
+    // two-sample family (drift_ks/chi2/psi/js, all "source vs rest")
+    // cannot see: per event_type, the exact two-sample KS between the
+    // value distribution of the FIRST and SECOND half of the stream's
+    // time range (midpoint of [min ts, max ts] in integer microseconds
+    // — deterministic, no quantile training). A feed whose payload
+    // distribution moves over ingestion time (schema rollouts, upstream
+    // reprocessing, seasonal shift) fires here while every per-source
+    // snapshot check stays green. Same integer cross-difference core as
+    // drift_ks_twosample: ks = max_bins |c1·n2 − c2·n1| / (n1·n2), all
+    // int64 until the one final divide. Plan: one (event_type, bin)
+    // grid aggregation with map-side combine; cumulative window runs
+    // per event_type over the value-domain grid (≤ |distinct floor
+    // (value)| rows per type — the same grid-bounded window contract as
+    // the source-axis KS); the 2-row min/max broadcast trains nothing.
+    "drift_time_halves" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          // ts is TIMESTAMP_NTZ; the cast is exact under the pinned UTC
+          // session timezone and epoch_us replays it in DuckDB
+          unix_micros(col("ts").cast("timestamp")).as("t"),
+          floor(col("value")).cast("long").as("bin"))
+      val rng = e.agg(min("t").as("t0"), max("t").as("t1"))
+      val sides = e.crossJoin(broadcast(rng))
+        .withColumn("s1",
+          when(col("t") * 2 <= col("t0") + col("t1"), 1L).otherwise(0L))
+        .groupBy("event_type", "bin")
+        .agg(sum(col("s1")).as("o1"),
+          sum(lit(1L) - col("s1")).as("o2"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("event_type"))
+      sides
+        .withColumn("c1", sum(col("o1")).over(w))
+        .withColumn("c2", sum(col("o2")).over(w))
+        .withColumn("n1", sum(col("o1")).over(tot))
+        .withColumn("n2", sum(col("o2")).over(tot))
+        .filter(col("n1") > 0L && col("n2") > 0L)
+        .groupBy(col("event_type"), col("n1"), col("n2"))
+        .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+          .as("ks_num"))
+        .select(col("event_type"), col("n1"), col("n2"), col("ks_num"),
+          (col("ks_num").cast("double")
+            / (col("n1") * col("n2")).cast("double")).as("ks"))
+    }),
+
     // Population stability index (PSI) per source vs rest-of-corpus —
     // the industry drift gate alongside KS/chi2/KL. Laplace-smoothed
     // (+1 per bin on BOTH sides, so empty bins never hit ln(0) and the
@@ -1118,6 +1165,34 @@ object DistributionQueries {
                 c AS boundary_count
          FROM x
          WHERE mass_before < need AND need <= mass_before + c*nw""",
+    "drift_time_halves" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+                      CAST(floor(value) AS BIGINT) AS bin
+                    FROM events),
+         rng AS (SELECT CAST(MIN(t) AS BIGINT) AS t0,
+                        CAST(MAX(t) AS BIGINT) AS t1 FROM e),
+         sides AS (SELECT event_type, bin,
+                     CAST(SUM(CASE WHEN t*2 <= t0 + t1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS o1,
+                     CAST(SUM(CASE WHEN t*2 <= t0 + t1 THEN 0 ELSE 1 END)
+                       AS BIGINT) AS o2
+                   FROM e, rng GROUP BY 1, 2),
+         cum AS (SELECT event_type, bin, o1, o2,
+             CAST(SUM(o1) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c1,
+             CAST(SUM(o2) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c2,
+             CAST(SUM(o1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+             CAST(SUM(o2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+           FROM sides)
+         SELECT event_type, n1, n2,
+           CAST(MAX(abs(c1*n2 - c2*n1)) AS BIGINT) AS ks_num,
+           CAST(MAX(abs(c1*n2 - c2*n1)) AS DOUBLE)
+             / CAST(n1*n2 AS DOUBLE) AS ks
+         FROM cum WHERE n1 > 0 AND n2 > 0
+         GROUP BY event_type, n1, n2""",
     "heaps_law" ->
       s"""WITH d AS (SELECT
              ((${TextQueries.sqlPolyHash(
