@@ -469,6 +469,61 @@ object Dedup {
     bandedHammingPairs(simhash64(df, idCol, textCol), idCol,
       maxHamming, maxBucketSize)
 
+  /** Estimator-calibration audit for the banded SimHash path — the
+    * cosine-sketch companion to [[minhashAuditPairs]]: every capped
+    * banded candidate pair with its hamming distance, the SimHash cosine
+    * ESTIMATE cos(π·h/64) (Charikar 2002 — h/64 estimates the angle
+    * fraction between the WORD-COUNT vectors, since the kernel weights
+    * every occurrence), and the EXACT count-vector cosine with the
+    * signed error. Determinism: the 65 possible estimates are a
+    * driver-literal table indexed by the integer h (the trained-literal
+    * pattern — the oracle embeds the very same Scala-printed doubles, so
+    * no cross-engine cos() ulp can differ); the exact side is integer
+    * dot/norm² with one pinned sqrt/divide chain. Scale: the exact side
+    * joins the (id, word, count) projection against the BOUNDED pair
+    * list only (bucket cap binds candidate volume) — the corpus is never
+    * self-joined. */
+  def simhashAuditPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val cand = simhashPairs64(df, idCol, textCol, maxHamming, maxBucketSize)
+    val wc = df
+      .select(col(idCol).as("wid"), explode(words(col(textCol))).as("w"))
+      .groupBy("wid", "w").agg(count(lit(1)).as("c"))
+    val norms = wc.groupBy("wid").agg(sum(col("c") * col("c")).as("n2"))
+    val dots = cand
+      .join(wc.select(col("wid").as("id_a"), col("w"), col("c").as("ca")),
+        Seq("id_a"))
+      .join(wc.select(col("wid").as("id_b"), col("w"), col("c").as("cb")),
+        Seq("id_b", "w"))
+      .groupBy("id_a", "id_b").agg(sum(col("ca") * col("cb")).as("dot"))
+    val estTable = (0 to 64).map(h => Math.cos(Math.PI * h / 64.0))
+    cand
+      .join(dots, Seq("id_a", "id_b"), "left")
+      .join(norms.select(col("wid").as("id_a"), col("n2").as("na2")),
+        Seq("id_a"))
+      .join(norms.select(col("wid").as("id_b"), col("n2").as("nb2")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        element_at(typedLit(estTable), col("hamming").cast("int") + 1)
+          .as("est_cos"),
+        (coalesce(col("dot"), lit(0L)).cast("double")
+          / (sqrt(col("na2").cast("double"))
+            * sqrt(col("nb2").cast("double")))).as("exact_cos"))
+      .withColumn("err", col("est_cos") - col("exact_cos"))
+  }
+
+  /** The 65 SimHash cosine estimates cos(π·h/64), printed exactly as the
+    * JVM computes them — interpolated into the DuckDB oracle so both
+    * engines read the IDENTICAL literal doubles (shortest round-trip
+    * repr; no cross-engine cos() evaluation anywhere). */
+  def simhashEstCosSqlArray: String =
+    (0 to 64).map(h => Math.cos(Math.PI * h / 64.0))
+      // STRING-cast, not a bare numeric literal: DuckDB parses bare
+      // decimals through DECIMAL first (double-rounding — observed 1-ulp
+      // drift at h=2); string→double is one correctly-rounded parse
+      .map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
+
   /** Hamming-banded near-dup pairs over ANY (id, bands: array<long>)
     * signature table — the blocking join [[simhashPairs64]] runs on text
     * SimHashes and [[graft.operators.Multimodal.phash64]] runs on media

@@ -211,6 +211,17 @@ object DedupQueries {
         maxBucketSize = 20)
     }),
 
+    // Estimator-calibration audit for the SimHash path (the cosine
+    // companion to dedup_minhash_audit): every capped banded candidate
+    // pair with hamming h, the Charikar estimate cos(π·h/64), the EXACT
+    // word-count-vector cosine, and the signed error. The 65 possible
+    // estimates are driver literals replayed verbatim by the oracle —
+    // no cross-engine cos() anywhere.
+    "dedup_simhash_audit" -> ((s, dir) => {
+      Dedup.simhashAuditPairs(docs(s, dir), "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 20)
+    }),
+
     // Train/benchmark decontamination: corpus docs containing >= 4% of a
     // benchmark doc's 3-gram shingles (asymmetric containment — the eval-
     // leakage metric; a low threshold here so the graded tail is
@@ -1153,6 +1164,57 @@ object DedupQueries {
               + bit_count(xor(a.bs[2], b.bs[2]))
               + bit_count(xor(a.bs[3], b.bs[3]))
               + bit_count(xor(a.bs[4], b.bs[4])) <= 3""",
+    "dedup_simhash_audit" ->
+      s"""WITH $simhash64BandsCte,
+          sigs AS (SELECT doc_id, list(band ORDER BY band_idx) AS bs
+                   FROM bands GROUP BY 1),
+          kept AS (
+            SELECT b.* FROM bands b
+            JOIN (SELECT band_idx, band FROM bands
+                  GROUP BY 1, 2 HAVING COUNT(*) <= 20) z
+              USING (band_idx, band)),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM kept l JOIN kept r
+              ON l.band_idx = r.band_idx AND l.band = r.band
+             AND l.doc_id < r.doc_id),
+          candh AS (
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(a.bs[1], b.bs[1]))
+                      + bit_count(xor(a.bs[2], b.bs[2]))
+                      + bit_count(xor(a.bs[3], b.bs[3]))
+                      + bit_count(xor(a.bs[4], b.bs[4])) AS INT) AS hamming
+            FROM cand
+            JOIN sigs a ON a.doc_id = id_a
+            JOIN sigs b ON b.doc_id = id_b
+            WHERE bit_count(xor(a.bs[1], b.bs[1]))
+                + bit_count(xor(a.bs[2], b.bs[2]))
+                + bit_count(xor(a.bs[3], b.bs[3]))
+                + bit_count(xor(a.bs[4], b.bs[4])) <= 3),
+          wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                       FROM documents)
+                 GROUP BY 1, 2),
+          norms AS (SELECT doc_id, CAST(SUM(c*c) AS BIGINT) AS n2
+                    FROM wc GROUP BY 1),
+          dots AS (SELECT id_a, id_b, CAST(SUM(wa.c*wb.c) AS BIGINT) AS dot
+                   FROM candh
+                   JOIN wc wa ON wa.doc_id = id_a
+                   JOIN wc wb ON wb.doc_id = id_b AND wb.w = wa.w
+                   GROUP BY 1, 2),
+          est AS (SELECT ${Dedup.simhashEstCosSqlArray} AS t),
+          f AS (SELECT c.id_a, c.id_b, c.hamming,
+                  t[c.hamming + 1] AS est_cos,
+                  CAST(COALESCE(dot, 0) AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE))
+                       * sqrt(CAST(nb.n2 AS DOUBLE))) AS exact_cos
+                FROM candh c
+                LEFT JOIN dots USING (id_a, id_b)
+                JOIN norms na ON na.doc_id = c.id_a
+                JOIN norms nb ON nb.doc_id = c.id_b, est)
+          SELECT id_a, id_b, hamming, est_cos, exact_cos,
+                 est_cos - exact_cos AS err
+          FROM f""",
     "decontaminate_overlap" -> containmentSql(0.04),
     "dedup_jaccard_pairs" ->
       s"""WITH $shingleHashCte,

@@ -60,6 +60,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1._2 == 5L || p._1._1 == 5L))
   }
 
+  test("containment pairs: a short doc fully inside a long one scores " +
+      "1.0 while its jaccard is the size ratio — the asymmetric case") {
+    // doc 7 (4 words = 2 shingles) is verbatim inside doc 6 (12 words =
+    // 10 shingles): containment = 2/min(2,10) = 1.0, jaccard = 2/10
+    val quote = Seq(
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu"),
+      (7L, "alpha beta gamma delta"),
+      (8L, "nu xi omicron pi rho sigma")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(quote, "doc_id", "text",
+        shingleN = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(cont((6L, 7L)) === 1.0)
+    assert(!cont.keySet.exists(p => p._1 == 8L || p._2 == 8L))
+    val jac = Dedup.jaccardPairs(quote, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.9).collect()
+    assert(!jac.exists(r => r.getLong(0) == 6L && r.getLong(1) == 7L),
+      "jaccard at the same threshold must MISS the quote-inclusion pair")
+  }
+
   test("minhash audit: exact side equals jaccardPairs, est from the LSH " +
       "pair list, exact dup has zero error") {
     val audit = Dedup.minhashAuditPairs(docs, "doc_id", "text",
