@@ -96,17 +96,22 @@ object CorpusQueries {
     // volume is |shards|×|sources| everywhere downstream.
     "shard_mix_entropy" -> ((s, dir) => {
       import graft.queries.DistributionQueries.{qln => q}
+      // totals come from WINDOWS over the |shards|×|sources| grid, not
+      // re-aggregations of the grid DataFrame: re-deriving it per total
+      // re-plans the corpus scan each time (the first cut scanned
+      // documents 4×; PlanSpec pins 1)
       val grid = docs(s, dir)
         .select(pmod(fingerprint(col("text")), lit(8L)).as("shard"),
           col("source"))
         .groupBy("shard", "source").agg(count(lit(1)).as("c"))
-      val bySrc = grid.groupBy("source").agg(sum("c").as("n_src"))
-      val byShard = grid.groupBy("shard").agg(sum("c").as("n_s"))
-      val tot = bySrc.agg(sum("n_src").as("n_total"))
+        .withColumn("n_src",
+          sum("c").over(Window.partitionBy(col("source"))))
+        .withColumn("n_s",
+          sum("c").over(Window.partitionBy(col("shard"))))
+        .withColumn("n_total", sum("c").over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
       grid
-        .join(broadcast(bySrc), "source")
-        .join(broadcast(byShard), "shard")
-        .crossJoin(broadcast(tot))
         .groupBy(col("shard"), col("n_s"))
         .agg(count(lit(1)).as("n_sources"),
           sum(col("c") * q(col("c"))).as("qsum"),

@@ -211,6 +211,48 @@ object DedupQueries {
         maxBucketSize = 20)
     }),
 
+    // PAIR-TYPE classification of the capped LSH candidate list:
+    // annotate every candidate near-dup pair with its estimated
+    // CONTAINMENT of the smaller shingle set — est J recovers the
+    // intersection against EXACT set sizes (a pure projection):
+    //   I_est = J·(na+nb)/(1+J),  cont_est = I_est/min(na,nb)
+    // — and classify: "inclusion" (cont ≥ 0.9 but J < 0.7: one doc
+    // swallowed the other — drop the fragment, keep the superset),
+    // "mutual" (J ≥ 0.7: true near-dups — keep-one policy applies),
+    // else "partial" (shared boilerplate — a rewrite, not a drop).
+    // Policy-relevant because the right ACTION differs per type; the
+    // exact dedup_containment_pairs is the complete inclusion finder
+    // (LSH recalls by Jaccard, so a tiny-fragment inclusion below the
+    // est threshold never reaches this list — stated limitation; this
+    // query types the pairs the pipeline ALREADY pays for). All
+    // arithmetic is a fixed IEEE chain over exact integers (est is an
+    // exact binary fraction m/16), replayed verbatim by the oracle.
+    "dedup_pair_type" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Dedup.minhashLshPairs(d, "doc_id", "text",
+        k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20)
+      val sizes = d.select(col("doc_id"),
+        size(graft.functions.TextFunctions.shingleHashes(col("text"), 3))
+          .cast("long").as("ns"))
+      cand
+        .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("n_a")),
+          Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("n_b")),
+          Seq("id_b"))
+        .withColumn("est_containment",
+          when(least(col("n_a"), col("n_b")) === 0L, lit(1.0))
+            .otherwise(
+              col("est_sim") * (col("n_a") + col("n_b")).cast("double")
+                / (lit(1.0) + col("est_sim"))
+                / least(col("n_a"), col("n_b")).cast("double")))
+        .withColumn("pair_type",
+          when(col("est_sim") >= 0.7, "mutual")
+            .when(col("est_containment") >= 0.9, "inclusion")
+            .otherwise("partial"))
+        .select("id_a", "id_b", "est_sim", "n_a", "n_b",
+          "est_containment", "pair_type")
+    }),
+
     // Estimator-calibration audit for the SimHash path (the cosine
     // companion to dedup_minhash_audit): every capped banded candidate
     // pair with hamming h, the Charikar estimate cos(π·h/64), the EXACT
@@ -242,6 +284,34 @@ object DedupQueries {
     // pair list alone doesn't give: A~B, B~C groups A and C without a
     // direct pair.
     "dedup_clusters" -> ((s, dir) => corpusClusters(docs(s, dir))),
+
+    // Cluster-SIZE distribution + singleton complement — the "how much
+    // mass sits in how-big duplicate clusters" table every dedup paper
+    // reports (and the sizing input for a keep-one policy: n_docs −
+    // n_clusters rows disappear at size k). Singletons are the exact
+    // complement (corpus totals minus clustered totals — no second
+    // corpus pass), so the histogram partitions the whole corpus by
+    // construction. Scale: rides the edge-bounded cluster labels; the
+    // histogram is |distinct size| ≤ √(2·|clustered docs|) rows.
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = corpusClusters(d).select(col("doc_id"), col("cluster_id"))
+        .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val per = m.groupBy("cluster_id")
+        .agg(count(lit(1)).as("k"), sum("n_chars").as("chars"))
+      val hist = per.groupBy(col("k").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("k")).as("n_docs"),
+          sum("chars").as("total_chars"))
+      val tot = d.agg(count(lit(1)).as("nd"), sum("n_chars").as("nc"))
+      val cl = per.agg(coalesce(sum(col("k")), lit(0L)).as("cd"),
+        coalesce(sum("chars"), lit(0L)).as("cc"))
+      val single = tot.crossJoin(broadcast(cl)).select(
+        lit(1L).as("cluster_size"),
+        (col("nd") - col("cd")).as("n_clusters"),
+        (col("nd") - col("cd")).as("n_docs"),
+        (col("nc") - col("cc")).as("total_chars"))
+      hist.unionByName(single).filter(col("n_clusters") > 0L)
+    }),
 
     // QUALITY-AWARE canonical selection per duplicate cluster: instead of
     // dedup_clusters' min-id keeper, each cluster keeps its LONGEST
@@ -1026,6 +1096,30 @@ object DedupQueries {
           SELECT doc_id, cluster AS cluster_id,
                  doc_id = cluster AS is_keeper
           FROM labels""",
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsCappedSql),
+          $clusterLabelsCte,
+          m AS (SELECT l.cluster AS cid, d.n_chars
+                FROM labels l JOIN documents d USING (doc_id)),
+          per AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS k,
+                    CAST(SUM(n_chars) AS BIGINT) AS chars
+                  FROM m GROUP BY 1),
+          hist AS (SELECT k AS cluster_size,
+                     CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                     CAST(SUM(k) AS BIGINT) AS n_docs,
+                     CAST(SUM(chars) AS BIGINT) AS total_chars
+                   FROM per GROUP BY 1),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                    CAST(SUM(n_chars) AS BIGINT) AS nc FROM documents),
+          cl AS (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) AS cd,
+                   CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS cc FROM per),
+          single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+                       nd - cd AS n_clusters, nd - cd AS n_docs,
+                       nc - cc AS total_chars
+                     FROM tot, cl)
+          SELECT * FROM (SELECT * FROM hist UNION ALL
+                         SELECT * FROM single)
+          WHERE n_clusters > 0""",
     "dedup_canonical" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsCappedSql),
           $clusterLabelsCte,
@@ -1164,6 +1258,26 @@ object DedupQueries {
               + bit_count(xor(a.bs[2], b.bs[2]))
               + bit_count(xor(a.bs[3], b.bs[3]))
               + bit_count(xor(a.bs[4], b.bs[4])) <= 3""",
+    "dedup_pair_type" ->
+      s"""WITH $shingleHashCte,
+          p AS ($minhashPairsCappedSql),
+          sz AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS ns FROM sh),
+          f AS (SELECT p.id_a, p.id_b, p.est_sim,
+                  a.ns AS n_a, b.ns AS n_b,
+                  CASE WHEN least(a.ns, b.ns) = 0
+                       THEN CAST('1.0' AS DOUBLE)
+                       ELSE est_sim * CAST(a.ns + b.ns AS DOUBLE)
+                            / (CAST('1.0' AS DOUBLE) + est_sim)
+                            / CAST(least(a.ns, b.ns) AS DOUBLE)
+                  END AS est_containment
+                FROM p
+                JOIN sz a ON a.doc_id = p.id_a
+                JOIN sz b ON b.doc_id = p.id_b)
+          SELECT id_a, id_b, est_sim, n_a, n_b, est_containment,
+                 CASE WHEN est_sim >= 0.7 THEN 'mutual'
+                      WHEN est_containment >= 0.9 THEN 'inclusion'
+                      ELSE 'partial' END AS pair_type
+          FROM f""",
     "dedup_simhash_audit" ->
       s"""WITH $simhash64BandsCte,
           sigs AS (SELECT doc_id, list(band ORDER BY band_idx) AS bs

@@ -97,6 +97,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("emb_mmd_twosample: moment partials hash-aggregate map-side — " +
+      "ONE corpus scan, no vec-keyed exchange, broadcast-only joins") {
+    val plan = finalPlan("emb_mmd_twosample")
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(4000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(4000))
+    "Exchange hashpartitioning\\(([^)]*)".r.findAllIn(plan).matchData
+      .foreach(m => assert(!m.group(1).contains("vec_id"),
+        plan.take(4000)))
+  }
+
+  test("time-axis drift and shard-mix audits stay grid-shaped: the " +
+      "corpus collapses in ONE aggregation; windows run on the grid") {
+    // drift_time_halves legitimately scans events twice: the 1-row
+    // time-range aggregate must complete before the halves classify
+    // (its branch prunes to ts only); the classifying scan is ONE
+    // grid aggregation. shard_mix is a single-scan grid collapse.
+    val dt = finalPlan("drift_time_halves")
+    assert("Scan parquet".r.findAllIn(dt).size <= 2, dt.take(4000))
+    assert(dt.contains("ReadSchema: struct<ts:timestamp_ntz>"),
+      dt.take(4000))
+    assert(!dt.contains("SortMergeJoin"), dt.take(4000))
+    val sm = finalPlan("shard_mix_entropy")
+    assert("Scan parquet".r.findAllIn(sm).size === 1, sm.take(4000))
+    assert(!sm.contains("SortMergeJoin"), sm.take(4000))
+  }
+
   test("heaps_law: the doc-count branch prunes to doc_id only, and no " +
       "sort-merge join appears (grid joins are broadcast-sized)") {
     val plan = executedPlan("heaps_law")
