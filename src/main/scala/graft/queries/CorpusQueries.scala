@@ -191,6 +191,86 @@ object CorpusQueries {
             / col("n_bpe_tokens").cast("double"))
     }),
 
+    // UNIGRAM-LM (SentencePiece) VITERBI segmentation — the inference
+    // half of Kudo 2018's ULM tokenizer, the principled alternative to
+    // BPE's greedy merges this inventory already ships: pieces are all
+    // 1..4-char substrings of corpus words (singletons kept
+    // unconditionally — the closure that makes every word segmentable;
+    // longer pieces kept at corpus mass ≥ 8), scored by the quantized
+    // log-probability qs = qln(mass) − qln(Z), and each distinct word
+    // takes its MAXIMUM-SCORE segmentation by exact integer Viterbi:
+    //   best[i] = max over spans (j, i] in vocab of best[j] + qs(piece)
+    // with the deterministic tie-break (score, then LARGER j — prefer
+    // the shorter final piece), replayed position-for-position in
+    // DuckDB. The whole DP runs INSIDE the row as codegen-friendly
+    // higher-order functions — no per-position shuffle, no driver loop:
+    // the only exchanges are the two open-vocab aggregations (word
+    // counts, piece mass) and the piece-score join (UNHINTED, the
+    // lm_* discipline). Output: the top-64 pieces by corpus-weighted
+    // usage in the chosen segmentations — the "which pieces would this
+    // tokenizer actually spend its vocabulary on" table next to
+    // bpe_merges. Integer-exact end to end: scores are int64 qln sums;
+    // the only floats are none at all.
+    "ulm_viterbi_encode" -> ((s, dir) => {
+      val sent = "-1152921504606846976" // -(2^60): unreachable sentinel
+      val d = docs(s, dir)
+      val wc = d.select(explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val spans = wc.select(col("w"), col("c_w"),
+          explode(expr(
+            "flatten(transform(sequence(0, length(w)-1), i -> " +
+              "transform(sequence(1, least(4, length(w)-i)), L -> " +
+              "named_struct('start', i, 'len', L, " +
+              "'piece', substring(w, i+1, L)))))")).as("sp"))
+        .select(col("w"), col("c_w"),
+          col("sp.start").as("start"), col("sp.len").as("len"),
+          col("sp.piece").as("piece"))
+      val vocab = spans.groupBy("piece").agg(sum("c_w").as("sv"))
+        .filter(length(col("piece")) === 1 || col("sv") >= 8L)
+      val z = vocab.agg(sum("sv").as("z"))
+      val scored = vocab.crossJoin(broadcast(z))
+        .select(col("piece"),
+          (DistributionQueries.qln(col("sv"))
+            - DistributionQueries.qln(col("z"))).as("qs"))
+      val perWord = spans.join(scored, Seq("piece"))
+        .withColumn("end", col("start") + col("len"))
+        .groupBy("w", "c_w")
+        .agg(sort_array(collect_list(
+          struct(col("end"), col("start"), col("qs")))).as("sps"))
+      val dp = perWord.withColumn("dp", expr(s"""
+        aggregate(sps,
+          transform(sequence(0, length(w)),
+            i -> named_struct('s', IF(i = 0, 0L, ${sent}L),
+                              'bp', -1)),
+          (st, sp) -> transform(st, (cell, idx) ->
+            IF(idx = sp.end
+                 AND element_at(st, sp.start + 1).s > ${sent}L
+                 AND (element_at(st, sp.start + 1).s + sp.qs > cell.s
+                      OR (element_at(st, sp.start + 1).s + sp.qs = cell.s
+                          AND sp.start > cell.bp)),
+               named_struct('s', element_at(st, sp.start + 1).s + sp.qs,
+                            'bp', sp.start),
+               cell)))"""))
+      // backtrace: the visited-position chain (strictly decreasing, so
+      // length(w) iterations always suffice), then pieces between
+      // consecutive positions
+      val segs = dp
+        .withColumn("pos_chain", expr("""
+          aggregate(sequence(1, length(w)),
+            array(length(w)),
+            (acc, step) -> IF(element_at(acc, 1) <= 0, acc,
+              concat(array(element_at(dp,
+                element_at(acc, 1) + 1).bp), acc)))"""))
+        .withColumn("pieces", expr("""
+          transform(sequence(1, size(pos_chain) - 1), k ->
+            substring(w, element_at(pos_chain, k) + 1,
+              element_at(pos_chain, k + 1) - element_at(pos_chain, k)))"""))
+      segs.select(col("c_w"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum("c_w").as("n_uses"))
+        .orderBy(col("n_uses").desc, col("piece").asc).limit(64)
+    }),
+
     // EXACT-budget source mixing: allocate a global budget of 100 docs
     // across sources proportionally to size, with largest-remainder
     // rounding (quotas sum to the budget EXACTLY — the hash-threshold
@@ -886,6 +966,66 @@ object CorpusQueries {
           UNION ALL SELECT CAST(2 AS INT), pr, cnt FROM m2
           UNION ALL SELECT CAST(3 AS INT), pr, cnt FROM m3
           UNION ALL SELECT CAST(4 AS INT), pr, cnt FROM m4""",
+    // NOTE the DP is relational (recursive CTE over a rolling 4-cell
+    // window + a backtrace recursion) rather than a list_reduce fold:
+    // DuckDB 1.0's nested-lambda accumulator capture is nondeterministic
+    // under parallel execution (observed: same query, different results
+    // run-to-run), so the oracle uses only joins/aggregates; max(struct)
+    // replays the (score, larger-start) tie-break lexicographically.
+    "ulm_viterbi_encode" ->
+      """WITH RECURSIVE t AS (SELECT unnest(string_split(text,' ')) AS w
+                              FROM documents),
+         wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM t
+                WHERE len(w) > 0 GROUP BY w),
+         spans AS (SELECT w, c_w, sp.sta AS sta, sp.ln AS ln,
+                     sp.piece AS piece
+                   FROM (SELECT w, c_w, unnest(flatten(
+                     [[{'sta': i, 'ln': L, 'piece': substr(w, i+1, L)}
+                       for L in range(1, least(4, len(w)-i)+1)]
+                      for i in range(0, len(w))])) AS sp
+                     FROM wc)),
+         vocab AS (SELECT piece, CAST(SUM(c_w) AS BIGINT) AS sv
+                   FROM spans GROUP BY 1
+                   HAVING len(piece) = 1 OR SUM(c_w) >= 8),
+         z AS (SELECT CAST(SUM(sv) AS BIGINT) AS z FROM vocab),
+         scored AS (SELECT piece,
+             CAST(floor(ln(CAST(sv AS DOUBLE))*1e6) AS BIGINT)
+             - CAST(floor(ln(CAST(z AS DOUBLE))*1e6) AS BIGINT) AS qs
+           FROM vocab, z),
+         sp2 AS (SELECT s.w, s.sta, s.sta + s.ln AS e, sc.qs
+                 FROM spans s JOIN scored sc USING (piece)),
+         dpstep(w, c_w, i, last4, s, bp) AS (
+           SELECT w, c_w, 0,
+             [{'s': CAST(-1152921504606846976 AS BIGINT), 'bp': -1},
+              {'s': CAST(-1152921504606846976 AS BIGINT), 'bp': -1},
+              {'s': CAST(-1152921504606846976 AS BIGINT), 'bp': -1},
+              {'s': CAST(0 AS BIGINT), 'bp': -1}],
+             CAST(0 AS BIGINT), -1
+           FROM wc
+           UNION ALL
+           SELECT w, c_w, i + 1,
+             [last4[2], last4[3], last4[4], {'s': best.s, 'bp': best.bp}],
+             best.s, best.bp
+           FROM (
+             SELECT d.w, d.c_w, d.i, first(d.last4) AS last4,
+               max({'s': d.last4[4 - d.i + s2.sta].s + s2.qs,
+                    'bp': s2.sta}) AS best
+             FROM dpstep d
+             JOIN sp2 s2 ON s2.w = d.w AND s2.e = d.i + 1
+             WHERE d.i + 1 <= len(d.w)
+               AND d.last4[4 - d.i + s2.sta].s
+                   > CAST(-1152921504606846976 AS BIGINT)
+             GROUP BY d.w, d.c_w, d.i)),
+         dpfull AS (SELECT w, c_w, i, s, bp FROM dpstep WHERE i > 0),
+         bt(w, c_w, pos, piece) AS (
+           SELECT w, c_w, len(w), CAST(NULL AS VARCHAR) FROM wc
+           UNION ALL
+           SELECT b.w, b.c_w, d.bp, substr(b.w, d.bp + 1, b.pos - d.bp)
+           FROM bt b JOIN dpfull d ON d.w = b.w AND d.i = b.pos
+           WHERE b.pos > 0)
+         SELECT piece, CAST(SUM(c_w) AS BIGINT) AS n_uses
+         FROM bt WHERE piece IS NOT NULL
+         GROUP BY piece ORDER BY n_uses DESC, piece ASC LIMIT 64""",
     "bpe_encode" ->
       s"""WITH ${bpeCtesSql(4)},
           tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

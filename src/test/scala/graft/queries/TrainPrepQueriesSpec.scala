@@ -178,4 +178,25 @@ class TrainPrepQueriesSpec extends SparkSpec {
     assert(wastes == wastes.sorted.reverse,
       "waste must not increase with a longer context")
   }
+
+  test("ulm_viterbi_encode: Viterbi picks maximum-score segmentations — " +
+      "frequent words keep 4-char pieces, pieces never exceed 4 chars, " +
+      "and the table is reproducible") {
+    def snap() = graft.SparkEntry.queries("ulm_viterbi_encode")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val rows = snap()
+    val m = rows.toMap
+    // 'scan' (a frequent corpus word, len 4) must survive as ONE piece:
+    // qln is concave, so for a word this common one 4-char piece beats
+    // any split into its substrings
+    assert(m.contains("scan"), rows.take(10).mkString(", "))
+    // vocabulary contract: pieces are 1..4 chars, usage positive
+    rows.foreach { case (p, n) =>
+      assert(p.nonEmpty && p.length <= 4 && n > 0L, s"($p, $n)")
+    }
+    // top-64 ordering is (n_uses desc, piece asc) — deterministic
+    assert(rows.sameElements(rows.sortBy { case (p, n) => (-n, p) }))
+    // bit-for-bit reproducible across evaluations
+    assert(snap().sameElements(rows))
+  }
 }
