@@ -66,6 +66,45 @@ object TextQueries {
           .otherwise(lit("low")).as("quality_class"))
     }),
 
+    // GOPHER rule bundle (Rae et al. 2021, App. A) — the NAMED industry
+    // per-document gate set next to the generic text_quality scores,
+    // rolled up to per-source FAIL counts (the table a curation run
+    // reads to decide which feed needs which filter):
+    //   g1 word count ∈ [50, 100000]         g2 mean word len ∈ [3, 10]
+    //   g3 symbol words ("#"/"...") ≤ 10%    g4 alphabetic words ≥ 80%
+    //   g5 ≥ 2 distinct stopwords present
+    // Every predicate is INTEGER arithmetic (e.g. g2 as 3·n_words ≤
+    // n_letter_chars ≤ 10·n_words; ratio gates cross-multiplied), so
+    // the oracle replays booleans exactly — no float thresholds. ONE
+    // corpus scan of when-chain projections, |sources|-row aggregate.
+    "quality_gopher" -> ((s, dir) => {
+      val w = words(col("text"))
+      val nWords = size(w).cast("long")
+      val letters = (col("n_chars") - size(w) + 1).cast("long")
+      val nSym = size(filter(w,
+        x => x === "#" || x === "...")).cast("long")
+      val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+      val nStop = size(array_intersect(array_distinct(w),
+        typedLit(enStopwords))).cast("long")
+      val f1 = nWords < 50L || nWords > 100000L
+      val f2 = letters < lit(3L) * nWords || letters > lit(10L) * nWords
+      val f3 = lit(10L) * nSym > nWords
+      val f4 = lit(5L) * nAlpha < lit(4L) * nWords
+      val f5 = nStop < 2L
+      docs(s, dir)
+        .select(col("source"), f1.as("f1"), f2.as("f2"), f3.as("f3"),
+          f4.as("f4"), f5.as("f5"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f1").cast("long")).as("fail_wordcount"),
+          sum(col("f2").cast("long")).as("fail_wordlen"),
+          sum(col("f3").cast("long")).as("fail_symbol"),
+          sum(col("f4").cast("long")).as("fail_alpha"),
+          sum(col("f5").cast("long")).as("fail_stopword"),
+          sum((col("f1") || col("f2") || col("f3") || col("f4")
+            || col("f5")).cast("long")).as("fail_any"))
+    }),
+
     // language-ID heuristic: stopword hit-ratio (n-gram heuristics reduce
     // to fixed token-set membership on this whitespace corpus)
     "text_langid" -> ((s, dir) => {
@@ -234,6 +273,41 @@ object TextQueries {
          CASE WHEN n_chars >= 100 AND len(string_split(text,' ')) >= 20
               THEN 'good' ELSE 'low' END AS quality_class
          FROM documents""",
+    "quality_gopher" ->
+      s"""WITH m AS (SELECT source,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS nw,
+             CAST(n_chars - len(string_split(text,' ')) + 1 AS BIGINT)
+               AS letters,
+             CAST(len(list_filter(string_split(text,' '),
+               x -> x = '#' OR x = '...')) AS BIGINT) AS nsym,
+             CAST(len(list_filter(string_split(text,' '),
+               x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
+             CAST(len(list_intersect(list_distinct(string_split(text,' ')),
+               [${graft.functions.TextFunctions.enStopwords
+                   .map("'" + _ + "'").mkString(", ")}]))
+               AS BIGINT) AS nstop
+           FROM documents),
+         f AS (SELECT source,
+             (nw < 50 OR nw > 100000) AS f1,
+             (letters < 3*nw OR letters > 10*nw) AS f2,
+             (10*nsym > nw) AS f3,
+             (5*nalpha < 4*nw) AS f4,
+             (nstop < 2) AS f5
+           FROM m)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_wordcount,
+           CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_wordlen,
+           CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_symbol,
+           CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_alpha,
+           CAST(SUM(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_stopword,
+           CAST(SUM(CASE WHEN f1 OR f2 OR f3 OR f4 OR f5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fail_any
+         FROM f GROUP BY source""",
     "text_langid" ->
       s"""SELECT doc_id, lang,
           $sqlStopRatio AS stop_ratio,
