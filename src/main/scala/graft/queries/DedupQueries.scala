@@ -211,6 +211,35 @@ object DedupQueries {
         maxBucketSize = 20)
     }),
 
+    // RECALL audit of the production LSH config — the other half of the
+    // estimator story: dedup_minhash_audit measures PRECISION-side
+    // calibration (est vs exact on the candidates), this measures what
+    // the blocking MISSES: every exact Jaccard pair ≥ 0.3 (the capped
+    // inverted-index ground truth) joined against the capped-LSH
+    // pipeline's pair list, banded by TRUE similarity — the
+    // "recall ≈ 1−(1−s^k)^b you assumed; here is the recall you GOT,
+    // per band, on this corpus" table (band-cap drops and est-threshold
+    // rejections both count as misses, because the pipeline drops them
+    // in production too). Scale: both sides are the already-bounded
+    // pair lists; the join is pair-keyed on bounded volume.
+    "dedup_lsh_recall_audit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Dedup.jaccardPairs(d, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.3, maxDf = 20)
+      val cand = Dedup.minhashLshPairs(d, "doc_id", "text",
+          k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20)
+        .select(col("id_a"), col("id_b"), lit(1L).as("caught"))
+      exact.join(cand, Seq("id_a", "id_b"), "left")
+        .select(floor(col("jaccard") * 10).cast("long").as("band"),
+          coalesce(col("caught"), lit(0L)).as("caught"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_exact_pairs"),
+          sum(col("caught")).as("n_caught"))
+        .withColumn("recall",
+          col("n_caught").cast("double")
+            / col("n_exact_pairs").cast("double"))
+    }),
+
     // PAIR-TYPE classification of the capped LSH candidate list:
     // annotate every candidate near-dup pair with its estimated
     // CONTAINMENT of the smaller shingle set — est J recovers the
@@ -1258,6 +1287,39 @@ object DedupQueries {
               + bit_count(xor(a.bs[2], b.bs[2]))
               + bit_count(xor(a.bs[3], b.bs[3]))
               + bit_count(xor(a.bs[4], b.bs[4])) <= 3""",
+    "dedup_lsh_recall_audit" ->
+      s"""WITH $shingleHashCte,
+          ds AS (SELECT doc_id, unnest(hs) AS shingle FROM sh),
+          sizes AS (SELECT doc_id, COUNT(*) AS n_shingles
+                    FROM ds GROUP BY 1),
+          kept AS (
+            SELECT d.* FROM ds d
+            JOIN (SELECT shingle FROM ds
+                  GROUP BY 1 HAVING COUNT(*) <= 20) z USING (shingle)),
+          inter AS (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM kept l JOIN kept r ON l.shingle = r.shingle
+             AND l.doc_id < r.doc_id
+            GROUP BY 1, 2),
+          exact AS (
+            SELECT id_a, id_b,
+                   CAST(n_inter AS DOUBLE)
+                     / (a.n_shingles + b.n_shingles - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes a ON a.doc_id = id_a
+            JOIN sizes b ON b.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE)
+                  / (a.n_shingles + b.n_shingles - n_inter) >= 0.3),
+          cand AS (SELECT id_a, id_b, CAST(1 AS BIGINT) AS caught
+                   FROM ($minhashPairsCappedSql)),
+          m AS (SELECT CAST(floor(exact.jaccard * 10) AS BIGINT) AS band,
+                  COALESCE(caught, 0) AS caught
+                FROM exact LEFT JOIN cand USING (id_a, id_b))
+          SELECT band, CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+                 CAST(SUM(caught) AS BIGINT) AS n_caught,
+                 CAST(SUM(caught) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS recall
+          FROM m GROUP BY band""",
     "dedup_pair_type" ->
       s"""WITH $shingleHashCte,
           p AS ($minhashPairsCappedSql),
