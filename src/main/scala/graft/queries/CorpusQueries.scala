@@ -214,8 +214,15 @@ object CorpusQueries {
     "ulm_viterbi_encode" -> ((s, dir) => {
       val sent = "-1152921504606846976" // -(2^60): unreachable sentinel
       val d = docs(s, dir)
+      // DP length cap: the per-row fold rebuilds an O(|w|) array per
+      // span, so a pathological mega-"word" (a no-space blob) would make
+      // one row O(|w|²) and stall its task. Real tokenizers cap token
+      // length the same way; capped-out words are excluded from the
+      // usage table with documented semantics (they'd be byte-fallback
+      // in a real pipeline), and the oracle mirrors the cap — it also
+      // bounds the oracle's recursion depth.
       val wc = d.select(explode(words(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
+        .filter(length(col("w")) > 0 && length(col("w")) <= 64)
         .groupBy("w").agg(count(lit(1)).as("c_w"))
       val spans = wc.select(col("w"), col("c_w"),
           explode(expr(
@@ -976,7 +983,7 @@ object CorpusQueries {
       """WITH RECURSIVE t AS (SELECT unnest(string_split(text,' ')) AS w
                               FROM documents),
          wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM t
-                WHERE len(w) > 0 GROUP BY w),
+                WHERE len(w) > 0 AND len(w) <= 64 GROUP BY w),
          spans AS (SELECT w, c_w, sp.sta AS sta, sp.ln AS ln,
                      sp.piece AS piece
                    FROM (SELECT w, c_w, unnest(flatten(
