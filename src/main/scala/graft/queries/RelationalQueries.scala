@@ -342,6 +342,70 @@ object RelationalQueries {
             .select("user_id").distinct())
     }),
 
+    // COHORT retention matrix — the week-over-week "do users come back"
+    // table every event-analytics engine ships: users grouped by
+    // first-seen week (integer week = epoch_days DIV 7 — no calendar
+    // WEEK() semantics, which differ across engines), and per
+    // (cohort, week) the count still active with the exact retention
+    // share. Plan: the corpus collapses to DISTINCT (user, week) rows
+    // (one exchange, map-side distinct partials); first-seen
+    // re-aggregates those rows (user-keyed, no second scan); the
+    // activity⟗first-seen join is user-keyed UNHINTED (open user
+    // domain — the lm_* discipline); everything after is the
+    // |cohorts|×|weeks| grid.
+    "events_cohort_retention" -> ((s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 DIV 7")
+            .as("wk"))
+        .distinct()
+      val first = uw.groupBy("user_id").agg(min("wk").as("cohort"))
+      val cohorts = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+      uw.join(first, Seq("user_id"))
+        .groupBy("cohort", "wk").agg(count(lit(1)).as("n_active"))
+        .join(cohorts, Seq("cohort"))
+        .select(col("cohort"), col("wk"), col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort").cast("double"))
+            .as("retention"))
+    }),
+
+    // Ordered FUNNEL: view → click → purchase, each step's timestamp
+    // strictly after the previous step's FIRST occurrence per user (the
+    // min-ts formulation — deterministic, one pass, no per-user event
+    // sort). Emits one row per step with the user count and share of
+    // step-1 reachers. Plan: corpus collapses to per-(user, step) MIN
+    // ts (one exchange, map-side min partials), per-user pivot via
+    // conditional aggregation, three integer comparisons, a 3-row
+    // stack; |users|-bounded nothing — all aggregates.
+    "events_funnel" -> ((s, dir) => {
+      val m = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view",
+            expr("unix_micros(CAST(ts AS TIMESTAMP))"))).as("t1"),
+          min(when(col("event_type") === "click",
+            expr("unix_micros(CAST(ts AS TIMESTAMP))"))).as("t2"),
+          min(when(col("event_type") === "purchase",
+            expr("unix_micros(CAST(ts AS TIMESTAMP))"))).as("t3"))
+      val agg = m.agg(
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("s1"),
+        sum(when(col("t1").isNotNull && col("t2") > col("t1"), 1L)
+          .otherwise(0L)).as("s2"),
+        sum(when(col("t1").isNotNull && col("t2") > col("t1")
+          && col("t3") > col("t2"), 1L).otherwise(0L)).as("s3"))
+      agg.select(explode(array(
+          struct(lit(1L).as("step"), lit("view").as("event_type"),
+            col("s1").as("n_users"), col("s1").as("base")),
+          struct(lit(2L).as("step"), lit("click").as("event_type"),
+            col("s2").as("n_users"), col("s1").as("base")),
+          struct(lit(3L).as("step"), lit("purchase").as("event_type"),
+            col("s3").as("n_users"), col("s1").as("base")))).as("r"))
+        .select(col("r.step"), col("r.event_type"), col("r.n_users"),
+          (col("r.n_users").cast("double") / col("r.base").cast("double"))
+            .as("share_of_entry"))
+    }),
+
     // Streaming-analog: tumbling 1h window counts (batch equivalent of the
     // Structured Streaming ingestion, SURVEY.md §2.8)
     "st_tumbling_counts" -> ((s, dir) => {
@@ -555,6 +619,47 @@ object RelationalQueries {
     "set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type='error' AND value > 200
          EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type='purchase' AND value > 200""",
+    "events_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 // 7 AS wk
+           FROM events),
+         first AS (SELECT user_id, CAST(MIN(wk) AS BIGINT) AS cohort
+                   FROM uw GROUP BY 1),
+         cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
+                FROM first GROUP BY 1),
+         act AS (SELECT cohort, wk, CAST(COUNT(*) AS BIGINT) AS n_active
+                 FROM uw JOIN first USING (user_id) GROUP BY 1, 2)
+         SELECT cohort, CAST(wk AS BIGINT) AS wk, n_active, n_cohort,
+                CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)
+                  AS retention
+         FROM act JOIN cs USING (cohort)""",
+    "events_funnel" ->
+      """WITH m AS (SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t2,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t3
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')
+           GROUP BY 1),
+         a AS (SELECT
+             CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+                      THEN 1 ELSE 0 END) AS BIGINT) AS s3
+           FROM m)
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                s1 AS n_users,
+                CAST(s1 AS DOUBLE)/CAST(s1 AS DOUBLE) AS share_of_entry
+         FROM a
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'click', s2,
+                CAST(s2 AS DOUBLE)/CAST(s1 AS DOUBLE) FROM a
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase', s3,
+                CAST(s3 AS DOUBLE)/CAST(s1 AS DOUBLE) FROM a""",
     "st_tumbling_counts" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          event_type, COUNT(*) AS n,
