@@ -199,4 +199,28 @@ class TrainPrepQueriesSpec extends SparkSpec {
     // bit-for-bit reproducible across evaluations
     assert(snap().sameElements(rows))
   }
+
+  test("events_funnel: step counts are monotone non-increasing and " +
+      "step 1 has share 1.0") {
+    val rows = graft.SparkEntry.queries("events_funnel")(spark, sf)
+      .orderBy("step").collect()
+    assert(rows.length == 3)
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2), counts.toSeq)
+    assert(rows.head.getAs[Double]("share_of_entry") == 1.0)
+  }
+
+  test("events_cohort_retention: a cohort's own first week retains " +
+      "everyone (retention 1.0) and counts never exceed cohort size") {
+    val rows = graft.SparkEntry.queries("events_cohort_retention")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cohort, wk) = (r.getAs[Long]("cohort"), r.getAs[Long]("wk"))
+      val (act, size) = (r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort"))
+      assert(act <= size, r.toString)
+      if (wk == cohort) assert(r.getAs[Double]("retention") == 1.0, r.toString)
+      assert(wk >= cohort, r.toString)
+    }
+  }
 }
