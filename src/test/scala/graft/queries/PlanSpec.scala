@@ -124,6 +124,24 @@ class PlanSpec extends SparkSpec {
     assert(!sm.contains("SortMergeJoin"), sm.take(4000))
   }
 
+  test("cohort retention / funnel collapse events in one pass: funnel " +
+      "is join-free; the cohort user join carries no forced broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val fu = finalPlan("events_funnel")
+    assert("Scan parquet".r.findAllIn(fu).size === 1, fu.take(4000))
+    assert(!fu.contains("Join"), fu.take(4000))
+    val df = graft.SparkEntry.queries("events_cohort_retention")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val userJoins = joins.filter(_.condition.exists(
+      _.references.exists(_.name == "user_id")))
+    assert(userJoins.nonEmpty)
+    userJoins.foreach { j =>
+      val forced = j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined)
+      assert(!forced, s"open user-domain join must stay unhinted: $j")
+    }
+  }
+
   test("heaps_law: the doc-count branch prunes to doc_id only, and no " +
       "sort-merge join appears (grid joins are broadcast-sized)") {
     val plan = executedPlan("heaps_law")
