@@ -81,6 +81,91 @@ object ShingleHashUtil {
   }
 }
 
+/** Static kernel for the exact-span / novelty window keys: every sliding
+  * `w`-word window of a text as ONE packed long `h1·2^31 + h2`, where h1
+  * is the shared shingle hash (polyHash of the space-joined window, mod
+  * 1e9+7) and h2 the independent order-sensitive fold over per-word
+  * hashes (a·37 + wHash mod 1e9+9) — bit-identical to the r05 expression
+  * pipeline (`zip_with(ShingleHashes.sliding, transform(sequence...,
+  * aggregate(slice(wordHashes...))))`), which re-evaluated the word-hash
+  * array 3x per row and allocated a slice per window (interpreted HOF
+  * lambdas). Both factors are < 2^31 (mods 1e9+7 / 1e9+9), so the packing
+  * is injective: grouping/joining on the packed key is exactly
+  * grouping/joining on the (h1, h2) pair, in half the key bytes. */
+object WindowKeyUtil {
+  private final val Mod = PolyHashUtil.Mod
+  private final val Mod2 = 1000000009L
+
+  def packedKeys(s: UTF8String, w: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val m = words.length
+    if (m < w) return new GenericArrayData(Array.empty[Long])
+    val wHash = new Array[Long](m)
+    val wPow = new Array[Long](m)
+    var wi = 0
+    while (wi < m) {
+      val word = words(wi)
+      var h = 0L
+      var pow = 1L
+      var i = 0
+      val len = word.length
+      while (i < len) {
+        val cp = word.codePointAt(i)
+        h = (h * 31L + cp) % Mod
+        pow = (pow * 31L) % Mod
+        i += Character.charCount(cp)
+      }
+      wHash(wi) = h
+      wPow(wi) = pow
+      wi += 1
+    }
+    val out = new Array[Long](m - w + 1)
+    var start = 0
+    while (start <= m - w) {
+      var h1 = wHash(start)
+      var h2 = wHash(start) % Mod2
+      var k = 1
+      while (k < w) {
+        val j = start + k
+        h1 = (((h1 * 31L + 32L) % Mod) * wPow(j) + wHash(j)) % Mod
+        h2 = (h2 * 37L + wHash(j)) % Mod2
+        k += 1
+      }
+      out(start) = h1 * 2147483648L + h2
+      start += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression over [[WindowKeyUtil.packedKeys]]: one
+  * codegen'd pass per row, no word-hash re-evaluation, no per-window
+  * slice allocation. */
+case class WindowKeys(child: Expression, w: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WindowKeyUtil.packedKeys(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WindowKeyUtil.packedKeys($c, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WindowKeys = copy(child = newChild)
+
+  override def prettyName: String = "window_keys"
+}
+
+object WindowKeys {
+  def apply(c: Column, w: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WindowKeys(org.apache.spark.sql.GraftColumnBridge.expression(c), w))
+}
+
 /**
  * Native Catalyst expression: distinct n-word-shingle polynomial hashes of
  * a text column in one codegen'd pass (no shingle-string materialization,

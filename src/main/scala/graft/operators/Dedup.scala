@@ -787,36 +787,33 @@ object Dedup {
   }
 
   /** Per-window keys for exact-substring span dedup: every SLIDING
-    * `windowWords`-word window of `textCol` as (pos, h1, h2), 1-based
-    * word position. h1 is the shared shingle spec ([[graft.functions
-    * .ShingleHashes]], = polyHash of the window joined with " "); h2 is
-    * an INDEPENDENT order-sensitive fold over the per-word hashes
-    * (a·37 + wHash mod 1e9+9), so the effective key is the ~60-bit pair —
-    * two windows collide only if both hashes collide. At 10^12-token
-    * scale the same construction widens to two 64-bit primes (the key
-    * shape, plan, and oracle are unchanged); the pair form exists so the
-    * verified small-scale config is not riding a single 30-bit hash whose
-    * birthday bound (~2^15 windows) a 10^5-window corpus already crosses. */
+    * `windowWords`-word window of `textCol` as (pos, wkey), 1-based word
+    * position, where wkey packs the pair (h1, h2) as h1·2^31 + h2 —
+    * h1 the shared shingle spec (polyHash of the window joined with " ",
+    * mod 1e9+7) and h2 an INDEPENDENT order-sensitive fold over the
+    * per-word hashes (a·37 + wHash mod 1e9+9). Both factors are < 2^31,
+    * so the packing is injective and the effective key is still the
+    * ~60-bit pair — two windows collide only if both hashes collide. At
+    * 10^12-token scale the same construction widens to two 64-bit primes
+    * (the key shape, plan, and oracle are unchanged); the pair form
+    * exists so the verified small-scale config is not riding a single
+    * 30-bit hash whose birthday bound (~2^15 windows) a 10^5-window
+    * corpus already crosses.
+    *
+    * r06: ONE fused codegen'd kernel ([[graft.functions.WindowKeys]])
+    * replaces the r05 expression pipeline, which re-evaluated the
+    * word-hash array 3x per row and ran an interpreted slice+fold lambda
+    * per window (guide §1.2 "per-task work": measured 2.8-3.1 s per span
+    * query at sf0.1, the Generate dominating); the packed single-long
+    * key also halves the groupBy/join key bytes (guide §2.3). */
   private def windowKeys(
       df: DataFrame, idCol: String, textCol: String,
-      windowWords: Int): DataFrame = {
-    import graft.functions.ShingleHashes
-    val wHashes = ShingleHashes.wordHashes(col(textCol))
-    val h2s = when(size(wHashes) >= windowWords,
-      transform(
-        sequence(lit(1), size(wHashes) - lit(windowWords) + 1),
-        i => aggregate(slice(wHashes, i, lit(windowWords)), lit(0L),
-          (a, x) => (a * lit(37L) + x) % lit(1000000009L))))
-      .otherwise(array().cast("array<bigint>"))
+      windowWords: Int): DataFrame =
     df.select(
         col(idCol),
-        posexplode(zip_with(
-          ShingleHashes.sliding(col(textCol), windowWords),
-          h2s,
-          (a, b) => struct(a.as("h1"), b.as("h2")))))
+        posexplode(graft.functions.WindowKeys(col(textCol), windowWords)))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
-        col("col.h1").as("h1"), col("col.h2").as("h2"))
-  }
+        col("col").as("wkey"))
 
   /** Exact repeated-SPAN detection — the full form of the substring
     * dedup `chunkDupFractions` approximates (Lee et al. 2022's
@@ -857,13 +854,13 @@ object Dedup {
       maxOccurrences: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wh = windowKeys(df, idCol, textCol, windowWords)
-    val dupKeys = wh.groupBy("h1", "h2")
+    val dupKeys = wh.groupBy("wkey")
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences &&
         col("occ") <= maxOccurrences)
-      .select("h1", "h2")
+      .select("wkey")
     val w = Window.partitionBy(idCol).orderBy("pos")
-    wh.join(dupKeys, Seq("h1", "h2"), "left_semi")
+    wh.join(dupKeys, Seq("wkey"), "left_semi")
       .withColumn("prev", lag("pos", 1).over(w))
       .withColumn("brk",
         when(col("prev").isNull || col("pos") - col("prev") > windowWords,
@@ -888,25 +885,31 @@ object Dedup {
     * whether a new feed adds information or re-crawls the archive, and
     * the doc-granular form of what `dedup_span_stats` reports per source.
     *
-    * Scale shape: the same codegen'd (h1, h2) window-key projection as
-    * repeatedSpans (no window strings materialized), then ONE key
-    * exchange — first_doc = MIN(doc_id) rides an unbounded window over
-    * the key partitioning itself, so the corpus is decoded ONCE and no
-    * key-side self-join recomputes the projection — and one per-doc
-    * roll-up. Narrow 40-byte rows; pair space never materializes. */
+    * Scale shape (r06, VERDICT r05 #3): the same codegen'd window-key
+    * projection as repeatedSpans (no window strings materialized), then
+    * a (wkey, doc) HASH aggregate whose map-side partials absorb
+    * within-doc repeats of a key — the r05 form ran first_doc as a
+    * window over RAW occurrence rows, so a boilerplate-hot key landed
+    * every occurrence on one sort task before anything could reduce it.
+    * first_doc = MIN(doc) re-aggregates those partials per key (one
+    * row per (key, doc) — a key in 30% of docs is |docs|·0.3 rows, never
+    * |occurrences|) and joins back; every verdict then multiplies by the
+    * per-doc occurrence count. Narrow rows; pair space never
+    * materializes; no window over raw occurrences anywhere. */
   def noveltyScores(
       df: DataFrame, idCol: String, textCol: String,
       windowWords: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byKey = Window.partitionBy("h1", "h2")
-    windowKeys(df, idCol, textCol, windowWords)
-      .repartition(col("h1"), col("h2"))
-      .withColumn("first_doc", min(col(idCol)).over(byKey))
+    val occ = windowKeys(df, idCol, textCol, windowWords)
+      .groupBy(col("wkey"), col(idCol))
+      .agg(count(lit(1)).as("n_occ"))
+    val firstDoc = occ.groupBy("wkey")
+      .agg(min(col(idCol)).as("first_doc"))
+    occ.join(firstDoc, Seq("wkey"))
       .groupBy(idCol)
       .agg(
-        count(lit(1)).as("n_windows"),
-        sum(when(col("first_doc") < col(idCol), 1L).otherwise(0L))
-          .as("n_recycled"))
+        sum(col("n_occ")).as("n_windows"),
+        sum(when(col("first_doc") < col(idCol), col("n_occ"))
+          .otherwise(0L)).as("n_recycled"))
       .select(col(idCol), col("n_windows"), col("n_recycled"),
         (col("n_recycled").cast("double") /
           col("n_windows").cast("double")).as("recycled_frac"))

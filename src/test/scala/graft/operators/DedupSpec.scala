@@ -408,6 +408,42 @@ class DedupSpec extends SparkSpec {
     assert(!clean100.getString(1).contains("tail"))
   }
 
+  test("noveltyScores under planted boilerplate skew: a hot window key " +
+      "in 30% of docs stays novel only on its first doc") {
+    // VERDICT r05 #3's fixture: one 8-gram planted in 900 of 3000 docs —
+    // the hot key the r05 window-over-raw-occurrences form funneled onto
+    // one sort task. The r06 (wkey, doc) hash aggregate must absorb it
+    // map-side and still score every planted doc except the first
+    // (doc 0) as recycled on exactly its boilerplate windows.
+    val boiler = "terms of use apply to this document here"
+    val rows = (0L until 3000L).map { i =>
+      val filler = (0 until 8).map(j => s"w${i}_$j").mkString(" ")
+      (i, if (i % 10 < 3) s"$boiler $filler" else filler)
+    }
+    val docs = spark.createDataset(rows).toDF("doc_id", "text")
+      .repartition(16)
+    val got = Dedup.noveltyScores(docs, "doc_id", "text", windowWords = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // planted docs have 9 windows (16 words); exactly window 1 (the
+    // boilerplate 8-gram) is recycled — except doc 0, which saw it first
+    val expected = (0L until 3000L).map { i =>
+      if (i == 0L) (i, 9L, 0L)
+      else if (i % 10 < 3) (i, 9L, 1L)
+      else (i, 1L, 0L)
+    }.toSet
+    assert(got === expected)
+
+    // partitioning invariance for the aggregate form
+    val repart = Dedup.noveltyScores(docs.repartition(7), "doc_id", "text",
+        windowWords = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(repart === got)
+  }
+
   test("repeatedSpans separates non-adjacent duplicated regions into " +
       "distinct spans") {
     // W=2: "A B" duplicated (d1@1, d2@1) and "Y Z" duplicated (d1@6,
