@@ -342,21 +342,44 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs with estimated Jaccard >= minEstSim.
     * Signature split into `bands` bands of k/bands rows; docs sharing any
-    * band bucket become candidates; est sim = matching minhash fraction. */
+    * band bucket become candidates; est sim = matching minhash fraction.
+    *
+    * r06 plan (guide §2.4 shared exchange + §2.3 narrow exchanges): the
+    * banded table is hash-partitioned on (band_idx, band_key) ONCE and
+    * that single exchange feeds the bucket-size cap (a count window over
+    * the same partitioning — band_key is never null, concat_ws can't
+    * return null, so window-group vs join-key null semantics can't
+    * diverge) and BOTH self-join branches via ReusedExchange. The r05
+    * shape (groupBy sizes + left-semi + independent l/r subtrees) planned
+    * the MinhashSig corpus kernel FOUR times (measured in the sf0.1
+    * plan: four parquet scans each with its own Generate). est_sim is
+    * now computed in the join projection and thresholded BEFORE the
+    * dedup, so the distinct exchange carries (id_a, id_b, est_sim)
+    * survivors instead of every candidate with two k-long signatures.
+    * Equivalence: sig is functionally determined by id, so distinct on
+    * (id_a, id_b, sig_a, sig_b) = distinct on (id_a, id_b, est_sim), and
+    * filter/distinct commute. Post-cap buckets are <= maxBucketSize, so
+    * the self-join itself has no hot keys by construction; the cap
+    * window's degenerate-bucket task is count-only and spills. */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
       shingleN: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val banded = bandedSignatures(df, idCol, textCol, k, bands, shingleN)
 
+    // the UNCAPPED form (small-scale oracle baseline — the capped form is
+    // the documented scale configuration) skips the repartition: with no
+    // cap window to feed there is nothing to share, and the l/r subtrees'
+    // band exchanges are reused at runtime anyway
     val capped =
       if (maxBucketSize == Int.MaxValue) banded
-      else {
-        val sizes = banded.groupBy("band_idx", "band_key")
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= maxBucketSize)
-        banded.join(sizes, Seq("band_idx", "band_key"), "left_semi")
-      }
+      else banded
+        .repartition(col("band_idx"), col("band_key"))
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_idx"), col("band_key"))))
+        .filter(col("bsz") <= maxBucketSize)
+        .drop("bsz")
 
     val l = capped.select(col("band_idx"), col("band_key"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
@@ -365,11 +388,10 @@ object Dedup {
 
     l.join(r, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
       .select(col("id_a"), col("id_b"),
         estSim(col("sig_a"), col("sig_b"), k).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
+      .distinct()
   }
 
   /** ESTIMATOR-CALIBRATION audit of the MinHash pipeline: every LSH
@@ -531,18 +553,28 @@ object Dedup {
     * nBands − 1) and degenerate-bucket cap contract. */
   def bandedHammingPairs(sh: DataFrame, idCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // r06: same shared-exchange + verdict-before-distinct restructure as
+    // minhashLshPairs (see its header) — one (band_idx, band_key)
+    // partitioning reused by the cap window and both join branches; the
+    // distinct exchange carries (id_a, id_b, hamming) survivors instead
+    // of candidate rows with both band arrays. Band keys are long array
+    // elements (never null); hamming is functionally determined by the
+    // pair, so filter/distinct commute and the dedup key is equivalent.
     val banded = sh.select(
       col(idCol), col("bands"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
 
+    // uncapped form skips the repartition — same reasoning as
+    // minhashLshPairs above
     val capped =
       if (maxBucketSize == Int.MaxValue) banded
-      else {
-        val sizes = banded.groupBy("band_idx", "band_key")
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= maxBucketSize)
-        banded.join(sizes, Seq("band_idx", "band_key"), "left_semi")
-      }
+      else banded
+        .repartition(col("band_idx"), col("band_key"))
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_idx"), col("band_key"))))
+        .filter(col("bsz") <= maxBucketSize)
+        .drop("bsz")
 
     val l = capped.select(col("band_idx"), col("band_key"),
       col(idCol).as("id_a"), col("bands").as("b_a"))
@@ -556,10 +588,9 @@ object Dedup {
 
     l.join(r, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("b_a"), col("b_b"))
-      .distinct()
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Train/benchmark DECONTAMINATION: corpus documents whose n-gram
