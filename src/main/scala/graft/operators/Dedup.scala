@@ -675,34 +675,50 @@ object Dedup {
     * labeled with its component's minimum id; the keeper IS that minimum
     * (deterministic keep-first by id, O1 semantics). */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 25,
+      inputDistinct: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // r06 (guide §2.4): each star pass previously planned as
+    // groupBy-min + join-back + distinct — three exchanges of the edge
+    // list per pass. The per-u minimum now rides a window over ONE
+    // u-partitioning (edge lists are degree-bounded by the pair
+    // generators' caps, so a u-partition is never corpus-sized), and
+    // smallStar emits its (u → m) self-edges inline instead of a
+    // union-with-join: two exchanges per pass, same output set.
     def largeStar(e: DataFrame): DataFrame = {
       // neighborhoods over both directions; connect strictly-larger
       // neighbors to min(N(u) ∪ {u})
       val n = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val m = n.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      n.join(m, "u")
+      n.repartition(col("u"))
+        .withColumn("m",
+          least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // orient (hi, lo); connect all small neighbors (and hi itself) to
-      // the minimum
+      // the minimum — the (u, m) self-edge is emitted per row (the
+      // original unioned the aggregate once per u; identical as a SET
+      // after the distinct, since m is constant within a u-partition)
       val o = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      val m = o.groupBy("u").agg(min(col("v")).as("m"))
-      o.join(m, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(m.select(col("u"), col("m").as("v")))
+      o.repartition(col("u"))
+        .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+        .select(explode(array(
+          struct(col("v").as("eu"), col("m").as("ev")),
+          struct(col("u").as("eu"), col("m").as("ev")))).as("p"))
+        .select(col("p.eu").as("u"), col("p.ev").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    var edges = pairs
+    val e0 = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    // callers whose pair list is already one row per unordered pair
+    // (e.g. the LSH generators' post-distinct output) skip the initial
+    // dedup exchange
+    var edges = (if (inputDistinct) e0 else e0.distinct())
       .localCheckpoint()
     var edgeCount = edges.count()
     var converged = edgeCount == 0

@@ -21,7 +21,10 @@ object DedupQueries {
     * components. */
   private def corpusClusters(d: DataFrame): DataFrame =
     Dedup.dupClusters(Dedup.minhashLshPairs(d, "doc_id", "text",
-      k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20))
+      k = 16, bands = 4, minEstSim = 0.5, maxBucketSize = 20),
+      // the LSH pair list is already distinct on (id_a, id_b) — skip
+      // the CC loop's initial dedup exchange
+      inputDistinct = true)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via content hash: every member of a duplicate group
