@@ -138,6 +138,71 @@ object WindowKeyUtil {
   }
 }
 
+/** Static kernel for winnowed fingerprints (Schleimer et al. 2003): the
+  * DISTINCT minima of every `w`-long window over the text's sliding
+  * `k`-gram hash sequence, first-occurrence order — bit-identical to the
+  * r05 expression pipeline `array_distinct(transform(sequence(0,
+  * size(hs)-w), i => array_min(slice(hs, i+1, w))))` including both
+  * edges (no k-gram ⇒ empty; fewer than w windows ⇒ the single global
+  * minimum), without the per-window slice allocation + interpreted
+  * lambda. */
+object WinnowFpUtil {
+  def fps(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val hs = ShingleHashUtil.hashes(s, k, false)
+    val m = hs.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < w) {
+      var mn = hs.getLong(0)
+      var i = 1
+      while (i < m) { val v = hs.getLong(i); if (v < mn) mn = v; i += 1 }
+      out.add(mn)
+    } else {
+      var start = 0
+      while (start <= m - w) {
+        var mn = hs.getLong(start)
+        var j = 1
+        while (j < w) {
+          val v = hs.getLong(start + j); if (v < mn) mn = v; j += 1
+        }
+        out.add(mn)
+        start += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var oi = 0
+    while (it.hasNext) { arr(oi) = it.next(); oi += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Native Catalyst expression over [[WinnowFpUtil.fps]]. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFpUtil.fps(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowFpUtil.fps($c, $k, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFps = copy(child = newChild)
+
+  override def prettyName: String = "winnow_fps"
+}
+
+object WinnowFps {
+  def apply(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WinnowFps(org.apache.spark.sql.GraftColumnBridge.expression(c), k, w))
+}
+
 /** Native Catalyst expression over [[WindowKeyUtil.packedKeys]]: one
   * codegen'd pass per row, no word-hash re-evaluation, no per-window
   * slice allocation. */

@@ -1027,16 +1027,15 @@ object Dedup {
     * (manifest_processor.py:283-305) generalized below document
     * granularity with a sublinear index. */
   def winnowFps(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 5): DataFrame = {
-    import graft.functions.ShingleHashes
-    val hs = ShingleHashes.sliding(col(textCol), k)
-    val sel = when(size(hs) === 0, array().cast("array<long>"))
-      .when(size(hs) < w, array(array_min(hs)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(hs) - w),
-        i => array_min(slice(hs, i + 1, lit(w))))))
-    df.select(col(idCol), explode(sel).as("fp")).distinct()
-  }
+      k: Int = 4, w: Int = 5): DataFrame =
+    // r06: ONE fused codegen'd kernel (guide §1.2 per-task work) — the
+    // r05 expression pipeline allocated a w-slice + interpreted an
+    // array_min lambda per window. The kernel emits the per-doc DISTINCT
+    // selected minima directly (LinkedHashSet = array_distinct
+    // semantics), so the explode already yields one row per (id, fp)
+    // and the trailing distinct exchange is gone.
+    df.select(col(idCol),
+      explode(graft.functions.WinnowFps(col(textCol), k, w)).as("fp"))
 
   /** Near-duplicate / shared-passage candidate pairs over [[winnowFps]]:
     * documents sharing at least `minShared` winnowed fingerprints, with
