@@ -138,6 +138,55 @@ object WindowKeyUtil {
   }
 }
 
+/** Static kernel for word bigram strings: every consecutive word pair of
+  * `s` as "a b" — bit-identical to the r05 expression pipeline
+  * `transform(sequence(0, size(ws)-2), i => concat_ws(" ",
+  * slice(ws, i+1, 2)))` over `split(s, " ")` (fewer than 2 words ⇒
+  * empty), without the per-position slice allocation + interpreted
+  * lambda. */
+object BigramUtil {
+  def bigrams(s: UTF8String): ArrayData = {
+    // same tokenization as ShingleHashUtil: String.split(" ", -1)
+    val words = s.toString.split(" ", -1)
+    val m = words.length
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - 1)
+    var i = 0
+    while (i < m - 1) {
+      out(i) = UTF8String.fromString(words(i) + " " + words(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression over [[BigramUtil.bigrams]]. */
+case class BigramStrings(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    BigramUtil.bigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BigramUtil.bigrams($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BigramStrings = copy(child = newChild)
+
+  override def prettyName: String = "bigram_strings"
+}
+
+object BigramStrings {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BigramStrings(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+}
+
 /** Static kernel for winnowed fingerprints (Schleimer et al. 2003): the
   * DISTINCT minima of every `w`-long window over the text's sliding
   * `k`-gram hash sequence, first-occurrence order — bit-identical to the
