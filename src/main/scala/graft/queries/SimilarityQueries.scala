@@ -325,15 +325,13 @@ object SimilarityQueries {
     // everything downstream is grid volume. O(rows·d²) compute is
     // inherent to second moments; pair space never appears.
     "emb_mmd_twosample" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("label"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
-          .as("q"))
-      val cells = e.select(col("label"), explode(flatten(
-          transform(col("q"), (xi, i) =>
-            transform(slice(col("q"), i + 1, lit(64) - i), (xj, jj) =>
-              struct((i * 65 + jj).cast("long").as("cell"),
-                (xi * xj).as("p")))))).as("cp"))
+      // r06: quantization + upper-triangle cell products ride ONE fused
+      // codegen'd kernel (identical values incl. the 64-clamp; the r05
+      // nested HOF allocated a slice per element and interpreted two
+      // lambda levels per product)
+      val cells = emb(s, dir).select(col("label"),
+          explode(graft.functions.MmdCellProducts(col("embedding")))
+            .as("cp"))
         .select(col("label"), col("cp.cell").as("cell"), col("cp.p").as("p"))
       val sums = cells.groupBy("label", "cell")
         .agg(expr("sum(CAST(p AS DECIMAL(38,0)))").as("s"),
