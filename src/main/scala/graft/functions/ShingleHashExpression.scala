@@ -138,53 +138,61 @@ object WindowKeyUtil {
   }
 }
 
-/** Static kernel for word bigram strings: every consecutive word pair of
-  * `s` as "a b" — bit-identical to the r05 expression pipeline
-  * `transform(sequence(0, size(ws)-2), i => concat_ws(" ",
-  * slice(ws, i+1, 2)))` over `split(s, " ")` (fewer than 2 words ⇒
+/** Static kernel for word n-gram strings: every run of `n` consecutive
+  * words of `s` joined with " " — bit-identical to the r05 expression
+  * pipeline `transform(sequence(0, size(ws)-n), i => concat_ws(" ",
+  * slice(ws, i+1, n)))` over `split(s, " ")` (fewer than n words ⇒
   * empty), without the per-position slice allocation + interpreted
   * lambda. */
-object BigramUtil {
-  def bigrams(s: UTF8String): ArrayData = {
+object NgramUtil {
+  def ngrams(s: UTF8String, n: Int): ArrayData = {
     // same tokenization as ShingleHashUtil: String.split(" ", -1)
     val words = s.toString.split(" ", -1)
     val m = words.length
-    if (m < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](m - 1)
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
     var i = 0
-    while (i < m - 1) {
-      out(i) = UTF8String.fromString(words(i) + " " + words(i + 1))
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
     new GenericArrayData(out)
   }
 }
 
-/** Native Catalyst expression over [[BigramUtil.bigrams]]. */
-case class BigramStrings(child: Expression)
+/** Native Catalyst expression over [[NgramUtil.ngrams]]. */
+case class NgramStrings(child: Expression, n: Int)
     extends UnaryExpression with Serializable {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    BigramUtil.bigrams(input.asInstanceOf[UTF8String])
+    NgramUtil.ngrams(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.BigramUtil.bigrams($c)")
+      c => s"graft.functions.NgramUtil.ngrams($c, $n)")
 
   override protected def withNewChildInternal(
-      newChild: Expression): BigramStrings = copy(child = newChild)
+      newChild: Expression): NgramStrings = copy(child = newChild)
 
-  override def prettyName: String = "bigram_strings"
+  override def prettyName: String = "ngram_strings"
 }
 
-object BigramStrings {
-  def apply(c: Column): Column =
+object NgramStrings {
+  def apply(c: Column, n: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
-      BigramStrings(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+      NgramStrings(org.apache.spark.sql.GraftColumnBridge.expression(c), n))
+}
+
+/** Word-bigram convenience over [[NgramStrings]]. */
+object BigramStrings {
+  def apply(c: Column): Column = NgramStrings(c, 2)
 }
 
 /** Static kernel for winnowed fingerprints (Schleimer et al. 2003): the

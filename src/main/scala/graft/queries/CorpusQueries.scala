@@ -867,10 +867,12 @@ object CorpusQueries {
     // roll-up; one exchange on the composite key, no pair space, no
     // sort.
     "diversity_distinct_n" -> ((s, dir) => {
-      import graft.functions.TextFunctions.shingles
+      // r06: 3-gram strings from the fused native kernel (identical
+      // values; the r05 HOF allocated a slice + interpreted a concat
+      // lambda per position)
       docs(s, dir)
         .select(col("source"),
-          explode(shingles(words(col("text")), 3)).as("g"))
+          explode(graft.functions.NgramStrings(col("text"), 3)).as("g"))
         .groupBy("source", "g").agg(count(lit(1)).as("c"))
         .groupBy("source")
         .agg(sum(col("c")).as("n_3grams"),

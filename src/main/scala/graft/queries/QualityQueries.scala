@@ -77,16 +77,23 @@ object QualityQueries {
     // computing three booleans, one 1-row aggregate, a 4-row stack — no
     // shuffle wider than the agg partials.
     "quality_ablation" -> ((s, dir) => {
-      val w = words(col("text"))
-      def dupFrac(arr: org.apache.spark.sql.Column) =
-        when(size(arr) > 0,
-          lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
-          .otherwise(lit(0.0))
-      val flags = docs(s, dir).select(
-        size(w).cast("long").as("nw"),
-        (!(col("n_chars") >= 100 && size(w) >= 20)).as("gl"),
-        (dupFrac(w) > 0.6 || dupFrac(shingles(w, 3)) > 0.2).as("gr"),
-        (stopwordRatio(col("text")) <= 0.03).as("gg"))
+      // r06: the gate counters ride ONE fused codegen'd pass
+      // (RepStats) — the r05 projection re-evaluated split(text) ~12x
+      // and the 3-gram slice+concat lambda 3x per row. The fractions
+      // and thresholds below reproduce the r05 arithmetic over the
+      // counters exactly (same int->double promotions).
+      val rc = graft.functions.RepStats(col("text"))
+      def dupFrac(d: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) =
+        when(n > 0, lit(1.0) - d.cast("double") / n).otherwise(lit(0.0))
+      val flags = docs(s, dir)
+        .select(col("n_chars"), rc.as("rc"))
+        .select(
+          col("rc.nw").cast("long").as("nw"),
+          (!(col("n_chars") >= 100 && col("rc.nw") >= 20)).as("gl"),
+          (dupFrac(col("rc.dw"), col("rc.nw")) > 0.6 ||
+            dupFrac(col("rc.d3"), col("rc.n3")) > 0.2).as("gr"),
+          ((col("rc.nsw").cast("double") / col("rc.nw")) <= 0.03).as("gg"))
       def n(c: org.apache.spark.sql.Column) =
         sum(when(c, 1L).otherwise(0L))
       def wm(c: org.apache.spark.sql.Column) =

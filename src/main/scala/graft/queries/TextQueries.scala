@@ -175,19 +175,20 @@ object TextQueries {
     // projection; n-gram lists keep duplicates (unlike the dedup path's
     // distinct shingle sets — repetition IS the signal here).
     "text_repetition" -> ((s, dir) => {
-      val w = words(col("text"))
-      val g2 = shingles(w, 2)
-      val g3 = shingles(w, 3)
-      def dupFrac(arr: org.apache.spark.sql.Column) =
-        when(size(arr) > 0,
-          lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
-          .otherwise(lit(0.0))
+      // r06: counters from the fused RepStats kernel (one pass; the r05
+      // projection re-split the text and re-built each n-gram array
+      // twice — size + distinct-size). Fraction arithmetic reproduces
+      // the r05 int->double promotions exactly.
+      def dupFrac(d: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) =
+        when(n > 0, lit(1.0) - d.cast("double") / n).otherwise(lit(0.0))
       docs(s, dir)
+        .select(col("doc_id"), graft.functions.RepStats(col("text")).as("rc"))
         .select(
           col("doc_id"),
-          dupFrac(w).as("dup_word_frac"),
-          dupFrac(g2).as("dup_2gram_frac"),
-          dupFrac(g3).as("dup_3gram_frac"))
+          dupFrac(col("rc.dw"), col("rc.nw")).as("dup_word_frac"),
+          dupFrac(col("rc.d2"), col("rc.n2")).as("dup_2gram_frac"),
+          dupFrac(col("rc.d3"), col("rc.n3")).as("dup_3gram_frac"))
         // classify over the COMPUTED columns, not re-built copies of the
         // fraction trees — one definition to keep in sync with the oracle
         .withColumn("rep_class",
