@@ -59,28 +59,38 @@ object BpeTokenizer {
   }
 
   /** Train `k` merges over the word vocabulary of `textCol`.
-    * Returns (merges in training order, final word→sym vocabulary —
-    * persisted; callers unpersist when done).
+    * Returns (merges in training order, final word→sym vocabulary).
     *
     * 100 TB shape: ONE corpus pass builds (word, freq); each of the k
     * iterations is one map-side-combined aggregation over that
     * vocabulary table plus a driver-side top-1 (count desc, pair asc),
     * and one projection to apply the merge. The corpus is never touched
-    * again — exactly how production corpus-level BPE trainers scale. */
+    * again — exactly how production corpus-level BPE trainers scale.
+    *
+    * r06: the vocabulary is materialized ONCE via localCheckpoint and
+    * each iteration's sym column is the merge-replace chain applied as
+    * an expression over it — the r05 loop re-persisted and force-counted
+    * a new cache generation per merge (k extra jobs), and plan-keyed
+    * cache entries risked surviving into a caller's next invocation.
+    * localCheckpoint storage is instance-keyed, so repeated runs always
+    * recompute (nothing leaks across bench reps) and callers have no
+    * unpersist bookkeeping. */
   def train(docs: DataFrame, textCol: String, k: Int)
       : (Seq[Merge], DataFrame) = {
-    val wv = docs
+    val v0 = docs
       .select(explode(TextFunctions.words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    var v = wv.withColumn("sym", initialSym(col("w"))).persist()
+      .withColumn("sym", initialSym(col("w")))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[Merge]
+    var sym: Column = col("sym")
     var step = 1
     var exhausted = false
     while (step <= k && !exhausted) {
-      val top = v
+      val top = v0
         .select(col("freq"),
-          explode(adjacentPairs(symbols(col("sym")))).as("pr"))
+          explode(adjacentPairs(symbols(sym))).as("pr"))
         .groupBy("pr").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pr").asc)
         .limit(1).collect()
@@ -88,13 +98,10 @@ object BpeTokenizer {
       else {
         val pair = top(0).getString(0)
         merges += Merge(step, pair, top(0).getLong(1))
-        val nv = v.withColumn("sym", applyMerge(col("sym"), pair)).persist()
-        nv.count() // materialize before dropping the parent's cache
-        v.unpersist(blocking = false)
-        v = nv
+        sym = applyMerge(sym, pair)
         step += 1
       }
     }
-    (merges.toSeq, v)
+    (merges.toSeq, v0.withColumn("sym", sym))
   }
 }

@@ -135,9 +135,8 @@ object CorpusQueries {
     // ann_kmeans_codebook and quality_lr_weights.
     "bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      val (merges, vocab) =
+      val (merges, _) =
         graft.operators.BpeTokenizer.train(docs(s, dir), "text", 4)
-      vocab.unpersist(blocking = false)
       merges.map(m => (m.step, m.pair, m.count))
         .toDF("step", "pair", "cnt")
     }),
