@@ -33,16 +33,27 @@ object QualityQueries {
     * + id) — at 100 TB this is computed once from text and persisted;
     * training re-scans never touch raw bytes. */
   private def features(d: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    d.select(
-      col("doc_id"),
-      col("source"),
-      size(w).cast("long").as("nw"),
-      (least(size(w), lit(400)).cast("double") / lit(400.0)).as("x1"),
-      (size(array_distinct(w)).cast("double") / size(w)).as("x2"),
-      stopwordRatio(col("text")).as("x3"),
-      when(col("n_chars") >= 100 && size(w) >= 20, lit(1.0))
-        .otherwise(lit(0.0)).as("y"))
+    // r06: counters from the fused RepStats kernel (the r05 projection
+    // re-split the text ~5x per row), materialized ONCE via
+    // localCheckpoint — training collects and the final scoring scan
+    // all read the same instance-keyed materialization, which (unlike
+    // the r05 plan-keyed persist) cannot survive into a later
+    // invocation, and needs no caller unpersist bookkeeping. The
+    // fraction arithmetic reproduces the r05 int->double promotions
+    // exactly.
+    val rc = graft.functions.RepStats(col("text"))
+    d.select(col("doc_id"), col("source"), col("n_chars"), rc.as("rc"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("rc.nw").cast("long").as("nw"),
+        (least(col("rc.nw"), lit(400)).cast("double") / lit(400.0))
+          .as("x1"),
+        (col("rc.dw").cast("double") / col("rc.nw")).as("x2"),
+        (col("rc.nsw").cast("double") / col("rc.nw")).as("x3"),
+        when(col("n_chars") >= 100 && col("rc.nw") >= 20, lit(1.0))
+          .otherwise(lit(0.0)).as("y"))
+      .localCheckpoint()
   }
 
   /** Standardize (bit-portable moments, [[LinearModel.fitStandardizer]])
@@ -124,9 +135,8 @@ object QualityQueries {
     // bit-for-bit (the learned analog of ann_kmeans_codebook).
     "quality_lr_weights" -> ((s, dir) => {
       import s.implicits._
-      val f = features(docs(s, dir)).persist()
+      val f = features(docs(s, dir))
       val w = trainedWeights(zFeatures(f))
-      f.unpersist(blocking = false)
       w.zipWithIndex.map { case (v, j) => (j, v) }.toSeq.toDF("j", "w")
     }),
 
@@ -135,10 +145,9 @@ object QualityQueries {
     // rule-based label. The oracle replays standardization, training AND
     // scoring.
     "quality_lr_score" -> ((s, dir) => {
-      val f = features(docs(s, dir)).persist()
+      val f = features(docs(s, dir))
       val zf = zFeatures(f)
       val w = trainedWeights(zf)
-      f.unpersist(blocking = false)
       zf.select(
           col("doc_id"),
           LinearModel.predict(w, XCols).as("score"),
@@ -156,10 +165,9 @@ object QualityQueries {
     // is one aggregation over the scored feature table (scoring itself
     // is a zero-shuffle projection over literal weights).
     "quality_confusion" -> ((s, dir) => {
-      val f = features(docs(s, dir)).persist()
+      val f = features(docs(s, dir))
       val zf = zFeatures(f)
       val w = trainedWeights(zf)
-      f.unpersist(blocking = false)
       zf.select(col("source"),
           when(LinearModel.predict(w, XCols) >= 0.5, 1).otherwise(0)
             .as("pred"),
@@ -191,10 +199,9 @@ object QualityQueries {
     // projection + one ≤10-row aggregate (per-row floor(score·2^20)
     // int64 quantization makes the bin means integer-exact).
     "quality_calibration" -> ((s, dir) => {
-      val f = features(docs(s, dir)).persist()
+      val f = features(docs(s, dir))
       val zf = zFeatures(f)
       val w = trainedWeights(zf)
-      f.unpersist(blocking = false)
       val score = LinearModel.predict(w, XCols)
       zf.select(
           greatest(least(floor(score * 10).cast("int"), lit(9)), lit(0))
@@ -222,10 +229,9 @@ object QualityQueries {
     // literal-weights projection, nothing sorts, nothing joins.
     // Zero-retention cuts emit NULL precision (no 0/0).
     "quality_pr_sweep" -> ((s, dir) => {
-      val f = features(docs(s, dir)).persist()
+      val f = features(docs(s, dir))
       val zf = zFeatures(f)
       val w = trainedWeights(zf)
-      f.unpersist(blocking = false)
       val sc = zf.select(
         LinearModel.predict(w, XCols).as("sc"), col("y"), col("nw"))
       val ts = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
@@ -264,10 +270,9 @@ object QualityQueries {
     // the rank products ride decimal(38,0) (pos·neg wraps int64 past
     // ~3e9 rows per source).
     "quality_auc" -> ((s, dir) => {
-      val f = features(docs(s, dir)).persist()
+      val f = features(docs(s, dir))
       val zf = zFeatures(f)
       val w = trainedWeights(zf)
-      f.unpersist(blocking = false)
       val score = LinearModel.predict(w, XCols)
       val cells = zf.select(
           col("source"),
