@@ -810,7 +810,11 @@ object Dedup {
 
     // ONE exchange on shingle serves everything: the df cap is a window
     // count over the same partitioning (no second explode, no extra
-    // shuffle), and both self-join branches reuse the exchange.
+    // shuffle), and both self-join branches reuse the exchange. r06: the
+    // capped index is materialized via localCheckpoint (partitioning and
+    // shingle ordering survive into the LogicalRDD), so the self-join
+    // consumes it twice without re-running the cap window + sort per
+    // branch and without a broadcast build of the whole index.
     val idx0 = docShingles.repartition(col("shingle"))
     val idx =
       if (maxDf == Int.MaxValue) idx0
@@ -819,6 +823,7 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
         .filter(col("df") <= maxDf)
         .drop("df")
+        .localCheckpoint()
     val l = idx.select(col("shingle"), col(idCol).as("id_a"))
     val r = idx.select(col("shingle"), col(idCol).as("id_b"))
     val inter = l.join(r, Seq("shingle"))
