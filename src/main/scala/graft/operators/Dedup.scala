@@ -717,14 +717,17 @@ object Dedup {
       .filter(col("u") =!= col("v"))
     // callers whose pair list is already one row per unordered pair
     // (e.g. the LSH generators' post-distinct output) skip the initial
-    // dedup exchange
+    // dedup exchange. localCheckpoint is LAZY (r06): the count() that
+    // follows materializes the checkpoint in the same job — the r05
+    // eager form paid a materialization job plus a count job per round.
     var edges = (if (inputDistinct) e0 else e0.distinct())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var edgeCount = edges.count()
     var converged = edgeCount == 0
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges))
+        .localCheckpoint(eager = false)
       val nextCount = next.count()
       // both sides are distinct sets, so equal counts + empty one-way
       // except ⇒ set equality (no second except needed); unequal counts

@@ -782,6 +782,11 @@ object DistributionQueries {
         .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("c_dw"))
       val cw = occ.groupBy("w").agg(sum("c_dw").as("c_w"))
       val tot = cw.agg(sum(col("c_w")).as("n_total"))
+      // r06: the per-doc score table is materialized once — it feeds
+      // both the edge-training histogram chain and the final banding
+      // join, which previously re-planned the whole occ→cw→NLL pipeline
+      // per reference. |docs|-rows narrow (the guide §8 "decision
+      // table"), so the materialization is corpus-linear.
       val docNll = occ.join(cw, "w")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id", "source")
@@ -789,6 +794,7 @@ object DistributionQueries {
           sum(col("c_dw") * (qln(col("n_total")) - qln(col("c_w"))))
             .as("nll_qsum"))
         .withColumn("q_nll", expr("nll_qsum div n_words"))
+        .localCheckpoint()
       val hist = docNll.groupBy(col("source"), col("q_nll").as("v"))
         .agg(count(lit(1)).as("c"))
       val cum = hist.withColumn("cum", sum(col("c")).over(
