@@ -530,11 +530,18 @@ object CorpusQueries {
         .withColumn("score_q",
           col("tf") * (DistributionQueries.qln(col("n_docs")) -
             DistributionQueries.qln(col("df"))))
+      // r06: bounded per-source top-5 via TermTopKAggregate (map-side
+      // ≤ k state; same (score desc, word asc) order and tie-break as
+      // the r05 row_number window, which sorted the whole per-source
+      // vocabulary on one task)
       scored
-        .withColumn("rank", row_number().over(Window.partitionBy("source")
-          .orderBy(col("score_q").desc, col("word").asc)))
-        .filter(col("rank") <= 5)
-        .select("source", "rank", "word", "tf", "df", "score_q")
+        .groupBy("source")
+        .agg(graft.functions.TermTopKAggregate.topK(
+          col("score_q"), col("word"), col("tf"), col("df"), 5).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("source"), (col("i") + 1).cast("int").as("rank"),
+          col("t.word").as("word"), col("t.a").as("tf"),
+          col("t.b").as("df"), col("t.score_q").as("score_q"))
     }),
 
     // CONTEXT-LENGTH truncation sweep — the "what max_seq_len do we
