@@ -81,6 +81,109 @@ object ShingleHashUtil {
   }
 }
 
+/** Static kernel for fixed-grid chunking: consecutive `w`-word chunks of
+  * `s` (the last chunk may be shorter; chunk count = ceil(words/w),
+  * always ≥ 1 since split(" ", -1) never yields an empty array) — as
+  * polynomial hashes of the space-joined chunk (`hashes = true`,
+  * bit-identical to `polyHash(concat_ws(" ", slice(...)))` composed from
+  * per-word (hash, pow) pairs without materializing the chunk string) or
+  * as the chunk strings themselves (`hashes = false`, for the rewrite
+  * operator that reassembles documents). Replaces the r05 per-chunk
+  * slice+concat(+hash) interpreted lambdas. */
+object ChunkUtil {
+  private final val Mod = PolyHashUtil.Mod
+
+  def chunkHashes(s: UTF8String, w: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val m = words.length
+    val n = (m + w - 1) / w
+    val out = new Array[Long](n)
+    var ci = 0
+    while (ci < n) {
+      val start = ci * w
+      val end = math.min(start + w, m)
+      var h = 0L
+      var j = start
+      while (j < end) {
+        if (j > start) h = (h * 31L + 32L) % Mod
+        val word = words(j)
+        var i = 0
+        val len = word.length
+        while (i < len) {
+          val cp = word.codePointAt(i)
+          h = (h * 31L + cp) % Mod
+          i += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(ci) = h
+      ci += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def chunkStrings(s: UTF8String, w: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val m = words.length
+    val n = (m + w - 1) / w
+    val out = new Array[Any](n)
+    var ci = 0
+    while (ci < n) {
+      val start = ci * w
+      val end = math.min(start + w, m)
+      val sb = new java.lang.StringBuilder(words(start))
+      var j = start + 1
+      while (j < end) { sb.append(' ').append(words(j)); j += 1 }
+      out(ci) = UTF8String.fromString(sb.toString)
+      ci += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native chunk-hash expression over [[ChunkUtil.chunkHashes]]. */
+case class ChunkHashes(child: Expression, w: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ChunkUtil.chunkHashes(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ChunkUtil.chunkHashes($c, $w)")
+  override protected def withNewChildInternal(
+      newChild: Expression): ChunkHashes = copy(child = newChild)
+  override def prettyName: String = "chunk_hashes"
+}
+
+object ChunkHashes {
+  def apply(c: Column, w: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ChunkHashes(org.apache.spark.sql.GraftColumnBridge.expression(c), w))
+}
+
+/** Native chunk-string expression over [[ChunkUtil.chunkStrings]]. */
+case class ChunkStrings(child: Expression, w: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ChunkUtil.chunkStrings(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ChunkUtil.chunkStrings($c, $w)")
+  override protected def withNewChildInternal(
+      newChild: Expression): ChunkStrings = copy(child = newChild)
+  override def prettyName: String = "chunk_strings"
+}
+
+object ChunkStrings {
+  def apply(c: Column, w: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ChunkStrings(org.apache.spark.sql.GraftColumnBridge.expression(c), w))
+}
+
 /** Static kernel for the exact-span / novelty window keys: every sliding
   * `w`-word window of a text as ONE packed long `h1·2^31 + h2`, where h1
   * is the shared shingle hash (polyHash of the space-joined window, mod

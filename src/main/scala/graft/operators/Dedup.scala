@@ -57,10 +57,13 @@ object Dedup {
   def chunkDupFractions(
       df: DataFrame, idCol: String, textCol: String,
       chunkWords: Int = 10): DataFrame = {
-    import graft.functions.TextFunctions.chunkHashes
+    // r06: fused native chunk-hash kernel (identical values — polyHash
+    // of each space-joined chunk composed char-wise; the r05 HOF sliced
+    // and concatenated a string per chunk)
     val chunked = df.select(
         col(idCol).as("doc_id"),
-        explode(chunkHashes(col(textCol), chunkWords)).as("chunk_hash"))
+        explode(graft.functions.ChunkHashes(col(textCol), chunkWords))
+          .as("chunk_hash"))
       .repartition(col("chunk_hash"))
     chunked
       // per (chunk, doc) multiplicity: hashpartitioning(chunk_hash)
@@ -117,10 +120,8 @@ object Dedup {
   def chunkRewrite(
       df: DataFrame, idCol: String, textCol: String,
       chunkWords: Int = 10, maxDf: Long = 4L): DataFrame = {
-    val ws = words(col(textCol))
-    val chunks = transform(
-      sequence(lit(0), floor((size(ws) - 1) / chunkWords).cast("int")),
-      i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
+    // r06: fused native chunk kernel (see chunkDupFractions)
+    val chunks = graft.functions.ChunkStrings(col(textCol), chunkWords)
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h"))
     df.select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
