@@ -165,18 +165,23 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
   }
 
-  test("novelty audit decodes text ONCE: one window-key exchange serves " +
-      "first-doc, no join, one per-doc roll-up") {
+  test("novelty audit is skew-resistant (r06, VERDICT r05 #3): map-side " +
+      "(wkey, doc) partials absorb hot keys, NO window over raw " +
+      "occurrences, min-doc joins back") {
     val df = graft.SparkEntry.queries("dedup_novelty")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(3000))
-    assert(!plan.contains("Join"), plan.take(3000))
-    // exactly two exchanges: the (h1, h2) key clustering + the final
-    // per-doc aggregation
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
-      plan.take(3000))
+    // a boilerplate-hot key must never funnel raw occurrence rows onto
+    // one sort task: no window operator anywhere, occurrence counts
+    // partial-aggregate before their exchange
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    // the min-doc table joins back onto the (wkey, doc) partials
+    assert(plan.contains("Join"), plan.take(3000))
+    // the window-key projection is shared, not re-planned per consumer:
+    // at most 2 scans (ReusedExchange normally collapses it to 1)
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, plan.take(3000))
   }
 
   test("source minhash matrix: per-source mins partial-aggregate " +
@@ -437,7 +442,10 @@ class PlanSpec extends SparkSpec {
       // the trained BPE vocab spans the same open word domain
       "bpe_encode" -> Set("w"),
       "bpe_fertility" -> Set("w"),
-      "ppl_band_split" -> Set("w"),
+      // ppl_band_split's vocab join sits inside its r06 materialized
+      // doc-score table (localCheckpoint), invisible from the final
+      // plan; the identical occ⋈cw join shape is pinned via
+      // lm_unigram_score above
       // PMI joins the open bigram table to the unigram table twice
       "pmi_collocations" -> Set("w1", "w2"))
     for ((q, keys) <- checks) {
